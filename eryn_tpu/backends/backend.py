@@ -1,0 +1,390 @@
+"""In-memory chain storage backend.
+
+Behavioral re-design of ``/root/reference/src/eryn/backends/backend.py:16-1159``
+for the TPU build: the device produces snapshots at storage boundaries, the
+backend holds host-side NumPy buffers with the reference's layout
+``(nsteps, ntemps, nwalkers, nleaves_max, ndim)`` per branch, NaN-masks dead
+leaves on save (``backend.py:1049-1059``), and serves the same getter /
+diagnostic surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..state import State
+
+__all__ = ["Backend"]
+
+
+class Backend:
+    """In-memory backend (ref ``backends/backend.py:16``)."""
+
+    def __init__(self, store_missing_leaves=np.nan, dtype=None):
+        self.initialized = False
+        self.store_missing_leaves = store_missing_leaves
+        self.dtype = dtype if dtype is not None else np.float64
+
+    def reset_base(self):
+        """Clear all stored data (ref ``backend.py:62-74``)."""
+        self.initialized = False
+
+    def reset(
+        self,
+        nwalkers,
+        ndims,
+        nleaves_max=1,
+        ntemps=1,
+        branch_names=None,
+        nbranches=1,
+        rj=False,
+        moves=None,
+        info=None,
+    ):
+        """Allocate empty chain storage (ref ``backend.py:76-257``)."""
+        if branch_names is None:
+            branch_names = [f"model_{i}" for i in range(nbranches)]
+        if isinstance(branch_names, str):
+            branch_names = [branch_names]
+        nbranches = len(branch_names)
+
+        def to_dict(val):
+            if isinstance(val, (int, np.integer)):
+                return {bn: int(val) for bn in branch_names}
+            if isinstance(val, (list, np.ndarray)):
+                return {bn: int(v) for bn, v in zip(branch_names, val)}
+            return {k: int(v) for k, v in val.items()}
+
+        self.nwalkers = int(nwalkers)
+        self.ntemps = int(ntemps)
+        self.nbranches = nbranches
+        self.branch_names = list(branch_names)
+        self.ndims = to_dict(ndims)
+        self.nleaves_max = to_dict(nleaves_max)
+        self.rj = rj
+        self.move_keys = list(moves) if moves else None
+        self.info = dict(info) if info else {}
+
+        self.iteration = 0
+        self.chain = {
+            name: np.empty(
+                (0, ntemps, nwalkers, self.nleaves_max[name], self.ndims[name]),
+                dtype=self.dtype,
+            )
+            for name in branch_names
+        }
+        self.inds = {
+            name: np.empty(
+                (0, ntemps, nwalkers, self.nleaves_max[name]), dtype=bool
+            )
+            for name in branch_names
+        }
+        self.log_like = np.empty((0, ntemps, nwalkers), dtype=self.dtype)
+        self.log_prior = np.empty((0, ntemps, nwalkers), dtype=self.dtype)
+        self.betas = np.empty((0, ntemps), dtype=self.dtype)
+        self.blobs = None
+
+        self.accepted = np.zeros((ntemps, nwalkers), dtype=self.dtype)
+        self.rj_accepted = (
+            np.zeros((ntemps, nwalkers), dtype=self.dtype) if rj else None
+        )
+        self.swaps_accepted = (
+            np.zeros((ntemps - 1,), dtype=self.dtype) if ntemps > 1 else None
+        )
+        self.moves_accepted_fraction = (
+            {key: np.zeros((ntemps, nwalkers)) for key in self.move_keys}
+            if self.move_keys
+            else None
+        )
+
+        self.random_state = None
+        self.initialized = True
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self):
+        """Dict of per-branch shapes (ref ``backend.py:330-352``)."""
+        return {
+            name: (
+                self.ntemps,
+                self.nwalkers,
+                self.nleaves_max[name],
+                self.ndims[name],
+            )
+            for name in self.branch_names
+        }
+
+    def has_blobs(self):
+        return self.blobs is not None
+
+    # ------------------------------------------------------------------
+    def grow(self, ngrow, blobs=None):
+        """Preallocate ``ngrow`` more steps (ref ``backend.py:849-913``)."""
+        if not self.initialized:
+            raise AttributeError("Backend must be reset before growing.")
+        ngrow = int(ngrow)
+
+        def extend(arr, shape_tail):
+            extra = np.full((ngrow,) + shape_tail, np.nan, dtype=arr.dtype)
+            return np.concatenate([arr, extra], axis=0)
+
+        for name in self.branch_names:
+            self.chain[name] = extend(
+                self.chain[name],
+                (
+                    self.ntemps,
+                    self.nwalkers,
+                    self.nleaves_max[name],
+                    self.ndims[name],
+                ),
+            )
+            extra_inds = np.zeros(
+                (ngrow, self.ntemps, self.nwalkers, self.nleaves_max[name]),
+                dtype=bool,
+            )
+            self.inds[name] = np.concatenate([self.inds[name], extra_inds], axis=0)
+        self.log_like = extend(self.log_like, (self.ntemps, self.nwalkers))
+        self.log_prior = extend(self.log_prior, (self.ntemps, self.nwalkers))
+        self.betas = extend(self.betas, (self.ntemps,))
+        if blobs is not None:
+            blobs = np.asarray(blobs)
+            if self.blobs is None:
+                self.blobs = np.full(
+                    (ngrow,) + blobs.shape, np.nan, dtype=blobs.dtype
+                )
+            else:
+                self.blobs = np.concatenate(
+                    [
+                        self.blobs,
+                        np.full(
+                            (ngrow,) + blobs.shape, np.nan, dtype=blobs.dtype
+                        ),
+                    ],
+                    axis=0,
+                )
+
+    # ------------------------------------------------------------------
+    def save_step(
+        self,
+        state,
+        accepted,
+        rj_accepted=None,
+        swaps_accepted=None,
+        moves_accepted_fraction=None,
+    ):
+        """Append one stored step (ref ``backend.py:1014-1091``)."""
+        it = self.iteration
+        for name in self.branch_names:
+            coords = np.asarray(state.branches[name].coords, dtype=self.dtype)
+            inds = np.asarray(state.branches[name].inds, dtype=bool)
+            # mask dead leaves (ref backend.py:1049-1059)
+            coords = coords.copy()
+            coords[~inds] = self.store_missing_leaves
+            self.chain[name][it] = coords
+            self.inds[name][it] = inds
+        self.log_like[it] = np.asarray(state.log_like, dtype=self.dtype)
+        self.log_prior[it] = np.asarray(state.log_prior, dtype=self.dtype)
+        if state.betas is not None:
+            self.betas[it] = np.asarray(state.betas, dtype=self.dtype)
+        if state.blobs is not None and self.blobs is not None:
+            self.blobs[it] = np.asarray(state.blobs)
+
+        self.accepted += np.asarray(accepted, dtype=self.dtype)
+        if self.rj_accepted is not None and rj_accepted is not None:
+            self.rj_accepted += np.asarray(rj_accepted, dtype=self.dtype)
+        if self.swaps_accepted is not None and swaps_accepted is not None:
+            self.swaps_accepted += np.asarray(swaps_accepted, dtype=self.dtype)
+        if (
+            self.moves_accepted_fraction is not None
+            and moves_accepted_fraction is not None
+        ):
+            for key, val in moves_accepted_fraction.items():
+                if val is not None:
+                    self.moves_accepted_fraction[key] = np.asarray(val)
+
+        if state.random_state is not None:
+            self.random_state = np.asarray(state.random_state)
+
+        self.iteration += 1
+
+    # ------------------------------------------------------------------
+    # getters (ref backend.py:263-384)
+    # ------------------------------------------------------------------
+    def get_value(self, name, thin=1, discard=0, slice_vals=None):
+        if not self.initialized or self.iteration <= 0:
+            raise AttributeError(
+                "You must run the sampler with 'store == True' before "
+                "accessing the results."
+            )
+        if slice_vals is None:
+            slice_vals = slice(discard + thin - 1, self.iteration, thin)
+
+        if name == "chain":
+            return {n: self.chain[n][slice_vals] for n in self.branch_names}
+        if name == "inds":
+            return {n: self.inds[n][slice_vals] for n in self.branch_names}
+        if name in ("log_like", "log_prior", "betas", "blobs"):
+            arr = getattr(self, name)
+            if arr is None:
+                raise AttributeError(f"No {name} stored.")
+            return arr[slice_vals]
+        raise ValueError(f"Unknown value name: {name}")
+
+    def get_chain(self, **kwargs):
+        return self.get_value("chain", **kwargs)
+
+    def get_inds(self, **kwargs):
+        return self.get_value("inds", **kwargs)
+
+    def get_nleaves(self, **kwargs):
+        inds = self.get_value("inds", **kwargs)
+        return {n: inds[n].sum(axis=-1) for n in inds}
+
+    def get_log_like(self, **kwargs):
+        return self.get_value("log_like", **kwargs)
+
+    def get_log_prior(self, **kwargs):
+        return self.get_value("log_prior", **kwargs)
+
+    def get_log_posterior(self, temper=False, **kwargs):
+        logl = self.get_value("log_like", **kwargs)
+        logp = self.get_value("log_prior", **kwargs)
+        if temper:
+            betas = self.get_value("betas", **kwargs)
+            return betas[:, :, None] * logl + logp
+        return logl + logp
+
+    def get_betas(self, **kwargs):
+        return self.get_value("betas", **kwargs)
+
+    def get_blobs(self, **kwargs):
+        if self.blobs is None:
+            return None
+        return self.get_value("blobs", **kwargs)
+
+    def get_a_sample(self, it):
+        """Reconstruct the State stored at iteration ``it``
+        (ref ``backend.py:558-614``)."""
+        if not self.initialized or self.iteration <= 0:
+            raise AttributeError(
+                "You must run the sampler with 'store == True' before "
+                "accessing the results."
+            )
+        coords = {}
+        inds = {}
+        for name in self.branch_names:
+            c = self.chain[name][it].copy()
+            m = self.inds[name][it]
+            c[~m] = 0.0  # strip NaN mask for live use
+            coords[name] = c
+            inds[name] = m
+        blobs = self.blobs[it] if self.blobs is not None else None
+        return State(
+            coords,
+            inds=inds,
+            log_like=self.log_like[it],
+            log_prior=self.log_prior[it],
+            betas=self.betas[it],
+            blobs=blobs,
+            random_state=self.random_state,
+        )
+
+    def get_last_sample(self):
+        return self.get_a_sample(self.iteration - 1)
+
+    # ------------------------------------------------------------------
+    # diagnostics (filled in by eryn_tpu.utils.utility; ref backend.py:616-817)
+    # ------------------------------------------------------------------
+    def get_autocorr_thin_burn(self):
+        """Suggested (thin, burn) from the integrated autocorrelation time
+        (ref ``backend.py:354-384``)."""
+        tau = self.get_autocorr_time()
+        tau_max = max(np.max(np.atleast_1d(v)) for v in tau.values())
+        thin = max(int(0.5 * tau_max), 1)
+        burn = int(2 * tau_max)
+        return thin, burn
+
+    def get_autocorr_time(self, discard=0, thin=1, all_temps=False, multiply_thin=True, **kwargs):
+        """Integrated autocorrelation time per branch/parameter
+        (ref ``backend.py:616-662``)."""
+        from ..utils.utility import get_integrated_act
+
+        chain = self.get_chain(discard=discard, thin=thin)
+        out = {}
+        for name, arr in chain.items():
+            ntemp_keep = self.ntemps if all_temps else 1
+            x = arr[:, :ntemp_keep]
+            # (nsteps, ntemps, nwalkers, nleaves_max, ndim) -> average walkers
+            tau = get_integrated_act(x, **kwargs)
+            out[name] = tau * thin if multiply_thin else tau
+        return out
+
+    def get_evidence_estimate(
+        self, discard=0, thin=1, return_error=True, method="therodynamic", **ss_kwargs
+    ):
+        """Log-evidence via thermodynamic integration or stepping-stone
+        (ref ``backend.py:664-733``)."""
+        from ..utils.utility import (
+            stepping_stone_log_evidence,
+            thermodynamic_integration_log_evidence,
+        )
+
+        logls_all = self.get_log_like(discard=discard, thin=thin)
+        betas_all = self.get_betas(discard=discard, thin=thin)
+        if not (betas_all == betas_all[0]).all():
+            raise ValueError(
+                "Cannot compute evidence while betas are adapting. Use "
+                "stop_adaptation or discard the adaptation phase."
+            )
+        betas = betas_all[0]
+        if method.startswith("thero") or method.startswith("thermo"):
+            logls = np.mean(logls_all, axis=(0, -1))
+            logZ, dlogZ = thermodynamic_integration_log_evidence(betas, logls)
+        else:
+            logZ, dlogZ = stepping_stone_log_evidence(betas, logls_all, **ss_kwargs)
+        if return_error:
+            return logZ, dlogZ
+        return logZ
+
+    def get_gelman_rubin_convergence_diagnostic(
+        self, discard=0, thin=1, doprint=True, **kwargs
+    ):
+        """Gelman-Rubin R-hat per branch (ref ``backend.py:735-817``)."""
+        from ..utils.utility import psrf
+
+        chain = self.get_chain(discard=discard, thin=thin)
+        inds = self.get_inds(discard=discard, thin=thin)
+        out = {}
+        for name, arr in chain.items():
+            # cold chain only, active leaves flattened
+            x = arr[:, 0]
+            m = inds[name][:, 0]
+            nsteps, nwalkers, nleaves_max, ndim = x.shape
+            vals = np.where(m[..., None], x, np.nan).reshape(
+                nsteps, nwalkers, nleaves_max * ndim
+            )
+            keep = ~np.all(np.isnan(vals), axis=(0, 1))
+            Rhat = psrf(vals[:, :, keep], keep.sum(), **kwargs)
+            out[name] = Rhat
+            if doprint:
+                print(f"Gelman-Rubin R-hat for {name}: {Rhat}")
+        return out
+
+    def get_info(self, discard=0, thin=1):
+        """Bundle of everything stored (ref ``backend.py:1093-1153``)."""
+        samples = self.get_chain(discard=discard, thin=thin)
+        out = {"samples": samples, **self.info}
+        out["log_like"] = self.get_log_like(discard=discard, thin=thin)
+        out["log_prior"] = self.get_log_prior(discard=discard, thin=thin)
+        out["inds"] = self.get_inds(discard=discard, thin=thin)
+        out["betas"] = self.get_betas(discard=discard, thin=thin)
+        out["shapes"] = self.shape
+        out["ntemps"] = self.ntemps
+        out["nwalkers"] = self.nwalkers
+        out["nbranches"] = self.nbranches
+        out["branch names"] = self.branch_names
+        out["ndims"] = self.ndims
+        out["tau"] = None
+        out["ac_burn"] = 0
+        out["ac_thin"] = 1
+        return out

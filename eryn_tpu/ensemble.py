@@ -1,0 +1,1102 @@
+"""EnsembleSampler: the user-facing orchestrator.
+
+TPU-native re-design of ``/root/reference/src/eryn/ensemble.py:211-1700``.
+The reference runs a Python loop per MCMC step with NumPy array ops and an
+optional ``pool.map`` fan-out for likelihoods; here the hot loop is a single
+jitted function — move selection (``lax.switch`` over the weighted schedule),
+proposal, tempering swaps/adaptation, and per-move acceptance counters all
+live on device, composed with ``lax.scan`` over iterations.  The host touches
+the chain only at storage/yield boundaries.
+
+Likelihood contract (TPU-first):
+
+* If ``log_like_fn`` is JAX-traceable it is ``vmap``-ed over the flattened
+  ``(ntemps * nwalkers)`` ensemble (or called once, batched, with
+  ``vectorize=True``) and fused into the sampler step.
+* Legacy NumPy likelihoods still work: they are bridged with
+  ``jax.pure_callback`` reproducing the reference's per-walker grouping
+  semantics (``ensemble.py:1408-1481``) — correct but host-bound; a warning
+  points users at the traced contract.
+"""
+
+from __future__ import annotations
+
+import warnings
+from itertools import count
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .backends import Backend, HDFBackend
+from .model import Model
+from .moves import StretchMove
+from .moves.move import EvalContext
+from .moves.tempering import TemperatureControl, tempered_log_likelihood
+from .pbar import get_progress_bar
+from .prior import ProbDistContainer
+from .state import State
+from .utils.periodic import PeriodicContainer
+
+__all__ = ["EnsembleSampler", "walkers_independent"]
+
+
+def _finite_min(dtype):
+    return float(np.finfo(np.dtype(dtype)).min / 2)
+
+
+class PriorEvaluator:
+    """Traced (or callback-bridged) evaluation of the summed log-prior over
+    active leaves (re-design of ``ensemble.py:1127-1217``)."""
+
+    def __init__(self, containers: dict, dtype):
+        self.containers = containers
+        self.dtype = dtype
+
+    def __call__(self, coords: dict, inds: dict):
+        """coords: {name: (..., nleaves_max, ndim)}; inds: {name: (...,
+        nleaves_max)}.  Returns summed log-prior with the leading batch
+        shape."""
+        total = None
+        for name, container in self.containers.items():
+            c = coords[name]
+            m = inds[name]
+            if getattr(container, "traceable", False):
+                lp_leaf = container.logpdf(c)
+            else:
+                batch = c.shape[:-1]
+                lp_leaf = jax.pure_callback(
+                    lambda arr, _con=container: np.asarray(
+                        _con.logpdf(np.asarray(arr).reshape(-1, arr.shape[-1]))
+                    )
+                    .reshape(arr.shape[:-1])
+                    .astype(self.dtype),
+                    jax.ShapeDtypeStruct(batch, self.dtype),
+                    c,
+                    vmap_method="sequential",
+                )
+            lp_leaf = jnp.where(m, lp_leaf, 0.0)
+            lp = lp_leaf.sum(axis=-1)
+            total = lp if total is None else total + lp
+        return total.astype(self.dtype)
+
+
+class LikelihoodEvaluator:
+    """Batched likelihood evaluation (re-design of ``ensemble.py:1219-1545``).
+
+    Chooses one of three execution modes at construction:
+
+    * ``traced-walker``: traceable fn, ``vmap`` over flattened walkers.
+    * ``traced-batched``: traceable fn with ``vectorize=True`` — called once
+      with the full flattened batch.
+    * ``callback``: host NumPy fn bridged via ``jax.pure_callback`` with the
+      reference's per-walker active-leaf argument convention.
+    """
+
+    def __init__(
+        self,
+        fn,
+        *,
+        branch_names,
+        ndims,
+        nleaves_max,
+        nleaves_min,
+        args,
+        kwargs,
+        vectorize,
+        provide_groups,
+        provide_supplemental,
+        fill_zero_leaves_val,
+        rj,
+        dtype,
+    ):
+        self.fn = fn
+        self.branch_names = list(branch_names)
+        self.ndims = ndims
+        self.nleaves_max = nleaves_max
+        self.nleaves_min = nleaves_min
+        self.args = tuple(args) if args is not None else ()
+        self.kwargs = dict(kwargs) if kwargs is not None else {}
+        self.vectorize = vectorize
+        self.provide_groups = provide_groups
+        self.provide_supplemental = provide_supplemental
+        self.rj = rj
+        self.dtype = dtype
+        fill = fill_zero_leaves_val
+        self.fill_zero_leaves_val = max(float(fill), _finite_min(dtype))
+
+        self._simple = (
+            len(self.branch_names) == 1
+            and self.nleaves_max[self.branch_names[0]] == 1
+            and not rj
+            and not provide_groups
+        )
+        self.mode = self._detect_mode()
+
+    # -- argument building -------------------------------------------------
+    def _walker_args(self, cdict, idict):
+        """Per-walker traced arguments: padded coords (+ mask when needed)."""
+        if self._simple:
+            name = self.branch_names[0]
+            return (cdict[name][0],)
+        if len(self.branch_names) == 1:
+            name = self.branch_names[0]
+            return (cdict[name], idict[name])
+        return (cdict, idict)
+
+    def _traced_walker(self, cdict, idict):
+        out = self.fn(*self._walker_args(cdict, idict), *self.args, **self.kwargs)
+        return jnp.asarray(out, dtype=self.dtype)
+
+    def _traced_batched(self, cdict, idict):
+        if self._simple:
+            name = self.branch_names[0]
+            x = cdict[name][:, 0]  # (N, ndim)
+            out = self.fn(x, *self.args, **self.kwargs)
+        elif len(self.branch_names) == 1:
+            name = self.branch_names[0]
+            out = self.fn(cdict[name], idict[name], *self.args, **self.kwargs)
+        else:
+            out = self.fn(cdict, idict, *self.args, **self.kwargs)
+        return jnp.asarray(out, dtype=self.dtype)
+
+    def _detect_mode(self):
+        example_c = {
+            n: jnp.zeros((2, self.nleaves_max[n], self.ndims[n]), dtype=self.dtype)
+            for n in self.branch_names
+        }
+        example_i = {
+            n: jnp.ones((2, self.nleaves_max[n]), dtype=bool)
+            for n in self.branch_names
+        }
+        try:
+            if self.vectorize:
+                shape = jax.eval_shape(self._traced_batched, example_c, example_i)
+                if shape.shape != (2,):
+                    raise TypeError(
+                        f"vectorized likelihood returned shape {shape.shape}"
+                    )
+                return "traced-batched"
+            shape = jax.eval_shape(
+                jax.vmap(self._traced_walker), example_c, example_i
+            )
+            if shape.shape != (2,):
+                raise TypeError(f"likelihood returned shape {shape.shape}")
+            return "traced-walker"
+        except Exception:
+            warnings.warn(
+                "log_like_fn is not JAX-traceable; falling back to a host "
+                "callback (jax.pure_callback). For TPU performance, provide a "
+                "jax.numpy likelihood.",
+                stacklevel=2,
+            )
+            return "callback"
+
+    # -- host callback path --------------------------------------------------
+    def _host_eval(self, coords_flat, inds_flat, logp_flat):
+        """Reference per-walker grouping semantics
+        (``ensemble.py:1408-1481``): active leaves per branch, ``None`` for
+        zero-leaf branches in the multi-branch case."""
+        names = self.branch_names
+        N = logp_flat.shape[0]
+        out = np.full(N, -np.inf, dtype=np.float64)
+        multi = len(names) > 1
+        for i in range(N):
+            if not np.isfinite(logp_flat[i]):
+                continue
+            per_branch = []
+            total_active = 0
+            for n in names:
+                m = inds_flat[n][i]
+                active = coords_flat[n][i][m]
+                total_active += active.shape[0]
+                per_branch.append(active if active.shape[0] > 0 else None)
+            if total_active == 0:
+                out[i] = self.fill_zero_leaves_val
+                continue
+            if multi:
+                res = self.fn(per_branch, *self.args, **self.kwargs)
+            else:
+                a = per_branch[0]
+                if self.nleaves_max[names[0]] == 1 and not self.rj:
+                    a = a[0]
+                res = self.fn(a, *self.args, **self.kwargs)
+            out[i] = float(np.asarray(res))
+        return out
+
+    # -- main traced entry ---------------------------------------------------
+    def __call__(self, coords: dict, inds: dict, logp):
+        """coords: {name: (ntemps, n, nleaves_max, ndim)}; logp: (ntemps, n).
+        Returns ``(log_like (ntemps, n), blobs_or_None)``."""
+        batch_shape = logp.shape
+        N = int(np.prod(batch_shape))
+        cf = {
+            n: coords[n].reshape((N,) + coords[n].shape[2:]) for n in coords
+        }
+        inf = {n: inds[n].reshape((N,) + inds[n].shape[2:]) for n in inds}
+        logp_flat = logp.reshape((N,))
+
+        finite = jnp.isfinite(logp_flat)
+        # guard the user fn against out-of-support coordinates: substitute
+        # zeros where the prior already rejected (ref ensemble.py:1264-1292)
+        cf_safe = {
+            n: jnp.where(
+                finite.reshape((N,) + (1,) * (cf[n].ndim - 1)), cf[n], 0.0
+            )
+            for n in cf
+        }
+
+        if self.mode == "traced-walker":
+            ll = jax.vmap(self._traced_walker)(cf_safe, inf)
+        elif self.mode == "traced-batched":
+            ll = self._traced_batched(cf_safe, inf)
+        else:
+            ll = jax.pure_callback(
+                lambda c, i, lp: self._host_eval(
+                    jax.tree_util.tree_map(np.asarray, c),
+                    jax.tree_util.tree_map(np.asarray, i),
+                    np.asarray(lp),
+                ).astype(self.dtype),
+                jax.ShapeDtypeStruct((N,), self.dtype),
+                cf,
+                inf,
+                logp_flat,
+                vmap_method="sequential",
+            )
+
+        ll = jnp.where(finite, ll, -jnp.inf)
+
+        # zero-leaf walkers get the fill value (ref ensemble.py:1486-1499)
+        nleaves_total = None
+        for n in inf:
+            s = inf[n].sum(axis=-1)
+            nleaves_total = s if nleaves_total is None else nleaves_total + s
+        ll = jnp.where(
+            (nleaves_total == 0) & finite, self.fill_zero_leaves_val, ll
+        )
+        return ll.reshape(batch_shape).astype(self.dtype), None
+
+
+class _FunctionWrapper:
+    """Pickle-friendly likelihood wrapper (API parity with
+    ``ensemble.py:1623-1667``)."""
+
+    def __init__(self, f, args, kwargs):
+        self.f = f
+        self.args = args or ()
+        self.kwargs = kwargs or {}
+
+    def __call__(self, x):
+        return self.f(x, *self.args, **self.kwargs)
+
+
+def walkers_independent(coords):
+    """Check walkers span the parameter space (ref ``ensemble.py:1670-1700``)."""
+    coords = np.asarray(coords)
+    flat = coords.reshape(coords.shape[0], -1)
+    if not np.all(np.isfinite(flat)):
+        return False
+    c = flat - np.mean(flat, axis=0)[None, :]
+    scale = np.max(np.abs(c), axis=0)
+    scale[scale == 0.0] = 1.0
+    c = c / scale
+    cond = np.linalg.cond(c.astype(float))
+    return cond <= 1e8
+
+
+class EnsembleSampler:
+    """Omni-MCMC ensemble sampler on TPU (API parity with
+    ``/root/reference/src/eryn/ensemble.py:31-1620``)."""
+
+    def __init__(
+        self,
+        nwalkers,
+        ndims,
+        log_like_fn,
+        priors,
+        provide_groups=False,
+        provide_supplemental=False,
+        tempering_kwargs={},
+        branch_names=None,
+        nbranches=1,
+        nleaves_max=1,
+        nleaves_min=0,
+        pool=None,
+        moves=None,
+        rj_moves=None,
+        dr_moves=None,
+        dr_max_iter=5,
+        args=None,
+        kwargs=None,
+        backend=None,
+        vectorize=False,
+        blobs_dtype=None,
+        plot_iterations=-1,
+        plot_generator=None,
+        plot_folder=None,
+        periodic=None,
+        update_fn=None,
+        update_iterations=-1,
+        stopping_fn=None,
+        stopping_iterations=-1,
+        fill_zero_leaves_val=-1e300,
+        num_repeats_in_model=1,
+        num_repeats_rj=1,
+        track_moves=True,
+        info={},
+        seed=None,
+        dtype=None,
+    ):
+        self.provide_groups = provide_groups
+        self.provide_supplemental = provide_supplemental
+        self.num_repeats_in_model = num_repeats_in_model
+        self.num_repeats_rj = num_repeats_rj
+        self.track_moves = track_moves
+        self.pool = pool  # accepted for API parity; likelihoods are batched
+        self.vectorize = vectorize
+        self.blobs_dtype = blobs_dtype
+        self.info = info
+
+        self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
+        self.fill_zero_leaves_val = max(
+            float(fill_zero_leaves_val), _finite_min(self.dtype)
+        )
+
+        # ---- branch normalization (ref ensemble.py:264-317) -------------
+        if branch_names is not None:
+            if isinstance(branch_names, str):
+                branch_names = [branch_names]
+            elif not isinstance(branch_names, list):
+                raise ValueError("branch_names must be string or list of strings.")
+        else:
+            branch_names = [f"model_{i}" for i in range(nbranches)]
+        nbranches = len(branch_names)
+
+        ndims = self._normalize_per_branch(ndims, branch_names, "ndims")
+        nleaves_max = self._normalize_per_branch(
+            nleaves_max, branch_names, "nleaves_max"
+        )
+        if isinstance(nleaves_min, int):
+            nleaves_min = {bn: nleaves_min for bn in branch_names}
+        else:
+            nleaves_min = self._normalize_per_branch(
+                nleaves_min, branch_names, "nleaves_min"
+            )
+
+        self.nbranches = nbranches
+        self.branch_names = branch_names
+        self.ndims = ndims
+        self.nleaves_max = nleaves_max
+        self.nleaves_min = nleaves_min
+        self.nwalkers = nwalkers
+
+        # ---- tempering (ref ensemble.py:319-332) -------------------------
+        if tempering_kwargs == {}:
+            self.ntemps = 1
+            self.temperature_control = None
+        else:
+            total_ndim = sum(
+                self.nleaves_max[k] * self.ndims[k] for k in branch_names
+            )
+            self.temperature_control = TemperatureControl(
+                total_ndim, nwalkers, **tempering_kwargs
+            )
+            self.ntemps = self.temperature_control.ntemps
+
+        # ---- periodic -----------------------------------------------------
+        if periodic is not None and not isinstance(periodic, PeriodicContainer):
+            if not isinstance(periodic, dict):
+                raise ValueError(
+                    "periodic must be PeriodicContainer or dict if not None."
+                )
+            periodic = PeriodicContainer(periodic, ndims=self.ndims)
+        self.periodic = periodic
+
+        # ---- priors -------------------------------------------------------
+        self.priors = self._normalize_priors(priors)
+
+        # ---- moves schedule (ref ensemble.py:349-514) ----------------------
+        if moves is None:
+            self.moves = [StretchMove()]
+            self.weights = [1.0]
+        else:
+            self.moves, self.weights = self._parse_moves(moves)
+
+        if rj_moves is not None:
+            self.rj_moves, self.rj_weights = self._parse_rj_moves(rj_moves)
+            self.has_reversible_jump = len(self.rj_moves) > 0
+        else:
+            self.rj_moves = []
+            self.rj_weights = []
+            self.has_reversible_jump = False
+
+        # inject temperature control & periodic (ref ensemble.py:516-536)
+        for move in self.moves + self.rj_moves:
+            move.temperature_control = self.temperature_control
+            if move.periodic is None:
+                move.periodic = self.periodic
+
+        # move-tracking registry (ref ensemble.py:556-590)
+        self.all_moves = {}
+        for move in self.moves + self.rj_moves:
+            base = type(move).__name__
+            key_name = base
+            i = 0
+            while key_name in self.all_moves:
+                i += 1
+                key_name = f"{base}_{i}"
+            self.all_moves[key_name] = move
+
+        # ---- evaluators ----------------------------------------------------
+        self.log_like_fn = log_like_fn
+        self.lnprob_args = args
+        self.lnprob_kwargs = kwargs
+        self._prior_eval = PriorEvaluator(self.priors, self.dtype)
+        self._like_eval = LikelihoodEvaluator(
+            log_like_fn,
+            branch_names=branch_names,
+            ndims=ndims,
+            nleaves_max=nleaves_max,
+            nleaves_min=nleaves_min,
+            args=args,
+            kwargs=kwargs,
+            vectorize=vectorize,
+            provide_groups=provide_groups,
+            provide_supplemental=provide_supplemental,
+            fill_zero_leaves_val=fill_zero_leaves_val,
+            rj=self.has_reversible_jump,
+            dtype=self.dtype,
+        )
+
+        # hooks
+        self.update_fn = update_fn
+        self.update_iterations = update_iterations
+        self.stopping_fn = stopping_fn
+        self.stopping_iterations = stopping_iterations
+        self.plot_iterations = plot_iterations
+        self.plot_generator = plot_generator
+
+        # ---- RNG ------------------------------------------------------------
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        self._key = jax.random.PRNGKey(seed)
+
+        # ---- backend ---------------------------------------------------------
+        if backend is None:
+            self.backend = Backend(dtype=np.float64)
+        elif isinstance(backend, str):
+            self.backend = HDFBackend(backend)
+        else:
+            self.backend = backend
+
+        self._previous_state = None
+        if not self.backend.initialized:
+            self._reset_backend()
+        else:
+            # resume path (ref ensemble.py:605-652)
+            if self.backend.shape != self.shape:
+                raise ValueError(
+                    f"Backend shape {self.backend.shape} incompatible with "
+                    f"sampler shape {self.shape}."
+                )
+            if self.backend.iteration > 0:
+                self._previous_state = self.backend.get_last_sample()
+                rs = getattr(self.backend, "random_state", None)
+                if rs is not None:
+                    self._key = jnp.asarray(rs)
+
+        # per-device-segment counters
+        self._reset_move_counters()
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _normalize_per_branch(value, branch_names, label):
+        if isinstance(value, (int, np.integer)):
+            assert len(branch_names) == 1
+            return {branch_names[0]: int(value)}
+        if isinstance(value, (list, np.ndarray)):
+            assert len(branch_names) == len(value)
+            return {bn: int(v) for bn, v in zip(branch_names, value)}
+        if isinstance(value, dict):
+            for key_name in value:
+                if key_name not in branch_names:
+                    raise ValueError(
+                        f"{key_name} is in {label} but does not appear in "
+                        f"branch_names: {branch_names}."
+                    )
+            return {k: int(v) for k, v in value.items()}
+        raise ValueError(f"{label} must be a scalar int, list or dict.")
+
+    def _normalize_priors(self, priors):
+        if isinstance(priors, ProbDistContainer):
+            return {self.branch_names[0]: priors}
+        if isinstance(priors, dict):
+            out = {}
+            for name, val in priors.items():
+                if isinstance(val, ProbDistContainer):
+                    out[name] = val
+                elif isinstance(val, dict):
+                    out[name] = ProbDistContainer(val)
+                else:
+                    raise ValueError(
+                        "priors dict values must be ProbDistContainer or dict "
+                        "of distributions."
+                    )
+            # single flat dict of dists for a single branch
+            if set(out.keys()) - set(self.branch_names):
+                raise ValueError(
+                    f"priors keys {list(out)} do not match branch_names "
+                    f"{self.branch_names}."
+                )
+            return out
+        raise ValueError("priors must be a ProbDistContainer or dict.")
+
+    def _parse_moves(self, moves):
+        if not isinstance(moves, (list, tuple)):
+            moves = [moves]
+        move_list, weights = [], []
+        for entry in moves:
+            if isinstance(entry, tuple):
+                move, w = entry
+            else:
+                move, w = entry, 1.0
+            move_list.append(move)
+            weights.append(float(w))
+        total = sum(weights)
+        return move_list, [w / total for w in weights]
+
+    def _parse_rj_moves(self, rj_moves):
+        from .moves import DistributionGenerateRJ
+
+        if isinstance(rj_moves, bool):
+            if not rj_moves:
+                return [], []
+            move = DistributionGenerateRJ(
+                self.priors,
+                nleaves_max=self.nleaves_max,
+                nleaves_min=self.nleaves_min,
+            )
+            return [move], [1.0]
+        if isinstance(rj_moves, str):
+            if rj_moves == "together":
+                return self._parse_rj_moves(True)
+            if rj_moves == "iterate_branches":
+                out = [
+                    DistributionGenerateRJ(
+                        {name: self.priors[name]},
+                        nleaves_max={name: self.nleaves_max[name]},
+                        nleaves_min={name: self.nleaves_min[name]},
+                        proposal_branch_names=[name],
+                    )
+                    for name in self.branch_names
+                ]
+                return out, [1.0 / len(out)] * len(out)
+            if rj_moves == "separate_branches":
+                return self._parse_rj_moves("iterate_branches")
+            raise ValueError(f"Unknown rj_moves mode: {rj_moves}")
+        return self._parse_moves(rj_moves)
+
+    # ------------------------------------------------------------------
+    # key management
+    # ------------------------------------------------------------------
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def set_key(self, key):
+        self._key = key
+
+    @property
+    def random_state(self):
+        return np.asarray(self._key)
+
+    @random_state.setter
+    def random_state(self, value):
+        try:
+            self._key = jnp.asarray(value)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self):
+        return {
+            name: (self.ntemps, self.nwalkers, self.nleaves_max[name], self.ndims[name])
+            for name in self.branch_names
+        }
+
+    @property
+    def iteration(self):
+        return self.backend.iteration
+
+    def _reset_backend(self):
+        self.backend.reset(
+            self.nwalkers,
+            self.ndims,
+            nleaves_max=self.nleaves_max,
+            ntemps=self.ntemps,
+            branch_names=self.branch_names,
+            nbranches=self.nbranches,
+            rj=self.has_reversible_jump,
+            moves=list(self.all_moves.keys()) if self.track_moves else None,
+            info=self.info,
+        )
+
+    def reset(self, **info):
+        self._reset_backend()
+
+    def _reset_move_counters(self):
+        nm = len(self.moves)
+        nrj = len(self.rj_moves)
+        self._move_accepted = np.zeros((nm, self.ntemps, self.nwalkers))
+        self._move_nprop = np.zeros((nm,))
+        self._rj_move_accepted = np.zeros((nrj, self.ntemps, self.nwalkers))
+        self._rj_move_nprop = np.zeros((nrj,))
+
+    # ------------------------------------------------------------------
+    # evaluation API (host-facing, ref ensemble.py:1127-1545)
+    # ------------------------------------------------------------------
+    def get_eval_context(self):
+        return EvalContext(
+            compute_log_prior=self._prior_eval,
+            compute_log_like=self._like_eval,
+            tempering=self.temperature_control,
+            periodic=self.periodic,
+            prior_containers=self.priors,
+        )
+
+    def compute_log_prior(self, coords, inds=None, supps=None, branch_supps=None):
+        coords, inds = self._coerce_eval_inputs(coords, inds)
+        out = self._prior_eval(coords, inds)
+        return np.asarray(out)
+
+    def compute_log_like(
+        self, coords, inds=None, logp=None, supps=None, branch_supps=None
+    ):
+        coords, inds = self._coerce_eval_inputs(coords, inds)
+        if logp is None:
+            logp = self._prior_eval(coords, inds)
+        else:
+            logp = jnp.asarray(logp, dtype=self.dtype)
+        ll, blobs = self._like_eval(coords, inds, logp)
+        return np.asarray(ll), blobs
+
+    def _coerce_eval_inputs(self, coords, inds):
+        if not isinstance(coords, dict):
+            coords = {self.branch_names[0]: coords}
+        coords = {
+            n: jnp.asarray(c, dtype=self.dtype) for n, c in coords.items()
+        }
+        fixed = {}
+        for n, c in coords.items():
+            if c.ndim == 2:
+                c = c[None, :, None, :]
+            elif c.ndim == 3:
+                c = c[:, :, None, :]
+            fixed[n] = c
+        coords = fixed
+        if inds is None:
+            inds = {
+                n: jnp.ones(c.shape[:-1], dtype=bool) for n, c in coords.items()
+            }
+        else:
+            if not isinstance(inds, dict):
+                inds = {self.branch_names[0]: inds}
+            inds = {n: jnp.asarray(v).astype(bool) for n, v in inds.items()}
+        return coords, inds
+
+    def get_model(self):
+        """Reference-compatible model carrier (ref ensemble.py:780-806)."""
+        return Model(
+            self.log_like_fn,
+            self.compute_log_like,
+            self.compute_log_prior,
+            self.temperature_control,
+            map,
+            np.random,
+            eval_context=self.get_eval_context(),
+            sampler=self,
+        )
+
+    # ------------------------------------------------------------------
+    # compiled step machinery
+    # ------------------------------------------------------------------
+    def _build_segment_fn(self, nsteps, store_last):
+        """Compile a segment of ``nsteps`` sampler steps as one lax.scan.
+
+        Returns fn(key, state, time, move_acc, move_nprop, rj_acc, rj_nprop)
+        -> (state, time, counters..., accepted_last, rj_accepted_last,
+            swaps_last)
+        """
+        ctx = self.get_eval_context()
+        moves = self.moves
+        weights = jnp.log(jnp.asarray(self.weights, dtype=self.dtype))
+        rj_moves = self.rj_moves
+        rj_weights = (
+            jnp.log(jnp.asarray(self.rj_weights, dtype=self.dtype))
+            if rj_moves
+            else None
+        )
+        num_repeats = self.num_repeats_in_model
+        num_repeats_rj = self.num_repeats_rj
+        nt, nw = self.ntemps, self.nwalkers
+
+        def dispatch(key, state, time, move_list, log_w, counters, nprop):
+            key, k_idx, k_move = jax.random.split(key, 3)
+            if len(move_list) == 1:
+                state, acc, swaps, time = move_list[0].propose_kernel(
+                    k_move, state, time, ctx
+                )
+                counters = counters.at[0].add(acc)
+                nprop = nprop.at[0].add(1.0)
+            else:
+                idx = jax.random.categorical(k_idx, log_w)
+                branches = [
+                    (lambda k, s, t, _m=m: _m.propose_kernel(k, s, t, ctx))
+                    for m in move_list
+                ]
+                state, acc, swaps, time = jax.lax.switch(
+                    idx, branches, k_move, state, time
+                )
+                counters = counters.at[idx].add(acc)
+                nprop = nprop.at[idx].add(1.0)
+            return key, state, time, acc, swaps, counters, nprop
+
+        def one_step(carry, _):
+            key, state, time, m_acc, m_np, rj_acc_c, rj_np = carry
+            accepted = jnp.zeros((nt, nw), dtype=self.dtype)
+            swaps = jnp.zeros((max(nt - 1, 0),), dtype=self.dtype)
+            for _r in range(num_repeats):
+                key, state, time, acc, swaps, m_acc, m_np = dispatch(
+                    key, state, time, moves, weights, m_acc, m_np
+                )
+                accepted = accepted + acc
+            if rj_moves:
+                rj_accepted = jnp.zeros((nt, nw), dtype=self.dtype)
+                for _r in range(num_repeats_rj):
+                    key, state, time, racc, _rswaps, rj_acc_c, rj_np = dispatch(
+                        key, state, time, rj_moves, rj_weights, rj_acc_c, rj_np
+                    )
+                    rj_accepted = rj_accepted + racc
+            else:
+                rj_accepted = jnp.zeros((0, 0), dtype=self.dtype)
+            new_carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
+            return new_carry, (accepted, rj_accepted, swaps)
+
+        def segment(key, state, time, m_acc, m_np, rj_acc_c, rj_np):
+            carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
+            carry, outs = jax.lax.scan(one_step, carry, None, length=nsteps)
+            key, state, time, m_acc, m_np, rj_acc_c, rj_np = carry
+            accepted, rj_accepted, swaps = outs
+            return (
+                key,
+                state,
+                time,
+                m_acc,
+                m_np,
+                rj_acc_c,
+                rj_np,
+                accepted[-1],
+                rj_accepted[-1],
+                swaps[-1] if nt > 1 else swaps[-1],
+            )
+
+        return jax.jit(segment)
+
+    def _get_segment_fn(self, nsteps):
+        fn = self._step_cache.get(nsteps)
+        if fn is None:
+            fn = self._build_segment_fn(nsteps, True)
+            self._step_cache[nsteps] = fn
+        return fn
+
+    def _run_segment(self, state, nsteps):
+        """Run ``nsteps`` compiled steps; returns (state, accepted_last,
+        rj_accepted_last, swaps_last)."""
+        tc = self.temperature_control
+        time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
+        fn = self._get_segment_fn(nsteps)
+        (
+            self._key,
+            state,
+            time,
+            m_acc,
+            m_np,
+            rj_acc,
+            rj_np,
+            accepted,
+            rj_accepted,
+            swaps,
+        ) = fn(
+            self._key,
+            state,
+            time,
+            jnp.asarray(self._move_accepted, dtype=self.dtype),
+            jnp.asarray(self._move_nprop, dtype=self.dtype),
+            jnp.asarray(self._rj_move_accepted, dtype=self.dtype),
+            jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
+        )
+        # sync host mirrors
+        self._move_accepted = np.asarray(m_acc)
+        self._move_nprop = np.asarray(m_np)
+        self._rj_move_accepted = np.asarray(rj_acc)
+        self._rj_move_nprop = np.asarray(rj_np)
+        for i, move in enumerate(self.moves):
+            move.accepted = self._move_accepted[i]
+            move.num_proposals = int(self._move_nprop[i])
+        for i, move in enumerate(self.rj_moves):
+            move.accepted = self._rj_move_accepted[i]
+            move.num_proposals = int(self._rj_move_nprop[i])
+        if tc is not None:
+            tc.time = int(time)
+            tc.betas = np.asarray(state.betas)
+            tc.swaps_accepted = np.asarray(swaps)
+        return state, np.asarray(accepted), np.asarray(rj_accepted), np.asarray(swaps)
+
+    # ------------------------------------------------------------------
+    # sampling loop (ref ensemble.py:808-1125)
+    # ------------------------------------------------------------------
+    def _setup_state(self, initial_state, skip_initial_state_check=False):
+        if initial_state is None:
+            if self._previous_state is None:
+                raise ValueError(
+                    "Cannot have initial_state=None if run_mcmc has never "
+                    "been called."
+                )
+            state = self._previous_state
+        else:
+            state = (
+                initial_state
+                if isinstance(initial_state, State)
+                else State(initial_state)
+            )
+            state = State(state)
+
+        # normalize branch coordinate arrays / dtypes / temps
+        coords = {}
+        inds = {}
+        for name in self.branch_names:
+            b = state.branches[name]
+            c = jnp.asarray(b.coords, dtype=self.dtype)
+            m = b.inds
+            if c.shape[0] == 1 and self.ntemps > 1:
+                c = jnp.tile(c, (self.ntemps, 1, 1, 1))
+                m = jnp.tile(m, (self.ntemps, 1, 1))
+            if c.shape != self.shape[name]:
+                raise ValueError(
+                    f"Branch {name} coords shape {c.shape} does not match "
+                    f"expected {self.shape[name]}."
+                )
+            coords[name] = c
+            inds[name] = m
+
+        betas = state.betas
+        if self.temperature_control is not None:
+            if betas is None:
+                betas = jnp.asarray(self.temperature_control.betas, dtype=self.dtype)
+            else:
+                self.temperature_control.betas = np.asarray(betas)
+                betas = jnp.asarray(betas, dtype=self.dtype)
+        else:
+            betas = jnp.ones((1,), dtype=self.dtype)
+
+        log_prior = state.log_prior
+        log_like = state.log_like
+        if log_prior is None:
+            log_prior = self._prior_eval(coords, inds)
+        else:
+            log_prior = jnp.asarray(log_prior, dtype=self.dtype).reshape(
+                self.ntemps, self.nwalkers
+            )
+        if log_like is None:
+            log_like, _ = self._like_eval(coords, inds, log_prior)
+        else:
+            log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
+                self.ntemps, self.nwalkers
+            )
+
+        if not skip_initial_state_check:
+            ll = np.asarray(log_like)
+            lp = np.asarray(log_prior)
+            if np.any(np.isnan(ll)):
+                raise ValueError("The initial log_like was NaN.")
+            if np.any(np.isnan(lp)) or np.all(np.isinf(lp)):
+                raise ValueError("The initial log_prior was NaN or all -inf.")
+
+        return State(
+            coords,
+            inds=inds,
+            log_like=log_like,
+            log_prior=log_prior,
+            betas=betas,
+            blobs=state.blobs,
+            random_state=None,
+        )
+
+    def sample(
+        self,
+        initial_state,
+        iterations=1,
+        tune=False,
+        skip_initial_state_check=True,
+        thin_by=1,
+        store=True,
+        progress=False,
+    ):
+        """Generator yielding the state every ``thin_by`` compiled steps
+        (ref ``ensemble.py:808-1045``)."""
+        if iterations is None and store:
+            raise ValueError("Cannot have iterations be None if store == True.")
+
+        thin_by = int(thin_by)
+        if thin_by <= 0:
+            raise ValueError("thin_by must be a positive integer.")
+
+        state = self._setup_state(initial_state, skip_initial_state_check)
+
+        if store:
+            self.backend.grow(iterations, state.blobs)
+
+        total = None if iterations is None else iterations * thin_by
+        with get_progress_bar(progress, total) as pbar:
+            iterator = count() if iterations is None else range(iterations)
+            for _ in iterator:
+                state, accepted, rj_accepted, swaps = self._run_segment(
+                    state, thin_by
+                )
+                if store:
+                    if self.track_moves:
+                        moves_accepted_fraction = {
+                            key_name: move.acceptance_fraction
+                            for key_name, move in self.all_moves.items()
+                        }
+                    else:
+                        moves_accepted_fraction = None
+                    self.backend.save_step(
+                        state,
+                        accepted,
+                        rj_accepted=rj_accepted if self.has_reversible_jump else None,
+                        swaps_accepted=swaps if self.ntemps > 1 else None,
+                        moves_accepted_fraction=moves_accepted_fraction,
+                    )
+                pbar.update(thin_by)
+                self._previous_state = state
+                yield state
+
+    def run_mcmc(
+        self,
+        initial_state,
+        nsteps,
+        burn=None,
+        post_burn_update=False,
+        thin_by=1,
+        **kwargs,
+    ):
+        """Run the chain (ref ``ensemble.py:1047-1125``)."""
+        if initial_state is None:
+            if self._previous_state is None:
+                raise ValueError(
+                    "Cannot have initial_state=None if run_mcmc has never "
+                    "been called."
+                )
+            initial_state = self._previous_state
+
+        state = self._setup_state(initial_state)
+
+        # burn-in: one compiled scan, nothing stored
+        if burn is not None and burn > 0:
+            burn_steps = int(burn) * int(thin_by)
+            # chunk to bound compile size / host sync
+            chunk = 100
+            done = 0
+            while done < burn_steps:
+                n = min(chunk, burn_steps - done)
+                state, *_ = self._run_segment(state, n)
+                done += n
+            if post_burn_update and self.update_fn is not None:
+                self.update_fn(0, state, self)
+
+        results = None
+        i = 0
+        for results in self.sample(state, iterations=nsteps, thin_by=thin_by, **kwargs):
+            i += 1
+            if (
+                self.plot_iterations > 0
+                and self.plot_generator is not None
+                and (i % self.plot_iterations) == 0
+            ):
+                self.plot_generator.generate_plot_info(burn=0, thin=1)
+            if (
+                self.stopping_iterations > 0
+                and self.stopping_fn is not None
+                and (i % self.stopping_iterations) == 0
+            ):
+                stop = self.stopping_fn(i, results, self)
+                if stop:
+                    break
+
+            if (
+                self.update_iterations > 0
+                and self.update_fn is not None
+                and (i % self.update_iterations) == 0
+            ):
+                self.update_fn(i, results, self)
+
+        self._previous_state = results
+        return results
+
+    # ------------------------------------------------------------------
+    # acceptance / passthrough properties (ref ensemble.py:1547-1620)
+    # ------------------------------------------------------------------
+    @property
+    def acceptance_fraction(self):
+        return self.backend.accepted / float(self.backend.iteration)
+
+    @property
+    def rj_acceptance_fraction(self):
+        if not self.has_reversible_jump:
+            return None
+        return self.backend.rj_accepted / float(self.backend.iteration)
+
+    @property
+    def swap_acceptance_fraction(self):
+        if self.ntemps == 1:
+            return None
+        return self.backend.swaps_accepted / float(
+            self.backend.iteration * self.nwalkers
+        )
+
+    def get_chain(self, **kwargs):
+        return self.backend.get_chain(**kwargs)
+
+    def get_blobs(self, **kwargs):
+        return self.backend.get_blobs(**kwargs)
+
+    def get_log_like(self, **kwargs):
+        return self.backend.get_log_like(**kwargs)
+
+    def get_log_prior(self, **kwargs):
+        return self.backend.get_log_prior(**kwargs)
+
+    def get_log_posterior(self, **kwargs):
+        return self.backend.get_log_posterior(**kwargs)
+
+    def get_inds(self, **kwargs):
+        return self.backend.get_inds(**kwargs)
+
+    def get_nleaves(self, **kwargs):
+        return self.backend.get_nleaves(**kwargs)
+
+    def get_betas(self, **kwargs):
+        return self.backend.get_betas(**kwargs)
+
+    def get_value(self, name, **kwargs):
+        return self.backend.get_value(name, **kwargs)
+
+    def get_autocorr_time(self, **kwargs):
+        return self.backend.get_autocorr_time(**kwargs)
+
+    def get_last_sample(self, **kwargs):
+        return self.backend.get_last_sample(**kwargs)

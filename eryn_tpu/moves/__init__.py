@@ -1,0 +1,69 @@
+"""Proposal ("move") zoo (re-design of ``/root/reference/src/eryn/moves/``)."""
+
+from .move import Move, EvalContext
+from .red_blue import RedBlueMove
+from .stretch import StretchMove
+from .tempering import TemperatureControl, make_ladder
+
+__all__ = [
+    "Move",
+    "EvalContext",
+    "RedBlueMove",
+    "StretchMove",
+    "TemperatureControl",
+    "make_ladder",
+]
+
+# moves added in later construction stages register themselves here
+try:  # pragma: no cover - staged build
+    from .mh import MHMove
+    from .gaussian import GaussianMove
+    from .distgen import DistributionGenerate
+
+    __all__ += ["MHMove", "GaussianMove", "DistributionGenerate"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .rj import ReversibleJumpMove
+    from .distgenrj import DistributionGenerateRJ
+
+    __all__ += ["ReversibleJumpMove", "DistributionGenerateRJ"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .group import GroupMove
+    from .groupstretch import GroupStretchMove
+
+    __all__ += ["GroupMove", "GroupStretchMove"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .combine import CombineMove
+
+    __all__ += ["CombineMove"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .multipletry import MultipleTryMove, MultipleTryMoveRJ
+    from .mtdistgen import MTDistGenMove
+    from .mtdistgenrj import MTDistGenMoveRJ
+
+    __all__ += [
+        "MultipleTryMove",
+        "MultipleTryMoveRJ",
+        "MTDistGenMove",
+        "MTDistGenMoveRJ",
+    ]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .delayedrejection import DelayedRejection
+
+    __all__ += ["DelayedRejection"]
+except ImportError:  # pragma: no cover
+    pass

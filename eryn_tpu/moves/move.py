@@ -1,0 +1,213 @@
+"""Move base class and proposal evaluation context.
+
+TPU-native re-design of ``/root/reference/src/eryn/moves/move.py:16-703``.
+The reference ``Move`` mixes configuration, mutable counters, and array
+mutation helpers; here each move is a *static configuration shell* whose
+:meth:`propose_kernel` is a pure traced function
+
+    ``(key, state, time, ctx) -> (state, accepted, swaps_accepted, time)``
+
+suitable for ``lax.switch`` dispatch inside one jitted sampler step.  The
+accepted-merge machinery of the reference (``move.py:472-703``, take/put_along
+-axis over every state field) becomes functional ``where``/scatter updates in
+each concrete move.
+
+Host-facing compatibility: moves still expose ``propose(model, state)``,
+acceptance-fraction counters, and the ``temperature_control`` /
+``periodic`` injection points the reference sampler uses
+(``ensemble.py:516-536``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .tempering import tempered_log_likelihood
+
+__all__ = ["Move", "EvalContext", "mh_accept"]
+
+
+class EvalContext(NamedTuple):
+    """Capability bundle handed to every move kernel.
+
+    The traced analogue of the reference ``Model`` namedtuple
+    (``/root/reference/src/eryn/model.py:8-18``).
+
+    Attributes:
+        compute_log_prior: ``(coords_dict, inds_dict) -> (ntemps, n)`` traced.
+        compute_log_like: ``(coords_dict, inds_dict, logp) -> (logl, blobs)``
+            traced; ``logp`` is used to guard evaluation outside the prior
+            support (ref ``ensemble.py:1264-1292``).
+        tempering: :class:`eryn_tpu.moves.tempering.TemperatureControl` or None.
+        periodic: :class:`eryn_tpu.utils.periodic.PeriodicContainer` or None.
+        prior_containers: ``{branch: ProbDistContainer}`` (for distribution
+            draws / RJ births inside kernels).
+    """
+
+    compute_log_prior: Callable
+    compute_log_like: Callable
+    tempering: Optional[object]
+    periodic: Optional[object]
+    prior_containers: Optional[dict] = None
+
+
+def mh_accept(key, factors, logP_new, logP_old, dtype=None):
+    """Vectorized Metropolis-Hastings acceptance.
+
+    ``lnpdiff = factors + logP_new - logP_old``; accept where
+    ``lnpdiff > log U`` (ref ``red_blue.py:283-303``).  NaN-safe: a NaN
+    ``lnpdiff`` (e.g. ``-inf - -inf``) never accepts.
+    """
+    u = jax.random.uniform(key, logP_new.shape, dtype=dtype or logP_new.dtype)
+    lnpdiff = factors + logP_new - logP_old
+    return lnpdiff > jnp.log(u)
+
+
+class Move:
+    """Base class for proposals.
+
+    Subclasses implement ``_propose_impl(key, state, ctx) ->
+    (state, accepted)``; the base class appends the tempering epilogue the
+    reference runs at the end of every ``propose``
+    (``red_blue.py:329-331``, ``mh.py`` tail, ``rj.py:381-382``).
+    """
+
+    #: reversible-jump moves skip ladder adaptation (ref ``rj.py:381-382``)
+    adapt_temps = True
+    #: marks trans-dimensional moves (sampler schedules them separately)
+    is_rj = False
+
+    def __init__(
+        self,
+        temperature_control=None,
+        periodic=None,
+        gibbs_sampling_setup=None,
+        prevent_swaps=False,
+        skip_supp_names_update=(),
+        proposal_branch_names=None,
+        **kwargs,
+    ):
+        self.temperature_control = temperature_control
+        self.periodic = periodic
+        self.gibbs_sampling_setup = gibbs_sampling_setup
+        self.prevent_swaps = prevent_swaps
+        self.skip_supp_names_update = list(skip_supp_names_update)
+        self.proposal_branch_names = proposal_branch_names
+
+        # host-side counters (mirrors ``move.py:404-421``); synced from the
+        # device carry by the sampler at segment boundaries.
+        self.accepted = None
+        self.num_proposals = 0
+        self.time = 0
+
+    # ------------------------------------------------------------------
+    # configuration helpers
+    # ------------------------------------------------------------------
+    @property
+    def accepted_hist(self):
+        return self.accepted
+
+    @property
+    def acceptance_fraction(self):
+        """Ref ``move.py:418-421``."""
+        if self.accepted is None or self.num_proposals == 0:
+            return None
+        return np.asarray(self.accepted) / self.num_proposals
+
+    def run_branches(self, state):
+        """Branch names this move proposes on (all by default)."""
+        if self.proposal_branch_names is not None:
+            names = self.proposal_branch_names
+            if isinstance(names, str):
+                names = [names]
+            return [n for n in state.branches if n in names]
+        return list(state.branches.keys())
+
+    def tune(self, state, accepted):
+        """Hook for acceptance-targeted tuning (ref ``move.py:459``)."""
+        pass
+
+    # ------------------------------------------------------------------
+    # kernel interface
+    # ------------------------------------------------------------------
+    def _propose_impl(self, key, state, ctx):
+        raise NotImplementedError
+
+    def propose_kernel(self, key, state, time, ctx: EvalContext):
+        """Pure traced proposal + tempering epilogue.
+
+        Returns ``(state, accepted, swaps_accepted, time)`` where ``accepted``
+        is a ``(ntemps, nwalkers)`` float array of per-walker accept flags and
+        ``swaps_accepted`` is ``(ntemps - 1,)``.
+        """
+        key, k_prop, k_temp = jax.random.split(key, 3)
+        state, accepted = self._propose_impl(k_prop, state, ctx)
+        ntemps = state.log_like.shape[0]
+        if (
+            ctx.tempering is not None
+            and ntemps > 1
+            and not self.prevent_swaps
+        ):
+            state, swaps_accepted, time = ctx.tempering.temper_kernel(
+                k_temp, state, time, adapt=self.adapt_temps
+            )
+        else:
+            swaps_accepted = jnp.zeros(
+                (max(ntemps - 1, 0),), dtype=state.log_like.dtype
+            )
+        return state, accepted.astype(state.log_like.dtype), swaps_accepted, time
+
+    # ------------------------------------------------------------------
+    # host-facing Eryn-compatible API
+    # ------------------------------------------------------------------
+    def propose(self, model, state):
+        """Eryn-compatible host entry point (ref ``move.py:16``).
+
+        ``model`` is the sampler's :class:`eryn_tpu.model.Model` carrier; the
+        proposal itself runs as one jitted kernel.
+        """
+        ctx = model.get_eval_context()
+        key, subkey = jax.random.split(model.current_key())
+        time = jnp.asarray(
+            getattr(model.temperature_control, "time", 0) or 0, dtype=jnp.int32
+        )
+        state, accepted, swaps_accepted, _ = self.propose_kernel(
+            subkey, state, time, ctx
+        )
+        model.set_key(key)
+        if model.temperature_control is not None:
+            model.temperature_control.swaps_accepted = np.asarray(swaps_accepted)
+            if self.adapt_temps and model.temperature_control.adaptive:
+                model.temperature_control.time += 1
+                model.temperature_control.betas = np.asarray(state.betas)
+        accepted_np = np.asarray(accepted)
+        if self.accepted is None:
+            self.accepted = np.zeros_like(accepted_np)
+        self.accepted = self.accepted + accepted_np
+        self.num_proposals += 1
+        return state, accepted_np
+
+    # compatibility no-ops -------------------------------------------------
+    def compute_log_posterior_tempered(self, logl, logp, betas=None):
+        if self.temperature_control is not None:
+            return self.temperature_control.compute_log_posterior_tempered(
+                logl, logp, betas=betas
+            )
+        return jnp.asarray(logl) + jnp.asarray(logp)
+
+
+def active_ndim(state, names=None):
+    """Per-walker active dimensionality: ``sum_b nleaves_b * ndim_b`` from the
+    leaf masks — the RJ-aware dimension count used in detailed-balance factors
+    (ref ``red_blue.py:199-207``)."""
+    names = names or list(state.branches.keys())
+    total = 0
+    for name in names:
+        b = state.branches[name]
+        total = total + b.inds.sum(axis=-1) * b.ndim
+    return total

@@ -1,0 +1,316 @@
+"""Parallel-tempering engine: temperature ladder, swaps, and adaptation.
+
+TPU-native re-design of ``/root/reference/src/eryn/moves/tempering.py:10-649``
+(itself ptemcee-derived).  The reference implements the swap cascade as a
+sequential Python loop with in-place NumPy scatters; here the whole cascade is
+one traced function: each rung is a vectorized permuted compare-and-swap over
+the walker axis, unrolled over the (static, small) number of rungs so XLA can
+fuse the gathers/scatters, and ladder adaptation is pure arithmetic on the
+``betas`` carry so the entire PT epilogue lives inside ``jit``/``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TemperatureControl", "make_ladder"]
+
+
+# Geometric temperature-step table indexed by dimension, targeting a 25%
+# swap-acceptance ratio for a Gaussian posterior.  These are published
+# algorithmic constants from ptemcee (github.com/willvousden/ptemcee), also
+# used by the reference (``tempering.py:58-160``).
+_TSTEP_TABLE = np.array([
+    25.2741, 7.0, 4.47502, 3.5236, 3.0232, 2.71225, 2.49879, 2.34226, 2.22198,
+    2.12628, 2.04807, 1.98276, 1.92728, 1.87946, 1.83774, 1.80096, 1.76826,
+    1.73895, 1.7125, 1.68849, 1.66657, 1.64647, 1.62795, 1.61083, 1.59494,
+    1.58014, 1.56632, 1.55338, 1.54123, 1.5298, 1.51901, 1.50881, 1.49916,
+    1.49, 1.4813, 1.47302, 1.46512, 1.45759, 1.45039, 1.4435, 1.4369, 1.43056,
+    1.42448, 1.41864, 1.41302, 1.40761, 1.40239, 1.39736, 1.3925, 1.38781,
+    1.38327, 1.37888, 1.37463, 1.37051, 1.36652, 1.36265, 1.35889, 1.35524,
+    1.3517, 1.34825, 1.3449, 1.34164, 1.33847, 1.33538, 1.33236, 1.32943,
+    1.32656, 1.32377, 1.32104, 1.31838, 1.31578, 1.31325, 1.31076, 1.30834,
+    1.30596, 1.30364, 1.30137, 1.29915, 1.29697, 1.29484, 1.29275, 1.29071,
+    1.2887, 1.28673, 1.2848, 1.28291, 1.28106, 1.27923, 1.27745, 1.27569,
+    1.27397, 1.27227, 1.27061, 1.26898, 1.26737, 1.26579, 1.26424, 1.26271,
+    1.26121, 1.25973,
+])
+
+
+def make_ladder(ndim, ntemps=None, Tmax=None):
+    """Build a geometric inverse-temperature ladder.
+
+    Same selection algorithm as the reference (``tempering.py:10-197``,
+    originally ptemcee): 25%-swap-acceptance geometric spacing by dimension,
+    with optional ``Tmax=inf`` appending a beta=0 rung.
+    """
+    if not isinstance(ndim, (int, np.integer)) or ndim < 1:
+        raise ValueError("Invalid number of dimensions specified.")
+    if ntemps is None and Tmax is None:
+        raise ValueError("Must specify one of ``ntemps`` and ``Tmax``.")
+    if Tmax is not None and Tmax <= 1:
+        raise ValueError("``Tmax`` must be greater than 1.")
+    if ntemps is not None and (
+        not isinstance(ntemps, (int, np.integer)) or ntemps < 1
+    ):
+        raise ValueError("Invalid number of temperatures specified.")
+
+    if ndim > _TSTEP_TABLE.shape[0]:
+        # large-dimension asymptotic approximation
+        tstep = 1.0 + 2.0 * np.sqrt(np.log(4.0)) / np.sqrt(ndim)
+    else:
+        tstep = _TSTEP_TABLE[ndim - 1]
+
+    append_inf = False
+    if Tmax == np.inf:
+        append_inf = True
+        Tmax = None
+        ntemps = ntemps - 1
+
+    if ntemps is not None:
+        if Tmax is None:
+            Tmax = tstep ** (ntemps - 1)
+    else:
+        if Tmax is None:
+            raise ValueError("Must specify at least one of ntemps and finite Tmax.")
+        ntemps = int(np.log(Tmax) / np.log(tstep) + 2)
+
+    betas = np.logspace(0, -np.log10(Tmax), ntemps)
+    if append_inf:
+        betas = np.concatenate((betas, [0.0]))
+    return betas
+
+
+def tempered_log_likelihood(logl, betas):
+    """beta * logl with the ptemcee beta==0 singularity guard
+    (ref ``tempering.py:308-349``): anywhere ``beta*logl`` is NaN
+    (``0 * -inf``), return ``-inf``."""
+    logl = jnp.asarray(logl)
+    betas = jnp.asarray(betas)
+    if logl.ndim == 2 and betas.ndim == 1:
+        betas = betas[:, None]
+    out = logl * betas
+    return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+
+def _swap_rows(x, i, iperm, i1perm, sel):
+    """Exchange entries ``x[i, iperm[w]] <-> x[i-1, i1perm[w]]`` where
+    ``sel[w]``; vectorized compare-and-swap over the walker axis."""
+    sel_b = sel.reshape(sel.shape + (1,) * (x.ndim - 2))
+    xi = x[i][iperm]
+    xi1 = x[i - 1][i1perm]
+    new_i = jnp.where(sel_b, xi1, xi)
+    new_i1 = jnp.where(sel_b, xi, xi1)
+    x = x.at[i, iperm].set(new_i)
+    x = x.at[i - 1, i1perm].set(new_i1)
+    return x
+
+
+class TemperatureControl:
+    """PT configuration + traced swap/adaptation kernels.
+
+    Host-visible attributes (``betas``, ``time``, ``swaps_accepted``,
+    ``swaps_proposed``) mirror the reference object
+    (``tempering.py:200-282``); the sampler syncs them from device carries at
+    segment boundaries.  The device-side entry point is
+    :meth:`temper_kernel`, the traced analogue of ``temper_comps``
+    (``tempering.py:598-649``).
+    """
+
+    def __init__(
+        self,
+        effective_ndim=None,
+        nwalkers=None,
+        ntemps=1,
+        betas=None,
+        Tmax=None,
+        adaptive=True,
+        adaptation_lag=10000,
+        adaptation_time=100,
+        stop_adaptation=-1,
+        permute=True,
+        skip_swap_supp_names=(),
+    ):
+        if betas is None:
+            if ntemps == 1:
+                betas = np.array([1.0])
+            else:
+                betas = make_ladder(effective_ndim, ntemps=ntemps, Tmax=Tmax)
+        betas = np.asarray(betas, dtype=np.float64)
+
+        self.nwalkers = nwalkers
+        self.betas = betas
+        self.ntemps = ntemps = len(betas)
+        self.permute = permute
+        self.skip_swap_supp_names = list(skip_swap_supp_names)
+
+        self.time = 0
+        self.adaptive = adaptive
+        self.adaptation_time = adaptation_time
+        self.adaptation_lag = adaptation_lag
+        self.stop_adaptation = stop_adaptation
+
+        self.swaps_proposed = np.full(ntemps - 1, nwalkers)
+        self.swaps_accepted = np.zeros(ntemps - 1)
+
+    # ------------------------------------------------------------------
+    # host-compatible helpers (reference API surface)
+    # ------------------------------------------------------------------
+    def tempered_likelihood(self, logl, betas=None):
+        """Ref ``tempering.py:308-349``."""
+        if betas is None:
+            if jnp.asarray(logl).ndim == 1:
+                raise ValueError(
+                    "If inputing a 1D logl array, need to provide 1D betas "
+                    "array of the same length."
+                )
+            betas = self.betas
+        return tempered_log_likelihood(logl, betas)
+
+    def compute_log_posterior_tempered(self, logl, logp, betas=None):
+        """Ref ``tempering.py:284-306``."""
+        if betas is None:
+            betas = self.betas
+        return tempered_log_likelihood(logl, betas) + jnp.asarray(logp)
+
+    # ------------------------------------------------------------------
+    # traced kernels
+    # ------------------------------------------------------------------
+    def swap_kernel(self, key, swap_tree, logl, betas):
+        """One full swap cascade, highest -> lowest rung
+        (ref ``tempering.py:484-561``).
+
+        Args:
+            key: PRNG key.
+            swap_tree: pytree of arrays with leading ``(ntemps, nwalkers)``
+                dims to be exchanged alongside ``logl`` (coords, inds,
+                log_prior, blobs, supplementals).
+            logl: ``(ntemps, nwalkers)`` log-likelihoods (drives acceptance
+                and is itself swapped).
+
+        Returns:
+            ``(swap_tree, logl, swaps_accepted)`` with ``swaps_accepted``
+            shaped ``(ntemps - 1,)``.
+        """
+        ntemps, nwalkers = logl.shape
+        swaps_accepted = jnp.zeros((max(ntemps - 1, 0),), dtype=logl.dtype)
+
+        for i in range(ntemps - 1, 0, -1):
+            key, kperm_i, kperm_i1, kacc = jax.random.split(key, 4)
+            dbeta = betas[i - 1] - betas[i]
+            if self.permute:
+                iperm = jax.random.permutation(kperm_i, nwalkers)
+                i1perm = jax.random.permutation(kperm_i1, nwalkers)
+            else:
+                iperm = jnp.arange(nwalkers)
+                i1perm = jnp.arange(nwalkers)
+
+            raccept = jnp.log(jax.random.uniform(kacc, (nwalkers,), dtype=logl.dtype))
+            paccept = dbeta * (logl[i, iperm] - logl[i - 1, i1perm])
+            sel = paccept > raccept
+            swaps_accepted = swaps_accepted.at[i - 1].set(sel.sum().astype(logl.dtype))
+
+            logl = _swap_rows(logl, i, iperm, i1perm, sel)
+            swap_tree = jax.tree_util.tree_map(
+                lambda x: _swap_rows(x, i, iperm, i1perm, sel), swap_tree
+            )
+        return swap_tree, logl, swaps_accepted
+
+    def ladder_adjustment_kernel(self, time, betas, ratios):
+        """Traced ladder adjustment per arXiv:1501.05823
+        (ref ``tempering.py:563-585``)."""
+        decay = self.adaptation_lag / (time + self.adaptation_lag)
+        kappa = decay / self.adaptation_time
+        dSs = kappa * (ratios[:-1] - ratios[1:])
+        deltaTs = jnp.diff(1.0 / betas[:-1]) * jnp.exp(dSs)
+        new_mid = 1.0 / (jnp.cumsum(deltaTs) + 1.0 / betas[0])
+        return betas.at[1:-1].set(new_mid)
+
+    def temper_kernel(self, key, state, time, adapt=True):
+        """Traced analogue of ``temper_comps`` (ref ``tempering.py:598-649``):
+        swap cascade, then (optionally) ladder adaptation.
+
+        Args:
+            key: PRNG key.
+            state: :class:`eryn_tpu.state.State`.
+            time: traced int32 adaptation counter (the reference keeps this as
+                mutable object state; it lives in the scan carry here).
+            adapt: static bool — in-model moves adapt the ladder, reversible
+                jump moves do not (ref ``rj.py:381-382``).
+
+        Returns:
+            ``(state, swaps_accepted, time)``.
+        """
+        ntemps, nwalkers = state.log_like.shape
+        if ntemps == 1:
+            return state, jnp.zeros((0,), dtype=state.log_like.dtype), time
+
+        swap_tree = {
+            "coords": state.branches_coords,
+            "inds": state.branches_inds,
+            "log_prior": state.log_prior,
+        }
+        if state.blobs is not None:
+            swap_tree["blobs"] = state.blobs
+        if state.supplemental is not None:
+            supp = state.supplemental
+            swap_tree["supps"] = {
+                name: arr
+                for name, arr in supp.holder.items()
+                if name not in self.skip_swap_supp_names
+            }
+
+        swap_tree, logl, swaps_accepted = self.swap_kernel(
+            key, swap_tree, state.log_like, state.betas
+        )
+
+        betas = state.betas
+        if adapt and self.adaptive and ntemps > 1:
+            ratios = swaps_accepted / nwalkers
+            new_betas = self.ladder_adjustment_kernel(
+                time.astype(betas.dtype), betas, ratios
+            )
+            if self.stop_adaptation >= 0:
+                keep_adapting = time < self.stop_adaptation
+                betas = jnp.where(keep_adapting, new_betas, betas)
+            else:
+                betas = new_betas
+            time = time + 1
+
+        supplemental = state.supplemental
+        if supplemental is not None:
+            new_holder = dict(supplemental.holder)
+            new_holder.update(swap_tree.get("supps", {}))
+            from ..state import BranchSupplemental
+
+            supplemental = BranchSupplemental(
+                new_holder, base_shape=supplemental.base_shape
+            )
+
+        new_state = state.replace(
+            coords=swap_tree["coords"],
+            inds=swap_tree["inds"],
+            log_like=logl,
+            log_prior=swap_tree["log_prior"],
+            blobs=swap_tree.get("blobs", state.blobs),
+            betas=betas,
+            supplemental=supplemental,
+        )
+        return new_state, swaps_accepted, time
+
+    # host-side convenience mirroring reference mutation-style API ------
+    def adapt_temps(self):
+        """Host-side ladder adaptation (reference-compatible mutation API,
+        ref ``tempering.py:587-596``)."""
+        ratios = self.swaps_accepted / self.swaps_proposed
+        if self.adaptive and self.ntemps > 1:
+            if self.stop_adaptation < 0 or self.time < self.stop_adaptation:
+                betas = jnp.asarray(self.betas)
+                new_betas = self.ladder_adjustment_kernel(
+                    float(self.time), betas, jnp.asarray(ratios)
+                )
+                self.betas = np.asarray(new_betas)
+            self.time += 1

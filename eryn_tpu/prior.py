@@ -1,0 +1,393 @@
+"""Prior distributions and the :class:`ProbDistContainer`.
+
+TPU-native re-design of ``/root/reference/src/eryn/prior.py:12-497``.  Every
+distribution exposes two sampling paths:
+
+* the Eryn-compatible host path ``rvs(size=...)`` (NumPy RNG, used for
+  initial-walker generation on the host), and
+* a keyed, traced path ``sample(key, shape)`` used *inside* jitted kernels
+  (reversible-jump birth draws, distribution-draw proposals) where the
+  reference calls ``rvs`` with global NumPy state
+  (``/root/reference/src/eryn/moves/distgenrj.py:196-221``).
+
+``logpdf`` is pure ``jax.numpy`` and batch-shaped, so priors vectorize over
+the whole ``(ntemps, nwalkers, nleaves_max)`` ensemble in one fused kernel
+instead of the reference's per-group Python loop
+(``/root/reference/src/eryn/prior.py:337-392``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "UniformDistribution",
+    "MappedUniformDistribution",
+    "LogUniformDistribution",
+    "NormalDistribution",
+    "MultivariateNormalDistribution",
+    "uniform_dist",
+    "log_uniform",
+    "normal_dist",
+    "mvn_dist",
+    "ProbDistContainer",
+]
+
+
+class JaxDistribution:
+    """Base class marking a distribution as JAX-traceable.
+
+    Subclasses implement ``logpdf`` (pure jnp, batched) and
+    ``sample(key, shape)`` (traced).  ``rvs(size=)`` gives Eryn-compatible
+    host sampling via NumPy.
+    """
+
+    #: number of parameters this distribution covers (1 for scalar dists)
+    ndim = 1
+    traceable = True
+
+    # host RNG for the compat path
+    _host_rng = np.random
+
+    def rvs(self, size=1):
+        if isinstance(size, int):
+            size = (size,)
+        elif not isinstance(size, tuple):
+            raise ValueError("size must be an integer or tuple of ints.")
+        key = jax.random.PRNGKey(int(self._host_rng.randint(0, 2**31 - 1)))
+        out = np.asarray(self.sample(key, size))
+        return out
+
+    def pdf(self, x):
+        return jnp.exp(self.logpdf(x))
+
+    def copy(self):
+        import copy as _copy
+
+        return _copy.deepcopy(self)
+
+
+class UniformDistribution(JaxDistribution):
+    """Uniform distribution on ``[min_val, max_val]``
+    (ref ``prior.py:12-112``)."""
+
+    def __init__(self, min_val, max_val, use_cupy=False, return_gpu=False):
+        # `use_cupy`/`return_gpu` accepted for API parity; arrays always live
+        # on the default JAX device.
+        if min_val > max_val:
+            min_val, max_val = max_val, min_val
+        elif min_val == max_val:
+            raise ValueError("Min and max values are the same.")
+        self.min_val = float(min_val)
+        self.max_val = float(max_val)
+        self.diff = self.max_val - self.min_val
+        self.pdf_val = 1.0 / self.diff
+        self.logpdf_val = float(np.log(self.pdf_val))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        in_range = (x >= self.min_val) & (x <= self.max_val)
+        return jnp.where(in_range, self.logpdf_val, -jnp.inf)
+
+    def pdf(self, x):
+        x = jnp.asarray(x)
+        in_range = (x >= self.min_val) & (x <= self.max_val)
+        return jnp.where(in_range, self.pdf_val, 0.0)
+
+    def ppf(self, q):
+        return self.min_val + jnp.asarray(q) * self.diff
+
+    def sample(self, key, shape=()):
+        return jax.random.uniform(
+            key, shape, minval=self.min_val, maxval=self.max_val
+        )
+
+
+class MappedUniformDistribution(JaxDistribution):
+    """Uniform distribution remapped so in-range logpdf is exactly 0
+    (ref ``prior.py:139-216``)."""
+
+    def __init__(self, min, max, use_cupy=False, return_gpu=False):
+        if min > max:
+            raise ValueError("min must be less than max.")
+        self.min, self.max = float(min), float(max)
+        self.diff = self.max - self.min
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        temp = 1.0 - (self.max - x) / self.diff
+        in_range = (temp >= 0.0) & (temp <= 1.0)
+        return jnp.where(in_range, 0.0, -jnp.inf)
+
+    def sample(self, key, shape=()):
+        temp = jax.random.uniform(key, shape)
+        return self.max + (temp - 1.0) * self.diff
+
+
+class LogUniformDistribution(JaxDistribution):
+    """Reciprocal (log-uniform) distribution on ``[min_val, max_val]``.
+
+    The reference returns ``scipy.stats.loguniform`` (``prior.py:115-136``);
+    this is the traced equivalent: pdf(x) = 1 / (x * log(max/min)).
+    """
+
+    def __init__(self, min_val, max_val):
+        if min_val > max_val:
+            min_val, max_val = max_val, min_val
+        if min_val <= 0:
+            raise ValueError("log-uniform requires positive support.")
+        self.min_val = float(min_val)
+        self.max_val = float(max_val)
+        self._log_ratio = float(np.log(self.max_val / self.min_val))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        in_range = (x >= self.min_val) & (x <= self.max_val)
+        val = -jnp.log(x) - self._log_ratio
+        return jnp.where(in_range, val, -jnp.inf)
+
+    def ppf(self, q):
+        return self.min_val * jnp.exp(jnp.asarray(q) * self._log_ratio)
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.ppf(u)
+
+
+class NormalDistribution(JaxDistribution):
+    """Scalar normal distribution (TPU-native extension; the reference relies
+    on ``scipy.stats.norm`` duck-typing)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = float(loc)
+        self.scale = float(scale)
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        z = (x - self.loc) / self.scale
+        return -0.5 * z * z - jnp.log(self.scale) - 0.5 * jnp.log(2 * jnp.pi)
+
+    def ppf(self, q):
+        from jax.scipy.stats import norm as _n  # noqa: F401
+
+        return self.loc + self.scale * jnp.sqrt(2.0) * jax.scipy.special.erfinv(
+            2.0 * jnp.asarray(q) - 1.0
+        )
+
+    def sample(self, key, shape=()):
+        return self.loc + self.scale * jax.random.normal(key, shape)
+
+
+class MultivariateNormalDistribution(JaxDistribution):
+    """Multivariate normal over a tuple prior key (the reference uses
+    ``scipy.stats.multivariate_normal``; see
+    ``/root/reference/tests/test_eryn.py:1235-1241``)."""
+
+    def __init__(self, mean, cov):
+        self.mean = jnp.asarray(mean, dtype=jnp.result_type(float))
+        cov = jnp.asarray(cov, dtype=self.mean.dtype)
+        if cov.ndim == 0:
+            cov = jnp.eye(self.mean.shape[0]) * cov
+        elif cov.ndim == 1:
+            cov = jnp.diag(cov)
+        self.cov = cov
+        self.ndim = self.mean.shape[0]
+        self._chol = jnp.linalg.cholesky(cov)
+        self._logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(self._chol)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        diff = x - self.mean
+        sol = jax.scipy.linalg.cho_solve((self._chol, True), diff[..., None])[..., 0]
+        maha = jnp.sum(diff * sol, axis=-1)
+        k = self.ndim
+        return -0.5 * (maha + k * jnp.log(2 * jnp.pi) + self._logdet)
+
+    def sample(self, key, shape=()):
+        z = jax.random.normal(key, tuple(shape) + (self.ndim,))
+        return self.mean + z @ self._chol.T
+
+
+def uniform_dist(min, max, use_cupy=False, return_gpu=False):
+    """Build a :class:`UniformDistribution` (ref ``prior.py:94-112``)."""
+    return UniformDistribution(min, max)
+
+
+def log_uniform(min, max):
+    """Build a log-uniform distribution (ref ``prior.py:115-136``)."""
+    return LogUniformDistribution(min, max)
+
+
+def normal_dist(loc=0.0, scale=1.0):
+    return NormalDistribution(loc, scale)
+
+
+def mvn_dist(mean, cov):
+    return MultivariateNormalDistribution(mean, cov)
+
+
+def _is_traceable(dist):
+    return getattr(dist, "traceable", False)
+
+
+class ProbDistContainer:
+    """Maps parameter indices (int, tuple-of-int, or named string keys) to
+    distributions; mirrors ``/root/reference/src/eryn/prior.py:219-497``.
+
+    Differences from the reference, by design:
+
+    * ``logpdf`` accepts *any* leading batch shape ``(..., ndim)`` and is pure
+      ``jax.numpy`` when every component distribution is traceable, so it can
+      be vmapped/jitted over the full ensemble.
+    * ``sample(key, shape)`` is the keyed, traced analogue of ``rvs``.
+    * SciPy distribution objects still work through the host paths
+      (``rvs``/``logpdf_host``); containers holding them report
+      ``traceable == False`` and the sampler falls back to a host callback.
+    """
+
+    def __init__(self, priors_in: dict, use_cupy=False, return_gpu=False):
+        self.priors_in = dict(priors_in)
+        self.priors = []
+
+        has_strings = False
+        has_ints = False
+        current_ind = 0
+        key_order = []
+
+        temp_inds = []
+        for inds, dist in priors_in.items():
+            if isinstance(inds, tuple):
+                inds_tmp = []
+                for i, sub in enumerate(inds):
+                    if isinstance(sub, str):
+                        assert not has_ints
+                        has_strings = True
+                        inds_tmp.append(current_ind)
+                        key_order.append(sub)
+                    elif isinstance(sub, int):
+                        assert not has_strings
+                        has_ints = True
+                        inds_tmp.append(sub)
+                    else:
+                        raise ValueError(
+                            "Index in tuple must be int or str and all be the "
+                            "same type."
+                        )
+                    current_ind += 1
+                inds_in = np.asarray(inds_tmp)
+                self.priors.append([inds_in, dist])
+            elif isinstance(inds, int):
+                has_ints = True
+                assert not has_strings
+                self.priors.append([np.array([inds]), dist])
+                current_ind += 1
+            elif isinstance(inds, str):
+                assert not has_ints
+                has_strings = True
+                key_order.append(inds)
+                self.priors.append([np.array([current_ind]), dist])
+                current_ind += 1
+            else:
+                raise ValueError(
+                    "Keys for prior dictionary must be an integer, string, or "
+                    "tuple."
+                )
+            temp_inds.append(np.asarray(self.priors[-1][0]))
+
+        self.has_strings = has_strings
+        self.has_ints = has_ints
+        if has_strings:
+            self.key_order = key_order
+        else:
+            self.key_order = list(range(current_ind))
+
+        uni_inds = np.unique(np.concatenate(temp_inds))
+        if len(uni_inds) != uni_inds.max() + 1:
+            raise ValueError(
+                "Please ensure all sampled parameters are included in priors."
+            )
+        self.ndim = int(uni_inds.max() + 1)
+        self.use_cupy = use_cupy
+
+    @property
+    def traceable(self):
+        return all(_is_traceable(d) for _, d in self.priors)
+
+    # ------------------------------------------------------------------
+    def logpdf(self, x, keys=None):
+        """Summed logpdf over component distributions.
+
+        Accepts ``x`` with any leading batch shape ``(..., ndim)``; fully
+        traced when all components are traceable (ref ``prior.py:337-392``).
+        """
+        x = jnp.asarray(x)
+        squeeze_scalar = x.ndim == 1
+        batch_shape = x.shape[:-1]
+        total = jnp.zeros(batch_shape, dtype=x.dtype)
+        for inds, dist in self.priors:
+            if keys is not None and not self._key_selected(inds, keys):
+                continue
+            vals_in = x[..., inds]
+            if len(inds) == 1:
+                vals_in = vals_in[..., 0]
+            fn = getattr(dist, "logpdf", None) or dist.logpmf
+            if _is_traceable(dist):
+                lp = fn(vals_in)
+            else:
+                # host-only distribution (e.g. scipy): not traceable
+                lp = jnp.asarray(np.asarray(fn(np.asarray(vals_in))))
+                lp = lp.reshape(batch_shape)
+            total = total + lp
+        if squeeze_scalar:
+            return total  # 0-d array; .item() on host if needed
+        return total
+
+    def _key_selected(self, inds, keys):
+        if len(inds) > 1:
+            return tuple(inds) in keys
+        return inds[0] in keys
+
+    def ppf(self, x, groups=None):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def rvs(self, size=1, keys=None):
+        """Host-side sampling with Eryn semantics (ref ``prior.py:432-497``)."""
+        if isinstance(size, int):
+            size = (size,)
+        elif not isinstance(size, tuple):
+            raise ValueError("Size must be int or tuple of ints.")
+        out = np.zeros(size + (self.ndim,))
+        for inds, dist in self.priors:
+            if keys is not None and not self._key_selected(inds, keys):
+                continue
+            if not hasattr(dist, "rvs"):
+                continue
+            vals = np.asarray(dist.rvs(size=size))
+            if len(inds) == 1:
+                out[..., inds[0]] = vals.reshape(size)
+            else:
+                out[..., inds] = vals.reshape(size + (len(inds),))
+        return out
+
+    def sample(self, key, shape=()):
+        """Keyed, traced sampling of the full parameter vector."""
+        if isinstance(shape, int):
+            shape = (shape,)
+        keys = jax.random.split(key, len(self.priors))
+        pieces = jnp.zeros(tuple(shape) + (self.ndim,))
+        for (inds, dist), k in zip(self.priors, keys):
+            if not _is_traceable(dist):
+                raise TypeError(
+                    f"Distribution for indices {inds} is not JAX-traceable; "
+                    "use .rvs on the host instead."
+                )
+            vals = dist.sample(k, tuple(shape))
+            if len(inds) == 1:
+                pieces = pieces.at[..., inds[0]].set(vals)
+            else:
+                pieces = pieces.at[..., jnp.asarray(inds)].set(vals)
+        return pieces

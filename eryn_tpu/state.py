@@ -1,0 +1,378 @@
+"""Ensemble state containers as JAX pytrees.
+
+TPU-native re-design of the reference state layer
+(``/root/reference/src/eryn/state.py:16-775``).  The reference keeps mutable
+NumPy/CuPy arrays inside plain Python objects; here every container is a
+registered, immutable pytree of fixed-shape ``jax.Array`` leaves so a whole
+:class:`State` can flow through ``jit``/``lax.scan``/``shard_map`` unchanged.
+
+Shape conventions (identical to the reference, ``state.py:330-385``):
+
+* ``coords``: ``(ntemps, nwalkers, nleaves_max, ndim)`` per branch
+* ``inds``:   ``(ntemps, nwalkers, nleaves_max)`` boolean leaf-activation mask
+* ``log_like`` / ``log_prior``: ``(ntemps, nwalkers)``
+* ``betas``: ``(ntemps,)``
+
+Reversible-jump dimensionality changes are represented purely as flips of the
+``inds`` mask over the static ``nleaves_max`` axis — the XLA-friendly
+"static max shape + activation mask" representation the reference already
+uses (``state.py:338-345``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+__all__ = ["Branch", "BranchSupplemental", "State", "ParaState"]
+
+
+def _coerce_coords(coords, ndim_spec=None):
+    """Coerce 1D/2D/3D coords input to canonical 4D, mirroring
+    ``/root/reference/src/eryn/state.py:472-485``."""
+    coords = jnp.asarray(coords)
+    if coords.ndim == 1:
+        # (ndim,) -> (1, 1, 1, ndim)
+        coords = coords[None, None, None, :]
+    elif coords.ndim == 2:
+        # (nwalkers, ndim) -> (1, nwalkers, 1, ndim)
+        coords = coords[None, :, None, :]
+    elif coords.ndim == 3:
+        # (ntemps, nwalkers, ndim) -> (ntemps, nwalkers, 1, ndim)
+        coords = coords[:, :, None, :]
+    elif coords.ndim != 4:
+        raise ValueError(
+            "coords must be 1, 2, 3 or 4 dimensional; got shape "
+            f"{coords.shape}."
+        )
+    return coords
+
+
+@tree_util.register_pytree_node_class
+class Branch:
+    """One model type in the ensemble: padded leaf coordinates + activation mask.
+
+    Mirrors ``/root/reference/src/eryn/state.py:330-384``.
+    """
+
+    def __init__(self, coords, inds=None):
+        coords = _coerce_coords(coords)
+        ntemps, nwalkers, nleaves_max, ndim = coords.shape
+        if inds is None:
+            inds = jnp.ones((ntemps, nwalkers, nleaves_max), dtype=bool)
+        else:
+            inds = jnp.asarray(inds)
+            if inds.dtype != jnp.bool_:
+                inds = inds.astype(bool)
+            if inds.shape != (ntemps, nwalkers, nleaves_max):
+                raise ValueError(
+                    f"inds shape {inds.shape} incompatible with coords shape "
+                    f"{coords.shape}."
+                )
+        self.coords = coords
+        self.inds = inds
+
+    # --- shape info -----------------------------------------------------
+    @property
+    def shape(self):
+        return self.coords.shape
+
+    @property
+    def ntemps(self):
+        return self.coords.shape[0]
+
+    @property
+    def nwalkers(self):
+        return self.coords.shape[1]
+
+    @property
+    def nleaves_max(self):
+        return self.coords.shape[2]
+
+    @property
+    def ndim(self):
+        return self.coords.shape[3]
+
+    @property
+    def nleaves(self):
+        """Leaf count per (temp, walker) (``state.py:379-384``)."""
+        return self.inds.sum(axis=-1)
+
+    # --- pytree protocol ------------------------------------------------
+    def tree_flatten(self):
+        return (self.coords, self.inds), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.coords, obj.inds = children
+        return obj
+
+    def __repr__(self):
+        return f"Branch(shape={tuple(self.coords.shape)})"
+
+
+@tree_util.register_pytree_node_class
+class BranchSupplemental:
+    """Dict-of-arrays side-car indexed like the ensemble.
+
+    Mirrors ``/root/reference/src/eryn/state.py:16-327`` with one deliberate
+    restriction for the TPU build: every value must be an array leaf with
+    leading dims equal to ``base_shape`` (object-dtype holders are a
+    host-only concept and are not supported on device).
+    """
+
+    def __init__(self, obj_info: dict, base_shape=None, copy=False):
+        holder = {}
+        for name, value in obj_info.items():
+            arr = jnp.asarray(value)
+            if base_shape is not None and arr.shape[: len(base_shape)] != tuple(
+                base_shape
+            ):
+                raise ValueError(
+                    f"Supplemental entry '{name}' with shape {arr.shape} does "
+                    f"not lead with base_shape {tuple(base_shape)}."
+                )
+            holder[name] = arr
+        self.holder = holder
+        self.base_shape = (
+            tuple(base_shape) if base_shape is not None else self._infer_base_shape()
+        )
+
+    def _infer_base_shape(self):
+        if not self.holder:
+            return ()
+        first = next(iter(self.holder.values()))
+        return tuple(first.shape[:2])
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.holder[key]
+        # array-style indexing applies to every entry
+        return {name: value[key] for name, value in self.holder.items()}
+
+    def __setitem__(self, key, value):
+        # functional update: mutate the python dict (host-side API only)
+        if isinstance(key, str):
+            self.holder[key] = jnp.asarray(value)
+        else:
+            if not isinstance(value, dict):
+                raise ValueError(
+                    "Setting with an index requires a dict of per-name values."
+                )
+            for name, val in value.items():
+                self.holder[name] = self.holder[name].at[key].set(val)
+
+    def __contains__(self, name):
+        return name in self.holder
+
+    @property
+    def flat(self):
+        """Flatten the ensemble dims (``state.py:310-327``)."""
+        nbase = len(self.base_shape)
+        return {
+            name: value.reshape((-1,) + value.shape[nbase:])
+            for name, value in self.holder.items()
+        }
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.holder))
+        children = tuple(self.holder[n] for n in names)
+        return children, (names, self.base_shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        names, base_shape = aux
+        obj = cls.__new__(cls)
+        obj.holder = dict(zip(names, children))
+        obj.base_shape = base_shape
+        return obj
+
+    def __repr__(self):
+        return f"BranchSupplemental({list(self.holder)})"
+
+
+@tree_util.register_pytree_node_class
+class State:
+    """Full ensemble snapshot.
+
+    Mirrors the public surface of ``/root/reference/src/eryn/state.py:387-585``
+    (``branches``, ``log_like``, ``log_prior``, ``blobs``, ``betas``,
+    ``supplemental``, ``random_state``) while being a registered pytree so the
+    whole snapshot is a valid ``jit`` argument / ``lax.scan`` carry.
+
+    ``random_state`` holds a JAX PRNG key (the reference stores the NumPy
+    Mersenne tuple, ``state.py:387``).
+    """
+
+    def __init__(
+        self,
+        coords,
+        inds=None,
+        log_like=None,
+        log_prior=None,
+        blobs=None,
+        betas=None,
+        supplemental=None,
+        branch_supplemental=None,
+        random_state=None,
+        copy=False,
+    ):
+        if isinstance(coords, State):
+            other = coords
+            self.branches = dict(other.branches)
+            self.log_like = other.log_like
+            self.log_prior = other.log_prior
+            self.blobs = other.blobs
+            self.betas = other.betas
+            self.supplemental = other.supplemental
+            self.random_state = other.random_state
+            return
+
+        if isinstance(coords, Branch):
+            coords = {"model_0": coords.coords}
+
+        if not isinstance(coords, dict):
+            coords = {"model_0": coords}
+
+        if inds is not None and not isinstance(inds, dict):
+            inds = {"model_0": inds}
+        if branch_supplemental is not None and not isinstance(
+            branch_supplemental, dict
+        ):
+            branch_supplemental = {"model_0": branch_supplemental}
+
+        self.branches = {}
+        for name, c in coords.items():
+            branch_inds = None if inds is None else inds.get(name)
+            self.branches[name] = (
+                c if isinstance(c, Branch) else Branch(c, inds=branch_inds)
+            )
+
+        self.log_like = None if log_like is None else jnp.asarray(log_like)
+        self.log_prior = None if log_prior is None else jnp.asarray(log_prior)
+        self.blobs = None if blobs is None else jnp.asarray(blobs)
+        self.betas = None if betas is None else jnp.asarray(betas)
+        self.supplemental = supplemental
+        self._branch_supplemental_in = branch_supplemental
+        self.random_state = random_state
+
+        # coerce 1D (ntemps, nwalkers) style inputs
+        if self.log_like is not None and self.log_like.ndim == 1:
+            self.log_like = self.log_like[None, :]
+        if self.log_prior is not None and self.log_prior.ndim == 1:
+            self.log_prior = self.log_prior[None, :]
+
+    # --- convenience views (match reference property names) -------------
+    @property
+    def branch_names(self):
+        return list(self.branches.keys())
+
+    @property
+    def branches_coords(self):
+        return {name: b.coords for name, b in self.branches.items()}
+
+    @property
+    def branches_inds(self):
+        return {name: b.inds for name, b in self.branches.items()}
+
+    @property
+    def branches_supplemental(self):
+        return {name: None for name in self.branches}
+
+    @property
+    def ntemps(self):
+        return next(iter(self.branches.values())).ntemps
+
+    @property
+    def nwalkers(self):
+        return next(iter(self.branches.values())).nwalkers
+
+    def get_log_posterior(self, temper: bool = False):
+        """Tempered or untempered log posterior (``state.py:545-585``)."""
+        if temper and self.betas is not None:
+            betas = self.betas[:, None]
+        else:
+            betas = 1.0
+        return betas * self.log_like + self.log_prior
+
+    def get_betas(self):
+        return self.betas
+
+    # --- functional update helper ---------------------------------------
+    def replace(self, **updates) -> "State":
+        """Return a copy of this state with the given fields replaced."""
+        new = State.__new__(State)
+        new.branches = updates.pop("branches", dict(self.branches))
+        new.log_like = updates.pop("log_like", self.log_like)
+        new.log_prior = updates.pop("log_prior", self.log_prior)
+        new.blobs = updates.pop("blobs", self.blobs)
+        new.betas = updates.pop("betas", self.betas)
+        new.supplemental = updates.pop("supplemental", self.supplemental)
+        new.random_state = updates.pop("random_state", self.random_state)
+        if "coords" in updates or "inds" in updates:
+            coords = updates.pop("coords", self.branches_coords)
+            inds = updates.pop("inds", self.branches_inds)
+            new.branches = {
+                name: Branch(coords[name], inds=inds[name]) for name in coords
+            }
+        if updates:
+            raise TypeError(f"Unknown State fields: {list(updates)}")
+        return new
+
+    # --- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        names = tuple(self.branches.keys())
+        children = (
+            tuple(self.branches[n] for n in names),
+            self.log_like,
+            self.log_prior,
+            self.blobs,
+            self.betas,
+            self.supplemental,
+            self.random_state,
+        )
+        return children, names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        obj = cls.__new__(cls)
+        branches, log_like, log_prior, blobs, betas, supplemental, rs = children
+        obj.branches = dict(zip(names, branches))
+        obj.log_like = log_like
+        obj.log_prior = log_prior
+        obj.blobs = blobs
+        obj.betas = betas
+        obj.supplemental = supplemental
+        obj.random_state = rs
+        return obj
+
+    def __repr__(self):
+        shapes = {n: tuple(b.coords.shape) for n, b in self.branches.items()}
+        return f"State(branches={shapes})"
+
+
+@tree_util.register_pytree_node_class
+class ParaState(State):
+    """State variant carrying ``groups_running`` instead of leaf masks,
+    for batched independent sub-ensembles (``state.py:588-775``)."""
+
+    def __init__(self, coords, groups_running=None, **kwargs):
+        super().__init__(coords, **kwargs)
+        self.groups_running = (
+            None if groups_running is None else jnp.asarray(groups_running)
+        )
+
+    def tree_flatten(self):
+        children, names = super().tree_flatten()
+        return children + (self.groups_running,), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        obj = super().tree_unflatten(names, children[:-1])
+        obj.__class__ = cls
+        obj.groups_running = children[-1]
+        return obj

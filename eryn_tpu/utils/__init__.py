@@ -1,0 +1,49 @@
+"""Utilities (re-design of ``/root/reference/src/eryn/utils/``)."""
+
+from .periodic import PeriodicContainer
+from .utility import (
+    get_acf,
+    get_integrated_act,
+    groups_from_inds,
+    psrf,
+    stepping_stone_log_evidence,
+    thermodynamic_integration_log_evidence,
+)
+
+__all__ = [
+    "PeriodicContainer",
+    "groups_from_inds",
+    "get_acf",
+    "get_integrated_act",
+    "thermodynamic_integration_log_evidence",
+    "stepping_stone_log_evidence",
+    "psrf",
+]
+
+try:  # pragma: no cover - staged build
+    from .transform import TransformContainer
+
+    __all__ += ["TransformContainer"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .stopping import Stopping, SearchConvergeStopping
+
+    __all__ += ["Stopping", "SearchConvergeStopping"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .updates import Update, CompositeUpdate, UpdateStep, AdjustStretchProposalScale
+
+    __all__ += ["Update", "CompositeUpdate", "UpdateStep", "AdjustStretchProposalScale"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # pragma: no cover - staged build
+    from .plot import PlotContainer
+
+    __all__ += ["PlotContainer"]
+except ImportError:  # pragma: no cover
+    pass
