@@ -172,24 +172,61 @@ class Backend:
         swaps_accepted=None,
         moves_accepted_fraction=None,
     ):
-        """Append one stored step (ref ``backend.py:1014-1091``)."""
+        """Append one stored step from a State (ref ``backend.py:1014-1091``)."""
+        self.save_snapshot(
+            coords={
+                n: np.asarray(state.branches[n].coords) for n in self.branch_names
+            },
+            inds={
+                n: np.asarray(state.branches[n].inds) for n in self.branch_names
+            },
+            log_like=np.asarray(state.log_like),
+            log_prior=np.asarray(state.log_prior),
+            betas=np.asarray(state.betas) if state.betas is not None else None,
+            blobs=np.asarray(state.blobs) if state.blobs is not None else None,
+            accepted=accepted,
+            rj_accepted=rj_accepted,
+            swaps_accepted=swaps_accepted,
+            moves_accepted_fraction=moves_accepted_fraction,
+            random_state=(
+                np.asarray(state.random_state)
+                if state.random_state is not None
+                else None
+            ),
+        )
+
+    def save_snapshot(
+        self,
+        coords,
+        inds,
+        log_like,
+        log_prior,
+        betas=None,
+        blobs=None,
+        accepted=None,
+        rj_accepted=None,
+        swaps_accepted=None,
+        moves_accepted_fraction=None,
+        random_state=None,
+    ):
+        """Append one stored step from raw host arrays (bulk-flush path)."""
         it = self.iteration
         for name in self.branch_names:
-            coords = np.asarray(state.branches[name].coords, dtype=self.dtype)
-            inds = np.asarray(state.branches[name].inds, dtype=bool)
+            c = np.asarray(coords[name], dtype=self.dtype).copy()
+            m = np.asarray(inds[name], dtype=bool)
             # mask dead leaves (ref backend.py:1049-1059)
-            coords = coords.copy()
-            coords[~inds] = self.store_missing_leaves
-            self.chain[name][it] = coords
-            self.inds[name][it] = inds
-        self.log_like[it] = np.asarray(state.log_like, dtype=self.dtype)
-        self.log_prior[it] = np.asarray(state.log_prior, dtype=self.dtype)
-        if state.betas is not None:
-            self.betas[it] = np.asarray(state.betas, dtype=self.dtype)
-        if state.blobs is not None and self.blobs is not None:
-            self.blobs[it] = np.asarray(state.blobs)
+            c[~m] = self.store_missing_leaves
+            self.chain[name][it] = c
+            self.inds[name][it] = m
+        self.log_like[it] = np.asarray(log_like, dtype=self.dtype)
+        self.log_prior[it] = np.asarray(log_prior, dtype=self.dtype)
+        if betas is not None:
+            self.betas[it] = np.asarray(betas, dtype=self.dtype)
+        if blobs is not None and self.blobs is not None:
+            self.blobs[it] = np.asarray(blobs)
 
-        self.accepted += np.asarray(accepted, dtype=self.dtype)
+        if accepted is not None:
+            self.accepted += np.asarray(accepted, dtype=self.dtype)
         if self.rj_accepted is not None and rj_accepted is not None:
             self.rj_accepted += np.asarray(rj_accepted, dtype=self.dtype)
         if self.swaps_accepted is not None and swaps_accepted is not None:
@@ -202,8 +239,8 @@ class Backend:
                 if val is not None:
                     self.moves_accepted_fraction[key] = np.asarray(val)
 
-        if state.random_state is not None:
-            self.random_state = np.asarray(state.random_state)
+        if random_state is not None:
+            self.random_state = np.asarray(random_state)
 
         self.iteration += 1
 

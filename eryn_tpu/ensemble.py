@@ -46,6 +46,27 @@ def _finite_min(dtype):
     return float(np.finfo(np.dtype(dtype)).min / 2)
 
 
+def _pow2_decompose(n, cap):
+    """Split ``n`` into power-of-two chunks (each <= cap) so jitted segment
+    functions are compiled for at most log2(cap) distinct lengths."""
+    out = []
+    while n > 0:
+        chunk = min(1 << (n.bit_length() - 1), cap)
+        out.append(chunk)
+        n -= chunk
+    return out
+
+
+def _segment_plan(nsteps, seg):
+    """Plan stored-segment sizes: full segments of ``seg`` plus a
+    power-of-two decomposition of the remainder (avoids one-off compiles)."""
+    plan = [seg] * (nsteps // seg)
+    rem = nsteps % seg
+    if rem:
+        plan.extend(_pow2_decompose(rem, seg))
+    return plan
+
+
 class PriorEvaluator:
     """Traced (or callback-bridged) evaluation of the summed log-prior over
     active leaves (re-design of ``ensemble.py:1127-1217``)."""
@@ -509,6 +530,8 @@ class EnsembleSampler:
         # per-device-segment counters
         self._reset_move_counters()
         self._step_cache = {}
+        # max stored iterations buffered on device per dispatch
+        self._max_segment = 256
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -723,13 +746,9 @@ class EnsembleSampler:
     # ------------------------------------------------------------------
     # compiled step machinery
     # ------------------------------------------------------------------
-    def _build_segment_fn(self, nsteps, store_last):
-        """Compile a segment of ``nsteps`` sampler steps as one lax.scan.
-
-        Returns fn(key, state, time, move_acc, move_nprop, rj_acc, rj_nprop)
-        -> (state, time, counters..., accepted_last, rj_accepted_last,
-            swaps_last)
-        """
+    def _make_one_step(self):
+        """Build the single-sampler-step function (in-model repeats + rj
+        repeats + tempering) used inside all compiled segments."""
         ctx = self.get_eval_context()
         moves = self.moves
         weights = jnp.log(jnp.asarray(self.weights, dtype=self.dtype))
@@ -785,51 +804,64 @@ class EnsembleSampler:
             new_carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
             return new_carry, (accepted, rj_accepted, swaps)
 
-        def segment(key, state, time, m_acc, m_np, rj_acc_c, rj_np):
-            carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
-            carry, outs = jax.lax.scan(one_step, carry, None, length=nsteps)
+        return one_step
+
+    def _build_bulk_fn(self, nstored, thin_by, store):
+        """Compile ``nstored * thin_by`` sampler steps as a nested lax.scan:
+        the inner scan runs ``thin_by`` steps, the outer scan stacks one
+        device-side snapshot per stored iteration.  One dispatch per segment —
+        the chain buffer lives in HBM until the host flush."""
+        one_step = self._make_one_step()
+
+        def stored_block(carry, _):
+            carry, outs = jax.lax.scan(one_step, carry, None, length=thin_by)
+            accepted, rj_accepted, swaps = (o[-1] for o in outs)
             key, state, time, m_acc, m_np, rj_acc_c, rj_np = carry
-            accepted, rj_accepted, swaps = outs
-            return (
-                key,
-                state,
-                time,
-                m_acc,
-                m_np,
-                rj_acc_c,
-                rj_np,
-                accepted[-1],
-                rj_accepted[-1],
-                swaps[-1] if nt > 1 else swaps[-1],
-            )
+            if store:
+                snap = {
+                    "coords": state.branches_coords,
+                    "inds": state.branches_inds,
+                    "log_like": state.log_like,
+                    "log_prior": state.log_prior,
+                    "betas": state.betas,
+                    "accepted": accepted,
+                    "rj_accepted": rj_accepted,
+                    "swaps": swaps,
+                    "m_acc": m_acc,
+                    "m_np": m_np,
+                    "rj_m_acc": rj_acc_c,
+                    "rj_m_np": rj_np,
+                }
+                if state.blobs is not None:
+                    snap["blobs"] = state.blobs
+            else:
+                snap = None
+            return carry, snap
 
-        return jax.jit(segment)
+        def bulk(key, state, time, m_acc, m_np, rj_acc_c, rj_np):
+            carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
+            carry, snaps = jax.lax.scan(stored_block, carry, None, length=nstored)
+            return carry, snaps
 
-    def _get_segment_fn(self, nsteps):
-        fn = self._step_cache.get(nsteps)
+        return jax.jit(bulk)
+
+    def _get_bulk_fn(self, nstored, thin_by, store):
+        cache_key = (nstored, thin_by, store)
+        fn = self._step_cache.get(cache_key)
         if fn is None:
-            fn = self._build_segment_fn(nsteps, True)
-            self._step_cache[nsteps] = fn
+            fn = self._build_bulk_fn(nstored, thin_by, store)
+            self._step_cache[cache_key] = fn
         return fn
 
-    def _run_segment(self, state, nsteps):
-        """Run ``nsteps`` compiled steps; returns (state, accepted_last,
-        rj_accepted_last, swaps_last)."""
+    def _run_bulk(self, state, nstored, thin_by=1, store=True):
+        """Run ``nstored * thin_by`` compiled steps in ONE device dispatch.
+
+        Returns ``(state, snaps)`` with ``snaps`` a host-side dict of stacked
+        per-stored-step arrays (or None when ``store=False``)."""
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
-        fn = self._get_segment_fn(nsteps)
-        (
-            self._key,
-            state,
-            time,
-            m_acc,
-            m_np,
-            rj_acc,
-            rj_np,
-            accepted,
-            rj_accepted,
-            swaps,
-        ) = fn(
+        fn = self._get_bulk_fn(nstored, thin_by, store)
+        carry, snaps = fn(
             self._key,
             state,
             time,
@@ -838,6 +870,8 @@ class EnsembleSampler:
             jnp.asarray(self._rj_move_accepted, dtype=self.dtype),
             jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
         )
+        self._key, state, time, m_acc, m_np, rj_acc, rj_np = carry
+
         # sync host mirrors
         self._move_accepted = np.asarray(m_acc)
         self._move_nprop = np.asarray(m_np)
@@ -852,8 +886,46 @@ class EnsembleSampler:
         if tc is not None:
             tc.time = int(time)
             tc.betas = np.asarray(state.betas)
-            tc.swaps_accepted = np.asarray(swaps)
-        return state, np.asarray(accepted), np.asarray(rj_accepted), np.asarray(swaps)
+
+        if snaps is not None:
+            snaps = jax.tree_util.tree_map(np.asarray, snaps)
+            if tc is not None and self.ntemps > 1:
+                tc.swaps_accepted = snaps["swaps"][-1]
+        return state, snaps
+
+    def _save_snaps(self, snaps):
+        """Flush a bulk segment of stored snapshots into the backend."""
+        nstored = snaps["log_like"].shape[0]
+        for j in range(nstored):
+            if self.track_moves:
+                fractions = {}
+                for i, (key_name, _m) in enumerate(
+                    zip(self.all_moves.keys(), list(self.moves) + list(self.rj_moves))
+                ):
+                    if i < len(self.moves):
+                        acc = snaps["m_acc"][j, i]
+                        nprop = snaps["m_np"][j, i]
+                    else:
+                        acc = snaps["rj_m_acc"][j, i - len(self.moves)]
+                        nprop = snaps["rj_m_np"][j, i - len(self.moves)]
+                    fractions[key_name] = acc / max(nprop, 1.0)
+            else:
+                fractions = None
+            self.backend.save_snapshot(
+                coords={n: snaps["coords"][n][j] for n in snaps["coords"]},
+                inds={n: snaps["inds"][n][j] for n in snaps["inds"]},
+                log_like=snaps["log_like"][j],
+                log_prior=snaps["log_prior"][j],
+                betas=snaps["betas"][j],
+                blobs=snaps["blobs"][j] if "blobs" in snaps else None,
+                accepted=snaps["accepted"][j],
+                rj_accepted=snaps["rj_accepted"][j]
+                if self.has_reversible_jump
+                else None,
+                swaps_accepted=snaps["swaps"][j] if self.ntemps > 1 else None,
+                moves_accepted_fraction=fractions,
+                random_state=np.asarray(self._key),
+            )
 
     # ------------------------------------------------------------------
     # sampling loop (ref ensemble.py:808-1125)
@@ -963,24 +1035,9 @@ class EnsembleSampler:
         with get_progress_bar(progress, total) as pbar:
             iterator = count() if iterations is None else range(iterations)
             for _ in iterator:
-                state, accepted, rj_accepted, swaps = self._run_segment(
-                    state, thin_by
-                )
+                state, snaps = self._run_bulk(state, 1, thin_by, store=store)
                 if store:
-                    if self.track_moves:
-                        moves_accepted_fraction = {
-                            key_name: move.acceptance_fraction
-                            for key_name, move in self.all_moves.items()
-                        }
-                    else:
-                        moves_accepted_fraction = None
-                    self.backend.save_step(
-                        state,
-                        accepted,
-                        rj_accepted=rj_accepted if self.has_reversible_jump else None,
-                        swaps_accepted=swaps if self.ntemps > 1 else None,
-                        moves_accepted_fraction=moves_accepted_fraction,
-                    )
+                    self._save_snaps(snaps)
                 pbar.update(thin_by)
                 self._previous_state = state
                 yield state
@@ -992,9 +1049,20 @@ class EnsembleSampler:
         burn=None,
         post_burn_update=False,
         thin_by=1,
+        store=True,
+        progress=False,
+        segment_size=None,
         **kwargs,
     ):
-        """Run the chain (ref ``ensemble.py:1047-1125``)."""
+        """Run the chain (ref ``ensemble.py:1047-1125``).
+
+        TPU-first execution: iterations are grouped into segments (one device
+        dispatch each, chain buffered on device); host hooks (stopping,
+        update, plotting) fire at the same iteration counts as the reference
+        — segments are sized to the GCD of the hook intervals.
+        """
+        import math
+
         if initial_state is None:
             if self._previous_state is None:
                 raise ValueError(
@@ -1004,48 +1072,70 @@ class EnsembleSampler:
             initial_state = self._previous_state
 
         state = self._setup_state(initial_state)
+        thin_by = int(thin_by)
 
-        # burn-in: one compiled scan, nothing stored
+        # burn-in: compiled scans, nothing stored (ref ensemble.py:1082-1095)
         if burn is not None and burn > 0:
-            burn_steps = int(burn) * int(thin_by)
-            # chunk to bound compile size / host sync
-            chunk = 100
-            done = 0
-            while done < burn_steps:
-                n = min(chunk, burn_steps - done)
-                state, *_ = self._run_segment(state, n)
-                done += n
+            burn_steps = int(burn) * thin_by
+            for n in _pow2_decompose(burn_steps, 4 * self._max_segment):
+                state, _ = self._run_bulk(state, 1, n, store=False)
             if post_burn_update and self.update_fn is not None:
                 self.update_fn(0, state, self)
 
-        results = None
+        # hook-aligned segment size
+        intervals = []
+        if self.stopping_fn is not None and self.stopping_iterations > 0:
+            intervals.append(self.stopping_iterations)
+        if self.update_fn is not None and self.update_iterations > 0:
+            intervals.append(self.update_iterations)
+        if self.plot_generator is not None and self.plot_iterations > 0:
+            intervals.append(self.plot_iterations)
+        if segment_size is not None:
+            seg = int(segment_size)
+        elif intervals:
+            seg = math.gcd(*intervals)
+        else:
+            seg = max(1, min(int(nsteps), self._max_segment))
+
+        if store:
+            self.backend.grow(nsteps, state.blobs)
+
+        total = nsteps * thin_by
         i = 0
-        for results in self.sample(state, iterations=nsteps, thin_by=thin_by, **kwargs):
-            i += 1
-            if (
-                self.plot_iterations > 0
-                and self.plot_generator is not None
-                and (i % self.plot_iterations) == 0
-            ):
-                self.plot_generator.generate_plot_info(burn=0, thin=1)
-            if (
-                self.stopping_iterations > 0
-                and self.stopping_fn is not None
-                and (i % self.stopping_iterations) == 0
-            ):
-                stop = self.stopping_fn(i, results, self)
-                if stop:
-                    break
+        segment_plan = _segment_plan(int(nsteps), seg)
+        with get_progress_bar(progress, total) as pbar:
+            while i < nsteps:
+                n = segment_plan.pop(0)
+                state, snaps = self._run_bulk(state, n, thin_by, store=store)
+                if store:
+                    self._save_snaps(snaps)
+                i += n
+                pbar.update(n * thin_by)
+                self._previous_state = state
 
-            if (
-                self.update_iterations > 0
-                and self.update_fn is not None
-                and (i % self.update_iterations) == 0
-            ):
-                self.update_fn(i, results, self)
+                if (
+                    self.plot_iterations > 0
+                    and self.plot_generator is not None
+                    and (i % self.plot_iterations) == 0
+                ):
+                    self.plot_generator.generate_plot_info(burn=0, thin=1)
+                if (
+                    self.stopping_iterations > 0
+                    and self.stopping_fn is not None
+                    and (i % self.stopping_iterations) == 0
+                ):
+                    stop = self.stopping_fn(i, state, self)
+                    if stop:
+                        break
+                if (
+                    self.update_iterations > 0
+                    and self.update_fn is not None
+                    and (i % self.update_iterations) == 0
+                ):
+                    self.update_fn(i, state, self)
 
-        self._previous_state = results
-        return results
+        self._previous_state = state
+        return state
 
     # ------------------------------------------------------------------
     # acceptance / passthrough properties (ref ensemble.py:1547-1620)

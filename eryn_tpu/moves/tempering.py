@@ -183,6 +183,12 @@ class TemperatureControl:
         """One full swap cascade, highest -> lowest rung
         (ref ``tempering.py:484-561``).
 
+        TPU-native formulation: the sequential rung cascade only needs the
+        ``(ntemps, nwalkers)`` log-likelihood matrix, so the loop swaps
+        ``logl`` plus a flat *provenance index*; the heavy state tree
+        (coords, masks, priors, blobs) is exchanged with a single fused
+        gather at the end instead of per-rung scatters.
+
         Args:
             key: PRNG key.
             swap_tree: pytree of arrays with leading ``(ntemps, nwalkers)``
@@ -197,26 +203,55 @@ class TemperatureControl:
         """
         ntemps, nwalkers = logl.shape
         swaps_accepted = jnp.zeros((max(ntemps - 1, 0),), dtype=logl.dtype)
+        if ntemps == 1:
+            return swap_tree, logl, swaps_accepted
+
+        # all cascade randomness in two fused draws; batched argsort of iid
+        # uniforms == per-rung uniform random permutations
+        k_perm, k_acc = jax.random.split(key)
+        if self.permute:
+            perms = jnp.argsort(
+                jax.random.uniform(k_perm, (ntemps - 1, 2, nwalkers)), axis=-1
+            )
+        else:
+            perms = jnp.broadcast_to(
+                jnp.arange(nwalkers), (ntemps - 1, 2, nwalkers)
+            )
+        raccept = jnp.log(
+            jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=logl.dtype)
+        )
+
+        # carry (logl, provenance) as one stacked array: provenance indices
+        # stay exact in f32 up to 2^24 entries
+        origin0 = jnp.arange(ntemps * nwalkers, dtype=logl.dtype).reshape(
+            ntemps, nwalkers
+        )
+        data = jnp.stack([logl, origin0], axis=-1)  # (ntemps, nwalkers, 2)
 
         for i in range(ntemps - 1, 0, -1):
-            key, kperm_i, kperm_i1, kacc = jax.random.split(key, 4)
             dbeta = betas[i - 1] - betas[i]
-            if self.permute:
-                iperm = jax.random.permutation(kperm_i, nwalkers)
-                i1perm = jax.random.permutation(kperm_i1, nwalkers)
-            else:
-                iperm = jnp.arange(nwalkers)
-                i1perm = jnp.arange(nwalkers)
+            iperm = perms[i - 1, 0]
+            i1perm = perms[i - 1, 1]
 
-            raccept = jnp.log(jax.random.uniform(kacc, (nwalkers,), dtype=logl.dtype))
-            paccept = dbeta * (logl[i, iperm] - logl[i - 1, i1perm])
-            sel = paccept > raccept
-            swaps_accepted = swaps_accepted.at[i - 1].set(sel.sum().astype(logl.dtype))
-
-            logl = _swap_rows(logl, i, iperm, i1perm, sel)
-            swap_tree = jax.tree_util.tree_map(
-                lambda x: _swap_rows(x, i, iperm, i1perm, sel), swap_tree
+            di = data[i][iperm]  # (nwalkers, 2)
+            di1 = data[i - 1][i1perm]
+            paccept = dbeta * (di[:, 0] - di1[:, 0])
+            sel = (paccept > raccept[i - 1])[:, None]
+            swaps_accepted = swaps_accepted.at[i - 1].set(
+                sel.sum().astype(logl.dtype)
             )
+            data = data.at[i, iperm].set(jnp.where(sel, di1, di))
+            data = data.at[i - 1, i1perm].set(jnp.where(sel, di, di1))
+
+        logl = data[..., 0]
+        flat = data[..., 1].astype(jnp.int32).reshape(-1)
+
+        def gather_leaf(x):
+            return x.reshape((ntemps * nwalkers,) + x.shape[2:])[flat].reshape(
+                x.shape
+            )
+
+        swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
         return swap_tree, logl, swaps_accepted
 
     def ladder_adjustment_kernel(self, time, betas, ratios):

@@ -1,0 +1,74 @@
+"""Multi-chip scaling for the ensemble sampler.
+
+The reference's parallelism is ``pool.map`` likelihood fan-out plus a single
+CuPy device (``/root/reference/src/eryn/ensemble.py:119-122,1474-1481``).  The
+TPU-native answer: shard the ``(ntemps, nwalkers)`` ensemble axes of the whole
+``State`` pytree over a ``jax.sharding.Mesh`` and jit the identical step
+function — XLA inserts the collectives (the temperature-swap cascade becomes
+permutation traffic over ICI; red/blue complement gathers become all-to-alls
+over the walker axis).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_state", "sharding_for_state"]
+
+TEMP_AXIS = "temp"
+WALKER_AXIS = "walker"
+
+
+def make_mesh(n_devices=None, temp_parallel=None):
+    """Build a 2D (temp, walker) device mesh.
+
+    Args:
+        n_devices: number of devices (default: all).
+        temp_parallel: size of the temperature axis of the mesh (default:
+            2 when ``n_devices`` is even and > 2, else 1 — walker sharding is
+            the primary data-parallel axis since ``nwalkers >> ntemps``).
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"Requested mesh over {n_devices} devices but only "
+            f"{len(devices)} available."
+        )
+    if temp_parallel is None:
+        temp_parallel = 2 if (n_devices % 2 == 0 and n_devices > 2) else 1
+    if n_devices % temp_parallel != 0:
+        raise ValueError("n_devices must be divisible by temp_parallel.")
+    shape = (temp_parallel, n_devices // temp_parallel)
+    mesh_devices = mesh_utils.create_device_mesh(
+        shape, devices=devices[:n_devices]
+    )
+    return Mesh(mesh_devices, (TEMP_AXIS, WALKER_AXIS))
+
+
+def _spec_for_leaf(x, ntemps, nwalkers):
+    """Partition rule: shard leading (ntemps, nwalkers) dims; replicate
+    everything else (betas, keys, scalars)."""
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 2 and shape[0] == ntemps and shape[1] == nwalkers:
+        return P(TEMP_AXIS, WALKER_AXIS, *(None,) * (len(shape) - 2))
+    return P()
+
+
+def sharding_for_state(state, mesh):
+    """NamedSharding pytree matching a :class:`~eryn_tpu.state.State`."""
+    ntemps, nwalkers = state.log_like.shape
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, _spec_for_leaf(x, ntemps, nwalkers)),
+        state,
+    )
+
+
+def shard_state(state, mesh):
+    """Place a State on the mesh with (temp, walker) sharding."""
+    return jax.device_put(state, sharding_for_state(state, mesh))

@@ -312,6 +312,25 @@ class ProbDistContainer:
         self.ndim = int(uni_inds.max() + 1)
         self.use_cupy = use_cupy
 
+        # fast path: all-scalar-uniform containers fuse into one vector op
+        self._fused_uniform = None
+        if all(
+            isinstance(d, UniformDistribution) and len(inds) == 1
+            for inds, d in self.priors
+        ) and len(self.priors) == self.ndim:
+            mins = np.zeros(self.ndim)
+            maxs = np.zeros(self.ndim)
+            logvals = np.zeros(self.ndim)
+            for inds, d in self.priors:
+                mins[inds[0]] = d.min_val
+                maxs[inds[0]] = d.max_val
+                logvals[inds[0]] = d.logpdf_val
+            self._fused_uniform = (
+                jnp.asarray(mins),
+                jnp.asarray(maxs),
+                jnp.asarray(logvals),
+            )
+
     @property
     def traceable(self):
         return all(_is_traceable(d) for _, d in self.priors)
@@ -326,6 +345,13 @@ class ProbDistContainer:
         x = jnp.asarray(x)
         squeeze_scalar = x.ndim == 1
         batch_shape = x.shape[:-1]
+
+        if self._fused_uniform is not None and keys is None:
+            mins, maxs, logvals = self._fused_uniform
+            in_range = (x >= mins) & (x <= maxs)
+            per_dim = jnp.where(in_range, logvals.astype(x.dtype), -jnp.inf)
+            return per_dim.sum(axis=-1)
+
         total = jnp.zeros(batch_shape, dtype=x.dtype)
         for inds, dist in self.priors:
             if keys is not None and not self._key_selected(inds, keys):
