@@ -457,6 +457,8 @@ class EnsembleSampler:
             move.temperature_control = self.temperature_control
             if move.periodic is None:
                 move.periodic = self.periodic
+            if hasattr(move, "propagate_wiring"):
+                move.propagate_wiring()
 
         # move-tracking registry (ref ensemble.py:556-590)
         self.all_moves = {}
@@ -530,6 +532,7 @@ class EnsembleSampler:
         # per-device-segment counters
         self._reset_move_counters()
         self._step_cache = {}
+        self._kernel_states = None
         # max stored iterations buffered on device per dispatch
         self._max_segment = 256
 
@@ -762,46 +765,72 @@ class EnsembleSampler:
         num_repeats_rj = self.num_repeats_rj
         nt, nw = self.ntemps, self.nwalkers
 
-        def dispatch(key, state, time, move_list, log_w, counters, nprop):
+        def dispatch(key, state, time, mstates, move_list, log_w, counters, nprop, offset):
             key, k_idx, k_move = jax.random.split(key, 3)
             if len(move_list) == 1:
-                state, acc, swaps, time = move_list[0].propose_kernel(
-                    k_move, state, time, ctx
+                state, acc, swaps, time, st = move_list[0].propose_kernel(
+                    k_move, state, time, ctx, mstates[offset]
                 )
+                mstates = mstates[:offset] + (st,) + mstates[offset + 1 :]
                 counters = counters.at[0].add(acc)
                 nprop = nprop.at[0].add(1.0)
             else:
                 idx = jax.random.categorical(k_idx, log_w)
-                branches = [
-                    (lambda k, s, t, _m=m: _m.propose_kernel(k, s, t, ctx))
-                    for m in move_list
-                ]
-                state, acc, swaps, time = jax.lax.switch(
-                    idx, branches, k_move, state, time
+
+                def make_branch(j, m):
+                    def br(k, s, t, ms):
+                        s2, acc, sw, t2, stj = m.propose_kernel(
+                            k, s, t, ctx, ms[offset + j]
+                        )
+                        ms2 = ms[: offset + j] + (stj,) + ms[offset + j + 1 :]
+                        return s2, acc, sw, t2, ms2
+
+                    return br
+
+                branches = [make_branch(j, m) for j, m in enumerate(move_list)]
+                state, acc, swaps, time, mstates = jax.lax.switch(
+                    idx, branches, k_move, state, time, mstates
                 )
                 counters = counters.at[idx].add(acc)
                 nprop = nprop.at[idx].add(1.0)
-            return key, state, time, acc, swaps, counters, nprop
+            return key, state, time, acc, swaps, counters, nprop, mstates
 
         def one_step(carry, _):
-            key, state, time, m_acc, m_np, rj_acc_c, rj_np = carry
+            key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates = carry
             accepted = jnp.zeros((nt, nw), dtype=self.dtype)
             swaps = jnp.zeros((max(nt - 1, 0),), dtype=self.dtype)
             for _r in range(num_repeats):
-                key, state, time, acc, swaps, m_acc, m_np = dispatch(
-                    key, state, time, moves, weights, m_acc, m_np
+                key, state, time, acc, swaps, m_acc, m_np, mstates = dispatch(
+                    key, state, time, mstates, moves, weights, m_acc, m_np, 0
                 )
                 accepted = accepted + acc
             if rj_moves:
                 rj_accepted = jnp.zeros((nt, nw), dtype=self.dtype)
                 for _r in range(num_repeats_rj):
-                    key, state, time, racc, _rswaps, rj_acc_c, rj_np = dispatch(
-                        key, state, time, rj_moves, rj_weights, rj_acc_c, rj_np
+                    (
+                        key,
+                        state,
+                        time,
+                        racc,
+                        _rswaps,
+                        rj_acc_c,
+                        rj_np,
+                        mstates,
+                    ) = dispatch(
+                        key,
+                        state,
+                        time,
+                        mstates,
+                        rj_moves,
+                        rj_weights,
+                        rj_acc_c,
+                        rj_np,
+                        len(moves),
                     )
                     rj_accepted = rj_accepted + racc
             else:
                 rj_accepted = jnp.zeros((0, 0), dtype=self.dtype)
-            new_carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
+            new_carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates)
             return new_carry, (accepted, rj_accepted, swaps)
 
         return one_step
@@ -816,7 +845,7 @@ class EnsembleSampler:
         def stored_block(carry, _):
             carry, outs = jax.lax.scan(one_step, carry, None, length=thin_by)
             accepted, rj_accepted, swaps = (o[-1] for o in outs)
-            key, state, time, m_acc, m_np, rj_acc_c, rj_np = carry
+            key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates = carry
             if store:
                 snap = {
                     "coords": state.branches_coords,
@@ -838,8 +867,8 @@ class EnsembleSampler:
                 snap = None
             return carry, snap
 
-        def bulk(key, state, time, m_acc, m_np, rj_acc_c, rj_np):
-            carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np)
+        def bulk(key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates):
+            carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates)
             carry, snaps = jax.lax.scan(stored_block, carry, None, length=nstored)
             return carry, snaps
 
@@ -860,6 +889,10 @@ class EnsembleSampler:
         per-stored-step arrays (or None when ``store=False``)."""
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
+        if self._kernel_states is None:
+            self._kernel_states = tuple(
+                m.init_kernel_state(state) for m in self.moves + self.rj_moves
+            )
         fn = self._get_bulk_fn(nstored, thin_by, store)
         carry, snaps = fn(
             self._key,
@@ -869,8 +902,18 @@ class EnsembleSampler:
             jnp.asarray(self._move_nprop, dtype=self.dtype),
             jnp.asarray(self._rj_move_accepted, dtype=self.dtype),
             jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
+            self._kernel_states,
         )
-        self._key, state, time, m_acc, m_np, rj_acc, rj_np = carry
+        (
+            self._key,
+            state,
+            time,
+            m_acc,
+            m_np,
+            rj_acc,
+            rj_np,
+            self._kernel_states,
+        ) = carry
 
         # sync host mirrors
         self._move_accepted = np.asarray(m_acc)

@@ -1,0 +1,61 @@
+"""Independent distribution-draw MH move.
+
+TPU-native re-design of ``/root/reference/src/eryn/moves/distgen.py:14-104``:
+new coordinates are drawn per leaf from a given per-branch distribution inside
+the traced kernel (keyed sampling), with detailed-balance factors
+``+logq(old) - logq(new)`` summed over active leaves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .mh import MHMove
+from ..prior import ProbDistContainer
+
+__all__ = ["DistributionGenerate"]
+
+
+class DistributionGenerate(MHMove):
+    """MH move drawing independently from ``generate_dist``
+    (ref ``distgen.py:14``).
+
+    Args:
+        generate_dist: ``{branch_name: ProbDistContainer}`` to draw from.
+    """
+
+    def __init__(self, generate_dist, **kwargs):
+        if isinstance(generate_dist, ProbDistContainer):
+            generate_dist = {"model_0": generate_dist}
+        self.generate_dist = generate_dist
+        super().__init__(**kwargs)
+
+    def run_branches(self, state):
+        names = super().run_branches(state)
+        return [n for n in names if n in self.generate_dist]
+
+    def get_proposal_kernel(self, key, branch_coords, branch_inds, kernel_state):
+        q = {}
+        factors = None
+        names = list(branch_coords.keys())
+        keys = jax.random.split(key, len(names))
+        for name, kb in zip(names, keys):
+            coords = branch_coords[name]
+            inds = branch_inds[name]
+            dist = self.generate_dist[name]
+
+            new = dist.sample(kb, coords.shape[:-1]).astype(coords.dtype)
+            xnew = jnp.where(inds[..., None], new, coords)
+
+            if self.periodic is not None:
+                xnew = self.periodic.wrap({name: xnew})[name]
+            q[name] = xnew
+
+            # factors: +logq(old) - logq(new), active leaves only
+            # (ref distgen.py:86-102)
+            lq_old = jnp.where(inds, dist.logpdf(coords), 0.0).sum(axis=-1)
+            lq_new = jnp.where(inds, dist.logpdf(xnew), 0.0).sum(axis=-1)
+            f = lq_old - lq_new
+            factors = f if factors is None else factors + f
+        return q, factors, kernel_state

@@ -1,0 +1,73 @@
+"""Whole-ensemble Metropolis-Hastings skeleton.
+
+TPU-native re-design of ``/root/reference/src/eryn/moves/mh.py:16-193``: the
+proposal, prior, likelihood, and accept/merge all operate on the full
+``(ntemps, nwalkers)`` block in one traced pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .move import Move, mh_accept
+from .tempering import tempered_log_likelihood
+
+__all__ = ["MHMove"]
+
+
+class MHMove(Move):
+    """Base for moves proposing updates for all walkers at once.
+
+    Subclasses implement ``get_proposal_kernel(key, branch_coords,
+    branch_inds, kernel_state) -> (q_dict, factors, kernel_state)`` with
+    ``factors`` shaped ``(ntemps, nwalkers)``.
+    """
+
+    def get_proposal_kernel(self, key, branch_coords, branch_inds, kernel_state):
+        raise NotImplementedError
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        names = self.run_branches(state)
+        coords = dict(state.branches_coords)
+        inds = dict(state.branches_inds)
+        ntemps, nwalkers = state.log_like.shape
+        betas = (
+            state.betas
+            if state.betas is not None
+            else jnp.ones((ntemps,), dtype=state.log_like.dtype)
+        )
+
+        key, kprop, kacc = jax.random.split(key, 3)
+        q, factors, kernel_state = self.get_proposal_kernel(
+            kprop,
+            {n: coords[n] for n in names},
+            {n: inds[n] for n in names},
+            kernel_state,
+        )
+
+        q_full = {**coords, **q}
+        logp_new = ctx.compute_log_prior(q_full, inds)
+        logl_new, blobs_new = ctx.compute_log_like(q_full, inds, logp_new)
+
+        logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
+        logP_old = (
+            tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        )
+        acc = mh_accept(kacc, factors, logP_new, logP_old)
+
+        acc4 = acc[:, :, None, None]
+        new_coords = dict(coords)
+        for n in names:
+            new_coords[n] = jnp.where(acc4, q_full[n], coords[n])
+        logl = jnp.where(acc, logl_new, state.log_like)
+        logp = jnp.where(acc, logp_new, state.log_prior)
+        blobs = state.blobs
+        if blobs is not None and blobs_new is not None:
+            acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+            blobs = jnp.where(acc_b, blobs_new, blobs)
+
+        new_state = state.replace(
+            coords=new_coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs
+        )
+        return new_state, acc, kernel_state

@@ -104,6 +104,7 @@ class Move:
         self.accepted = None
         self.num_proposals = 0
         self.time = 0
+        self._host_kernel_state = None
 
     # ------------------------------------------------------------------
     # configuration helpers
@@ -135,18 +136,25 @@ class Move:
     # ------------------------------------------------------------------
     # kernel interface
     # ------------------------------------------------------------------
-    def _propose_impl(self, key, state, ctx):
+    def init_kernel_state(self, state):
+        """Per-move mutable carry (traced): e.g. the sequential-dim counter of
+        GaussianMove or GroupMove friends tables.  Default: empty tuple."""
+        return ()
+
+    def _propose_impl(self, key, state, ctx, kernel_state):
         raise NotImplementedError
 
-    def propose_kernel(self, key, state, time, ctx: EvalContext):
+    def propose_kernel(self, key, state, time, ctx: EvalContext, kernel_state=()):
         """Pure traced proposal + tempering epilogue.
 
-        Returns ``(state, accepted, swaps_accepted, time)`` where ``accepted``
-        is a ``(ntemps, nwalkers)`` float array of per-walker accept flags and
-        ``swaps_accepted`` is ``(ntemps - 1,)``.
+        Returns ``(state, accepted, swaps_accepted, time, kernel_state)``
+        where ``accepted`` is a ``(ntemps, nwalkers)`` float array of
+        per-walker accept flags and ``swaps_accepted`` is ``(ntemps - 1,)``.
         """
         key, k_prop, k_temp = jax.random.split(key, 3)
-        state, accepted = self._propose_impl(k_prop, state, ctx)
+        state, accepted, kernel_state = self._propose_impl(
+            k_prop, state, ctx, kernel_state
+        )
         ntemps = state.log_like.shape[0]
         if (
             ctx.tempering is not None
@@ -160,7 +168,13 @@ class Move:
             swaps_accepted = jnp.zeros(
                 (max(ntemps - 1, 0),), dtype=state.log_like.dtype
             )
-        return state, accepted.astype(state.log_like.dtype), swaps_accepted, time
+        return (
+            state,
+            accepted.astype(state.log_like.dtype),
+            swaps_accepted,
+            time,
+            kernel_state,
+        )
 
     # ------------------------------------------------------------------
     # host-facing Eryn-compatible API
@@ -176,8 +190,12 @@ class Move:
         time = jnp.asarray(
             getattr(model.temperature_control, "time", 0) or 0, dtype=jnp.int32
         )
-        state, accepted, swaps_accepted, _ = self.propose_kernel(
-            subkey, state, time, ctx
+        if getattr(self, "_host_kernel_state", None) is None:
+            self._host_kernel_state = self.init_kernel_state(state)
+        state, accepted, swaps_accepted, _, self._host_kernel_state = (
+            self.propose_kernel(
+                subkey, state, time, ctx, self._host_kernel_state
+            )
         )
         model.set_key(key)
         if model.temperature_control is not None:

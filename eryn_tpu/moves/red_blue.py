@@ -48,7 +48,7 @@ class RedBlueMove(Move):
     def get_proposal_kernel(self, key, s_coords, c_coords, s_inds):
         raise NotImplementedError
 
-    def _propose_impl(self, key, state, ctx):
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
         names = self.run_branches(state)
         ntemps, nwalkers = state.log_like.shape
 
@@ -101,8 +101,14 @@ class RedBlueMove(Move):
             key, kprop, kacc = jax.random.split(key, 3)
             q, factors = self.get_proposal_kernel(kprop, s_coords, c_coords, s_inds)
 
-            logp_new = ctx.compute_log_prior(q, s_inds)
-            logl_new, blobs_new = ctx.compute_log_like(q, s_inds, logp_new)
+            # evaluate over ALL branches: non-proposed branches contribute
+            # their (unchanged) subset coords to the posterior
+            q_eval = {
+                n: (q[n] if n in q else coords[n][:, sel]) for n in coords
+            }
+            inds_eval = {n: inds[n][:, sel] for n in inds}
+            logp_new = ctx.compute_log_prior(q_eval, inds_eval)
+            logl_new, blobs_new = ctx.compute_log_like(q_eval, inds_eval, logp_new)
 
             prev_logl = logl[:, sel]
             prev_logp = logp[:, sel]
@@ -128,4 +134,4 @@ class RedBlueMove(Move):
         new_state = state.replace(
             coords=coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs
         )
-        return new_state, accepted
+        return new_state, accepted, kernel_state

@@ -1,0 +1,93 @@
+"""MH-family moves: Gaussian (all modes), DistributionGenerate, CombineMove,
+weighted move schedules."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+from eryn_tpu.moves import (
+    CombineMove,
+    DistributionGenerate,
+    GaussianMove,
+    StretchMove,
+)
+
+NDIM = 3
+NWALKERS = 40
+
+
+def log_like(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+@pytest.fixture
+def priors():
+    return ProbDistContainer({i: uniform_dist(-10, 10) for i in range(NDIM)})
+
+
+def _run(moves, priors, nsteps=400, burn=200, ntemps=1, seed=5):
+    kwargs = {}
+    if ntemps > 1:
+        kwargs["tempering_kwargs"] = dict(ntemps=ntemps)
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=moves, seed=seed, **kwargs
+    )
+    size = (ntemps, NWALKERS) if ntemps > 1 else (NWALKERS,)
+    coords = 0.1 * np.random.randn(*size, NDIM)
+    ens.run_mcmc(coords, nsteps, burn=burn)
+    return ens
+
+
+def _check_posterior(ens, tol_mean=0.25, tol_std=0.25):
+    chain = ens.get_chain()["model_0"]
+    flat = chain[:, 0].reshape(-1, NDIM)
+    assert np.abs(flat.mean(axis=0)).max() < tol_mean
+    assert np.abs(flat.std(axis=0) - 1.0).max() < tol_std
+
+
+@pytest.mark.parametrize("mode", ["vector", "random", "sequential"])
+def test_gaussian_move_modes(priors, mode):
+    move = GaussianMove({"model_0": 1.2 * np.ones(NDIM)}, mode=mode)
+    ens = _run([move], priors)
+    _check_posterior(ens)
+    acc = ens.acceptance_fraction.mean()
+    assert 0.05 < acc < 0.95
+
+
+def test_gaussian_full_cov_with_factor(priors):
+    cov = 0.5 * np.eye(NDIM) + 0.1
+    move = GaussianMove({"model_0": cov}, factor=3.0)
+    ens = _run([move], priors)
+    _check_posterior(ens)
+
+
+def test_distribution_generate(priors):
+    gen = ProbDistContainer({i: uniform_dist(-3, 3) for i in range(NDIM)})
+    move = DistributionGenerate({"model_0": gen})
+    ens = _run([move], priors, nsteps=800)
+    _check_posterior(ens, tol_mean=0.3, tol_std=0.3)
+
+
+def test_combine_move(priors):
+    move = CombineMove(
+        [StretchMove(), GaussianMove({"model_0": np.ones(NDIM)})]
+    )
+    ens = _run([move], priors)
+    _check_posterior(ens)
+
+
+def test_weighted_schedule(priors):
+    moves = [
+        (StretchMove(), 0.7),
+        (GaussianMove({"model_0": np.ones(NDIM)}), 0.3),
+    ]
+    ens = _run(moves, priors, ntemps=4)
+    chain = ens.get_chain()["model_0"]
+    assert chain.shape[1] == 4
+    _check_posterior(ens)
+    # both moves were actually exercised
+    fracs = {k: v for k, v in ens.backend.moves_accepted_fraction.items()}
+    assert set(fracs) == {"StretchMove", "GaussianMove"}
+    assert all(np.all(np.isfinite(v)) for v in fracs.values())
