@@ -28,7 +28,6 @@ class MHMove(Move):
         raise NotImplementedError
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
-        names = self.run_branches(state)
         coords = dict(state.branches_coords)
         inds = dict(state.branches_inds)
         ntemps, nwalkers = state.log_like.shape
@@ -37,37 +36,46 @@ class MHMove(Move):
             if state.betas is not None
             else jnp.ones((ntemps,), dtype=state.log_like.dtype)
         )
-
-        key, kprop, kacc = jax.random.split(key, 3)
-        q, factors, kernel_state = self.get_proposal_kernel(
-            kprop,
-            {n: coords[n] for n in names},
-            {n: inds[n] for n in names},
-            kernel_state,
-        )
-
-        q_full = {**coords, **q}
-        logp_new = ctx.compute_log_prior(q_full, inds)
-        logl_new, blobs_new = ctx.compute_log_like(q_full, inds, logp_new)
-
-        logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
-        logP_old = (
-            tempered_log_likelihood(state.log_like, betas) + state.log_prior
-        )
-        acc = mh_accept(kacc, factors, logP_new, logP_old)
-
-        acc4 = acc[:, :, None, None]
-        new_coords = dict(coords)
-        for n in names:
-            new_coords[n] = jnp.where(acc4, q_full[n], coords[n])
-        logl = jnp.where(acc, logl_new, state.log_like)
-        logp = jnp.where(acc, logp_new, state.log_prior)
+        logl = state.log_like
+        logp = state.log_prior
         blobs = state.blobs
-        if blobs is not None and blobs_new is not None:
-            acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
-            blobs = jnp.where(acc_b, blobs_new, blobs)
+        accepted = jnp.zeros((ntemps, nwalkers), dtype=bool)
+
+        for names, param_masks in self.gibbs_iterations_for(state):
+            key, kprop, kacc = jax.random.split(key, 3)
+            q, factors, kernel_state = self.get_proposal_kernel(
+                kprop,
+                {n: coords[n] for n in names},
+                {n: inds[n] for n in names},
+                kernel_state,
+            )
+
+            # gibbs parameter masking (ref move.py:297-336)
+            for n in names:
+                mask = param_masks.get(n)
+                if mask is not None:
+                    mask_b = jnp.asarray(mask)[None, None, :, :]
+                    q[n] = jnp.where(mask_b, q[n], coords[n])
+
+            q_full = {**coords, **q}
+            logp_new = ctx.compute_log_prior(q_full, inds)
+            logl_new, blobs_new = ctx.compute_log_like(q_full, inds, logp_new)
+
+            logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
+            logP_old = tempered_log_likelihood(logl, betas) + logp
+            acc = mh_accept(kacc, factors, logP_new, logP_old)
+
+            acc4 = acc[:, :, None, None]
+            for n in names:
+                coords[n] = jnp.where(acc4, q_full[n], coords[n])
+            logl = jnp.where(acc, logl_new, logl)
+            logp = jnp.where(acc, logp_new, logp)
+            if blobs is not None and blobs_new is not None:
+                acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+                blobs = jnp.where(acc_b, blobs_new, blobs)
+            accepted = accepted | acc
 
         new_state = state.replace(
-            coords=new_coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs
+            coords=coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs
         )
-        return new_state, acc, kernel_state
+        return new_state, accepted, kernel_state

@@ -94,10 +94,10 @@ class Move:
     ):
         self.temperature_control = temperature_control
         self.periodic = periodic
-        self.gibbs_sampling_setup = gibbs_sampling_setup
         self.prevent_swaps = prevent_swaps
         self.skip_supp_names_update = list(skip_supp_names_update)
         self.proposal_branch_names = proposal_branch_names
+        self._initialize_branch_setup(gibbs_sampling_setup, is_rj=self.is_rj)
 
         # host-side counters (mirrors ``move.py:404-421``); synced from the
         # device carry by the sampler at segment boundaries.
@@ -128,6 +128,76 @@ class Move:
                 names = [names]
             return [n for n in state.branches if n in names]
         return list(state.branches.keys())
+
+    # ------------------------------------------------------------------
+    # Gibbs sampling setup (re-design of ref ``move.py:113-246``)
+    # ------------------------------------------------------------------
+    def _initialize_branch_setup(self, gibbs_sampling_setup, is_rj=False):
+        """Parse ``gibbs_sampling_setup`` into a list of Gibbs iterations,
+        each ``[(branch_name, (nleaves_max, ndim) bool mask or None), ...]``.
+
+        Accepted forms (matching the reference): a branch-name string, a
+        ``(branch_name, mask)`` tuple, a ``{branch_name: mask}`` dict (all
+        entries in one iteration), or a list of those (sequential
+        iterations).  RJ moves only allow branch-level splits.
+        """
+        self.gibbs_sampling_setup_input = gibbs_sampling_setup
+        if gibbs_sampling_setup is None:
+            self.gibbs_iterations = [None]
+            return
+
+        if type(gibbs_sampling_setup) not in (str, tuple, list, dict):
+            raise ValueError(
+                "gibbs_sampling_setup must be string, dict, tuple, or list."
+            )
+        if not isinstance(gibbs_sampling_setup, list):
+            gibbs_sampling_setup = [gibbs_sampling_setup]
+
+        def check_mask(mask):
+            if mask is None:
+                return None
+            if is_rj:
+                raise ValueError(
+                    "inputting gibbs indexing at the leaf/parameter level is "
+                    "not allowed with an RJ proposal. Only branch names."
+                )
+            mask = np.asarray(mask)
+            if mask.ndim != 2:
+                raise ValueError(
+                    "When inputing gibbs indexing and using a 2-tuple, second "
+                    "item must be None or 2D np.ndarray of shape "
+                    "(nleaves_max, ndim)."
+                )
+            return mask.astype(bool)
+
+        iterations = []
+        for item in gibbs_sampling_setup:
+            if isinstance(item, str):
+                iterations.append([(item, None)])
+            elif isinstance(item, tuple):
+                if len(item) != 2:
+                    raise ValueError("Gibbs tuple must be (branch_name, mask).")
+                iterations.append([(item[0], check_mask(item[1]))])
+            elif isinstance(item, dict):
+                iterations.append(
+                    [(k, check_mask(v)) for k, v in item.items()]
+                )
+            else:
+                raise ValueError(
+                    "If providing a list for gibbs_sampling_setup, each item "
+                    "needs to be a string, tuple, or dict."
+                )
+        self.gibbs_iterations = iterations
+
+    def gibbs_iterations_for(self, state):
+        """Yield ``(branch_names, {name: mask_or_None})`` per Gibbs split."""
+        all_names = self.run_branches(state)
+        for split in self.gibbs_iterations:
+            if split is None:
+                yield all_names, {n: None for n in all_names}
+            else:
+                names = [n for n, _ in split if n in state.branches]
+                yield names, {n: m for n, m in split}
 
     def tune(self, state, accepted):
         """Hook for acceptance-targeted tuning (ref ``move.py:459``)."""

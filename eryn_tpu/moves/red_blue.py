@@ -45,15 +45,15 @@ class RedBlueMove(Move):
         """Per-proposal setup hook (ref ``red_blue.py:84-87``)."""
         pass
 
-    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds):
+    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
         raise NotImplementedError
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
-        names = self.run_branches(state)
         ntemps, nwalkers = state.log_like.shape
 
         total_ndim = sum(
-            state.branches[n].nleaves_max * state.branches[n].ndim for n in names
+            state.branches[n].nleaves_max * state.branches[n].ndim
+            for n in self.run_branches(state)
         )
         if nwalkers < 2 * total_ndim and not self.live_dangerously:
             raise RuntimeError(
@@ -76,12 +76,6 @@ class RedBlueMove(Move):
         )
         accepted = jnp.zeros((ntemps, nwalkers), dtype=bool)
 
-        key, kperm = jax.random.split(key)
-        if self.randomize_split:
-            perm = jax.random.permutation(kperm, nwalkers)
-        else:
-            perm = jnp.arange(nwalkers)
-
         # static subset sizes: the reference's shuffled `arange % nsplits`
         # (red_blue.py:119-124) yields these same counts.
         sizes = [
@@ -90,46 +84,65 @@ class RedBlueMove(Move):
         ]
         offsets = [sum(sizes[:i]) for i in range(self.nsplits)]
 
-        for split, (off, ns) in enumerate(zip(offsets, sizes)):
-            sel = jax.lax.dynamic_slice_in_dim(perm, off, ns)
-            comp = jnp.concatenate([perm[:off], perm[off + ns :]])
+        for names, param_masks in self.gibbs_iterations_for(state):
+            key, kperm = jax.random.split(key)
+            if self.randomize_split:
+                perm = jax.random.permutation(kperm, nwalkers)
+            else:
+                perm = jnp.arange(nwalkers)
 
-            s_coords = {n: coords[n][:, sel] for n in names}
-            c_coords = {n: coords[n][:, comp] for n in names}
-            s_inds = {n: inds[n][:, sel] for n in names}
+            for split, (off, ns) in enumerate(zip(offsets, sizes)):
+                sel = jax.lax.dynamic_slice_in_dim(perm, off, ns)
+                comp = jnp.concatenate([perm[:off], perm[off + ns :]])
 
-            key, kprop, kacc = jax.random.split(key, 3)
-            q, factors = self.get_proposal_kernel(kprop, s_coords, c_coords, s_inds)
+                s_coords = {n: coords[n][:, sel] for n in names}
+                c_coords = {n: coords[n][:, comp] for n in names}
+                s_inds = {n: inds[n][:, sel] for n in names}
 
-            # evaluate over ALL branches: non-proposed branches contribute
-            # their (unchanged) subset coords to the posterior
-            q_eval = {
-                n: (q[n] if n in q else coords[n][:, sel]) for n in coords
-            }
-            inds_eval = {n: inds[n][:, sel] for n in inds}
-            logp_new = ctx.compute_log_prior(q_eval, inds_eval)
-            logl_new, blobs_new = ctx.compute_log_like(q_eval, inds_eval, logp_new)
-
-            prev_logl = logl[:, sel]
-            prev_logp = logp[:, sel]
-            logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
-            logP_old = tempered_log_likelihood(prev_logl, betas) + prev_logp
-
-            acc = mh_accept(kacc, factors, logP_new, logP_old)
-
-            acc4 = acc[:, :, None, None]
-            for n in names:
-                coords[n] = coords[n].at[:, sel].set(
-                    jnp.where(acc4, q[n], s_coords[n])
+                key, kprop, kacc = jax.random.split(key, 3)
+                q, factors = self.get_proposal_kernel(
+                    kprop, s_coords, c_coords, s_inds, param_masks
                 )
-            logl = logl.at[:, sel].set(jnp.where(acc, logl_new, prev_logl))
-            logp = logp.at[:, sel].set(jnp.where(acc, logp_new, prev_logp))
-            if blobs is not None and blobs_new is not None:
-                acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
-                blobs = blobs.at[:, sel].set(
-                    jnp.where(acc_b, blobs_new, blobs[:, sel])
+
+                # gibbs parameter masking: non-selected (leaf, param) entries
+                # keep old values (ref move.py:297-336)
+                for n in names:
+                    mask = param_masks.get(n)
+                    if mask is not None:
+                        mask_b = jnp.asarray(mask)[None, None, :, :]
+                        q[n] = jnp.where(mask_b, q[n], s_coords[n])
+
+                # evaluate over ALL branches: non-proposed branches contribute
+                # their (unchanged) subset coords to the posterior
+                q_eval = {
+                    n: (q[n] if n in q else coords[n][:, sel]) for n in coords
+                }
+                inds_eval = {n: inds[n][:, sel] for n in inds}
+                logp_new = ctx.compute_log_prior(q_eval, inds_eval)
+                logl_new, blobs_new = ctx.compute_log_like(
+                    q_eval, inds_eval, logp_new
                 )
-            accepted = accepted.at[:, sel].set(acc)
+
+                prev_logl = logl[:, sel]
+                prev_logp = logp[:, sel]
+                logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
+                logP_old = tempered_log_likelihood(prev_logl, betas) + prev_logp
+
+                acc = mh_accept(kacc, factors, logP_new, logP_old)
+
+                acc4 = acc[:, :, None, None]
+                for n in names:
+                    coords[n] = coords[n].at[:, sel].set(
+                        jnp.where(acc4, q[n], s_coords[n])
+                    )
+                logl = logl.at[:, sel].set(jnp.where(acc, logl_new, prev_logl))
+                logp = logp.at[:, sel].set(jnp.where(acc, logp_new, prev_logp))
+                if blobs is not None and blobs_new is not None:
+                    acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+                    blobs = blobs.at[:, sel].set(
+                        jnp.where(acc_b, blobs_new, blobs[:, sel])
+                    )
+                accepted = accepted.at[:, sel].set(acc)
 
         new_state = state.replace(
             coords=coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs

@@ -121,7 +121,10 @@ class ReversibleJumpMove(Move):
         return ef
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
-        names = self.run_branches(state)
+        # branch-level Gibbs splits only (ref rj.py:169-203)
+        names = []
+        for split_names, _masks in self.gibbs_iterations_for(state):
+            names.extend(n for n in split_names if n not in names)
         coords = dict(state.branches_coords)
         inds = dict(state.branches_inds)
         logl = state.log_like

@@ -44,7 +44,7 @@ class StretchMove(RedBlueMove):
         rint = jax.random.randint(key, (ntemps, ns), 0, nc)
         return jnp.take_along_axis(c, rint[:, :, None, None], axis=1)
 
-    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds):
+    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
         names = list(s_coords.keys())
         first = s_coords[names[0]]
         ntemps, ns = first.shape[:2]
@@ -73,7 +73,20 @@ class StretchMove(RedBlueMove):
                 temp = self.periodic.wrap({name: temp})[name]
 
             newpos[name] = temp
-            ndim_active = ndim_active + s_inds[name].sum(axis=-1) * s.shape[-1]
+
+            # RJ/Gibbs-aware dimension count: active leaves x selected params
+            # (ref red_blue.py:199-207 + stretch.py:55-72)
+            mask = None if param_masks is None else param_masks.get(name)
+            if mask is None:
+                ndim_active = (
+                    ndim_active + s_inds[name].sum(axis=-1) * s.shape[-1]
+                )
+            else:
+                mask = jnp.asarray(mask)
+                per_leaf = mask.sum(axis=-1).astype(dtype)  # (nleaves_max,)
+                ndim_active = ndim_active + (
+                    s_inds[name] * per_leaf[None, None, :]
+                ).sum(axis=-1)
 
         factors = (ndim_active - 1.0) * jnp.log(zz)
         return newpos, factors

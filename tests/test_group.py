@@ -1,0 +1,79 @@
+"""Group stretch moves (stationary complement), incl. under reversible jump
+(analog of `/root/reference/tests/test_eryn.py:809-1045`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.moves import GroupStretchMove
+
+NDIM = 3
+NWALKERS = 40
+
+
+def log_like(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+def test_group_stretch_gaussian():
+    priors = ProbDistContainer({i: uniform_dist(-8, 8) for i in range(NDIM)})
+    move = GroupStretchMove(n_iter_update=25)
+    ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=9)
+    coords = 0.1 * np.random.randn(NWALKERS, NDIM)
+    ens.run_mcmc(coords, 600, burn=300)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.25
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.25
+    acc = ens.acceptance_fraction.mean()
+    assert 0.1 < acc < 0.9
+
+
+class MeanFriends(GroupStretchMove):
+    """Custom friend selection: friends drawn from the half of the stationary
+    group closest in the first coordinate (exercise the override hooks)."""
+
+    def setup_friends_kernel(self, branches_coords, branches_inds):
+        return {name: c for name, c in branches_coords.items()}
+
+    def find_friends_kernel(self, key, name, s_coords, s_inds, friends):
+        table = friends[name]  # (nt, nf, nl, nd)
+        ntemps, ns = s_coords.shape[:2]
+        nf = table.shape[1]
+        # distance in param-0 between each walker and each friend
+        d = jnp.abs(
+            s_coords[:, :, None, 0, 0] - table[:, None, :, 0, 0]
+        )  # (nt, ns, nf)
+        k = max(nf // 2, 1)
+        _, idx = jax.lax.top_k(-d, k)  # closest half
+        pick = jax.random.randint(key, (ntemps, ns), 0, k)
+        chosen = jnp.take_along_axis(idx, pick[:, :, None], axis=2)[:, :, 0]
+        return jnp.take_along_axis(table, chosen[:, :, None, None], axis=1)
+
+
+def test_group_stretch_custom_friends_under_rj():
+    priors = ProbDistContainer(
+        {0: uniform_dist(0.5, 5.0), 1: uniform_dist(0.0, 10.0)}
+    )
+    nlmax = 2
+    ens = EnsembleSampler(
+        NWALKERS,
+        2,
+        lambda c, m: -0.5 * jnp.sum(jnp.where(m[:, None], c**2, 0.0)),
+        priors,
+        nleaves_max=nlmax,
+        nleaves_min=0,
+        rj_moves=True,
+        moves=[MeanFriends(n_iter_update=20)],
+        tempering_kwargs=dict(ntemps=3),
+        seed=10,
+    )
+    coords = priors.rvs(size=(3, NWALKERS, nlmax))
+    inds = np.random.rand(3, NWALKERS, nlmax) < 0.5
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 150, burn=100)
+    nleaves = ens.get_nleaves()["model_0"]
+    assert nleaves.min() >= 0 and nleaves.max() <= nlmax
+    ll = ens.get_log_like()
+    assert np.all(np.isfinite(ll))
