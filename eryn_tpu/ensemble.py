@@ -529,6 +529,19 @@ class EnsembleSampler:
                 if rs is not None:
                     self._key = jnp.asarray(rs)
 
+        # default runtime plot generator (ref ensemble.py:660-674)
+        if self.plot_iterations > 0 and self.plot_generator is None:
+            from .utils.plot import PlotContainer
+
+            self.plot_generator = PlotContainer(
+                fp="output",
+                backend=self.backend,
+                plot_dir=plot_folder or ".",
+                which_plots=("base", "tempering", "rj")
+                if self.ntemps > 1
+                else ("base",),
+            )
+
         # per-device-segment counters
         self._reset_move_counters()
         self._step_cache = {}
