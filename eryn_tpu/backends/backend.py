@@ -247,7 +247,15 @@ class Backend:
     # ------------------------------------------------------------------
     # getters (ref backend.py:263-384)
     # ------------------------------------------------------------------
-    def get_value(self, name, thin=1, discard=0, slice_vals=None):
+    def get_value(
+        self,
+        name,
+        thin=1,
+        discard=0,
+        temp_index=None,
+        branch_names=None,
+        slice_vals=None,
+    ):
         if not self.initialized or self.iteration <= 0:
             raise AttributeError(
                 "You must run the sampler with 'store == True' before "
@@ -256,15 +264,25 @@ class Backend:
         if slice_vals is None:
             slice_vals = slice(discard + thin - 1, self.iteration, thin)
 
+        if branch_names is None:
+            keep_branches = self.branch_names
+        elif isinstance(branch_names, str):
+            keep_branches = [branch_names]
+        else:
+            keep_branches = list(branch_names)
+
+        def sel_temp(arr):
+            return arr if temp_index is None else arr[:, temp_index]
+
         if name == "chain":
-            return {n: self.chain[n][slice_vals] for n in self.branch_names}
+            return {n: sel_temp(self.chain[n][slice_vals]) for n in keep_branches}
         if name == "inds":
-            return {n: self.inds[n][slice_vals] for n in self.branch_names}
+            return {n: sel_temp(self.inds[n][slice_vals]) for n in keep_branches}
         if name in ("log_like", "log_prior", "betas", "blobs"):
             arr = getattr(self, name)
             if arr is None:
                 raise AttributeError(f"No {name} stored.")
-            return arr[slice_vals]
+            return sel_temp(arr[slice_vals])
         raise ValueError(f"Unknown value name: {name}")
 
     def get_chain(self, **kwargs):

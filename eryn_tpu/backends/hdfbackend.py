@@ -414,7 +414,15 @@ class HDFBackend(Backend):
             g.attrs["iteration"] = it + 1
 
     # ------------------------------------------------------------------
-    def get_value(self, name, thin=1, discard=0, slice_vals=None):
+    def get_value(
+        self,
+        name,
+        thin=1,
+        discard=0,
+        temp_index=None,
+        branch_names=None,
+        slice_vals=None,
+    ):
         """Read values directly from the file (ref ``hdfbackend.py:487-564``)."""
         with self.open() as f:
             g = f[self.name]
@@ -426,22 +434,33 @@ class HDFBackend(Backend):
                 )
             if slice_vals is None:
                 slice_vals = slice(discard + thin - 1, iteration, thin)
+
+            if branch_names is None:
+                keep_branches = list(g.attrs["branch_names"])
+            elif isinstance(branch_names, str):
+                keep_branches = [branch_names]
+            else:
+                keep_branches = list(branch_names)
+
+            def sel_temp(arr):
+                return arr if temp_index is None else arr[:, temp_index]
+
             if name == "chain":
                 return {
-                    n: g["chain"][n][slice_vals]
-                    for n in g.attrs["branch_names"]
+                    n: sel_temp(g["chain"][n][slice_vals])
+                    for n in keep_branches
                 }
             if name == "inds":
                 return {
-                    n: g["inds"][n][slice_vals]
-                    for n in g.attrs["branch_names"]
+                    n: sel_temp(g["inds"][n][slice_vals])
+                    for n in keep_branches
                 }
             if name == "blobs":
                 if not g.attrs["has_blobs"]:
                     raise AttributeError("No blobs stored.")
-                return g["blobs"][slice_vals]
+                return sel_temp(g["blobs"][slice_vals])
             if name in ("log_like", "log_prior", "betas"):
-                return g[name][slice_vals]
+                return sel_temp(g[name][slice_vals])
             raise ValueError(f"Unknown value name: {name}")
 
     @property

@@ -153,6 +153,8 @@ class LikelihoodEvaluator:
             and not rj
             and not provide_groups
         )
+        self.returns_blobs = False
+        self.blob_shape = None
         self.mode = self._detect_mode()
 
     # -- argument building -------------------------------------------------
@@ -166,9 +168,15 @@ class LikelihoodEvaluator:
             return (cdict[name], idict[name])
         return (cdict, idict)
 
+    def _coerce_out(self, out):
+        if isinstance(out, (tuple, list)):
+            ll, blobs = out[0], out[1]
+            return jnp.asarray(ll, dtype=self.dtype), jnp.asarray(blobs)
+        return jnp.asarray(out, dtype=self.dtype)
+
     def _traced_walker(self, cdict, idict):
         out = self.fn(*self._walker_args(cdict, idict), *self.args, **self.kwargs)
-        return jnp.asarray(out, dtype=self.dtype)
+        return self._coerce_out(out)
 
     def _traced_batched(self, cdict, idict):
         if self._simple:
@@ -180,7 +188,7 @@ class LikelihoodEvaluator:
             out = self.fn(cdict[name], idict[name], *self.args, **self.kwargs)
         else:
             out = self.fn(cdict, idict, *self.args, **self.kwargs)
-        return jnp.asarray(out, dtype=self.dtype)
+        return self._coerce_out(out)
 
     def _detect_mode(self):
         example_c = {
@@ -191,19 +199,29 @@ class LikelihoodEvaluator:
             n: jnp.ones((2, self.nleaves_max[n]), dtype=bool)
             for n in self.branch_names
         }
-        try:
-            if self.vectorize:
-                shape = jax.eval_shape(self._traced_batched, example_c, example_i)
-                if shape.shape != (2,):
+        def check_shape(shape):
+            # a tuple/list output means (log_like, blobs)
+            if isinstance(shape, (tuple, list)):
+                ll_shape, blob_shape = shape[0], shape[1]
+                if ll_shape.shape != (2,):
                     raise TypeError(
-                        f"vectorized likelihood returned shape {shape.shape}"
+                        f"likelihood returned shape {ll_shape.shape}"
                     )
-                return "traced-batched"
-            shape = jax.eval_shape(
-                jax.vmap(self._traced_walker), example_c, example_i
-            )
+                self.returns_blobs = True
+                self.blob_shape = tuple(blob_shape.shape[1:])
+                return
             if shape.shape != (2,):
                 raise TypeError(f"likelihood returned shape {shape.shape}")
+
+        try:
+            if self.vectorize:
+                check_shape(
+                    jax.eval_shape(self._traced_batched, example_c, example_i)
+                )
+                return "traced-batched"
+            check_shape(
+                jax.eval_shape(jax.vmap(self._traced_walker), example_c, example_i)
+            )
             return "traced-walker"
         except Exception:
             warnings.warn(
@@ -268,10 +286,13 @@ class LikelihoodEvaluator:
             for n in cf
         }
 
+        blobs = None
         if self.mode == "traced-walker":
-            ll = jax.vmap(self._traced_walker)(cf_safe, inf)
+            out = jax.vmap(self._traced_walker)(cf_safe, inf)
+            ll, blobs = out if self.returns_blobs else (out, None)
         elif self.mode == "traced-batched":
-            ll = self._traced_batched(cf_safe, inf)
+            out = self._traced_batched(cf_safe, inf)
+            ll, blobs = out if self.returns_blobs else (out, None)
         else:
             ll = jax.pure_callback(
                 lambda c, i, lp: self._host_eval(
@@ -296,7 +317,9 @@ class LikelihoodEvaluator:
         ll = jnp.where(
             (nleaves_total == 0) & finite, self.fill_zero_leaves_val, ll
         )
-        return ll.reshape(batch_shape).astype(self.dtype), None
+        if blobs is not None:
+            blobs = blobs.reshape(batch_shape + blobs.shape[1:])
+        return ll.reshape(batch_shape).astype(self.dtype), blobs
 
 
 class _FunctionWrapper:
@@ -1032,6 +1055,7 @@ class EnsembleSampler:
 
         log_prior = state.log_prior
         log_like = state.log_like
+        blobs = state.blobs
         if log_prior is None:
             log_prior = self._prior_eval(coords, inds)
         else:
@@ -1039,7 +1063,9 @@ class EnsembleSampler:
                 self.ntemps, self.nwalkers
             )
         if log_like is None:
-            log_like, _ = self._like_eval(coords, inds, log_prior)
+            log_like, blobs_new = self._like_eval(coords, inds, log_prior)
+            if blobs is None:
+                blobs = blobs_new
         else:
             log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
                 self.ntemps, self.nwalkers
@@ -1059,7 +1085,7 @@ class EnsembleSampler:
             log_like=log_like,
             log_prior=log_prior,
             betas=betas,
-            blobs=state.blobs,
+            blobs=blobs,
             random_state=None,
         )
 
