@@ -133,6 +133,7 @@ class TemperatureControl:
         stop_adaptation=-1,
         permute=True,
         skip_swap_supp_names=(),
+        use_pallas=None,
     ):
         if betas is None:
             if ntemps == 1:
@@ -148,6 +149,7 @@ class TemperatureControl:
         self.skip_swap_supp_names = list(skip_swap_supp_names)
 
         self.time = 0
+        self.use_pallas = use_pallas
         self.adaptive = adaptive
         self.adaptation_time = adaptation_time
         self.adaptation_lag = adaptation_lag
@@ -206,6 +208,12 @@ class TemperatureControl:
         if ntemps == 1:
             return swap_tree, logl, swaps_accepted
 
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and self.permute:
+            return self._swap_kernel_pallas(key, swap_tree, logl, betas)
+
         # all cascade randomness in two fused draws; batched argsort of iid
         # uniforms == per-rung uniform random permutations
         k_perm, k_acc = jax.random.split(key)
@@ -253,6 +261,47 @@ class TemperatureControl:
 
         swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
         return swap_tree, logl, swaps_accepted
+
+    def _swap_kernel_pallas(self, key, swap_tree, logl, betas, interpret=False):
+        """Single-kernel cascade: the whole rung loop runs in VMEM
+        (see :mod:`eryn_tpu.ops.pt_swap`).  A fresh uniform relabeling of the
+        walker axis per cascade composes with per-rung random rotations to
+        randomize swap partners (statistically equivalent to the reference's
+        per-rung permutations)."""
+        from ..ops.pt_swap import pt_swap_cascade
+
+        ntemps, nwalkers = logl.shape
+        k_pi, k_shift, k_acc = jax.random.split(key, 3)
+        pi = jax.random.permutation(k_pi, nwalkers)
+        inv_pi = jnp.argsort(pi)
+
+        logl_p = logl[:, pi]
+        # provenance initialized with TRUE original flat indices
+        origin0 = (
+            jnp.arange(ntemps, dtype=logl.dtype)[:, None] * nwalkers
+            + pi[None, :].astype(logl.dtype)
+        )
+        dbetas = betas[:-1] - betas[1:]
+        shifts = jax.random.randint(k_shift, (ntemps - 1,), 0, nwalkers)
+        raccept = jnp.log(
+            jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=logl.dtype)
+        )
+
+        logl_res, origin_res, sel = pt_swap_cascade(
+            logl_p, origin0, dbetas, shifts, raccept, interpret=interpret
+        )
+        swaps_accepted = sel.sum(axis=-1).astype(logl.dtype)
+
+        logl_new = logl_res[:, inv_pi]
+        flat = origin_res[:, inv_pi].astype(jnp.int32).reshape(-1)
+
+        def gather_leaf(x):
+            return x.reshape((ntemps * nwalkers,) + x.shape[2:])[flat].reshape(
+                x.shape
+            )
+
+        swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
+        return swap_tree, logl_new, swaps_accepted
 
     def ladder_adjustment_kernel(self, time, betas, ratios):
         """Traced ladder adjustment per arXiv:1501.05823

@@ -1,0 +1,108 @@
+"""Correctness of the fused pallas swap-cascade kernel (interpret mode on
+CPU) against a direct NumPy simulation of the same pairing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eryn_tpu.ops.pt_swap import pt_swap_cascade
+
+
+def _numpy_cascade(logl, origin, dbetas, shifts, raccept):
+    logl = logl.copy()
+    origin = origin.copy()
+    ntemps, nw = logl.shape
+    sel_out = np.zeros((ntemps - 1, nw))
+    for i in range(ntemps - 1, 0, -1):
+        s = shifts[i - 1]
+        partner = (np.arange(nw) + s) % nw
+        pacc = dbetas[i - 1] * (logl[i] - logl[i - 1, partner])
+        sel = pacc > raccept[i - 1]
+        sel_out[i - 1] = sel
+        li = logl[i].copy()
+        oi = origin[i].copy()
+        logl[i, sel] = logl[i - 1, partner[sel]]
+        origin[i, sel] = origin[i - 1, partner[sel]]
+        logl[i - 1, partner[sel]] = li[sel]
+        origin[i - 1, partner[sel]] = oi[sel]
+    return logl, origin, sel_out
+
+
+def test_cascade_kernel_matches_numpy():
+    rng = np.random.default_rng(0)
+    ntemps, nw = 6, 37
+    logl = rng.standard_normal((ntemps, nw)).astype(np.float32) * 10
+    origin = np.arange(ntemps * nw, dtype=np.float32).reshape(ntemps, nw)
+    betas = np.logspace(0, -2, ntemps).astype(np.float32)
+    dbetas = betas[:-1] - betas[1:]
+    shifts = rng.integers(0, nw, size=ntemps - 1).astype(np.int32)
+    raccept = np.log(rng.uniform(size=(ntemps - 1, nw))).astype(np.float32)
+
+    out_l, out_o, sel = pt_swap_cascade(
+        jnp.asarray(logl),
+        jnp.asarray(origin),
+        jnp.asarray(dbetas),
+        jnp.asarray(shifts),
+        jnp.asarray(raccept),
+        interpret=True,
+    )
+    exp_l, exp_o, exp_sel = _numpy_cascade(logl, origin, dbetas, shifts, raccept)
+
+    np.testing.assert_allclose(np.asarray(out_l), exp_l, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_o), exp_o)
+    np.testing.assert_array_equal(np.asarray(sel), exp_sel)
+
+    # provenance is a permutation: gathering the input logl by it reproduces
+    # the swapped logl
+    flat = np.asarray(out_o).astype(int).reshape(-1)
+    assert sorted(flat) == list(range(ntemps * nw))
+    np.testing.assert_allclose(
+        logl.reshape(-1)[flat].reshape(ntemps, nw), np.asarray(out_l), rtol=1e-6
+    )
+
+
+def test_pallas_path_statistics():
+    """The pallas temper path gives the same swap statistics as the XLA
+    path (run via interpret mode on CPU)."""
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+    from eryn_tpu.moves.tempering import TemperatureControl
+    from eryn_tpu.state import State
+
+    ntemps, nw = 6, 64
+    rng = np.random.default_rng(1)
+    tc = TemperatureControl(5, nw, ntemps=ntemps, adaptive=False)
+
+    logl = jnp.asarray(rng.standard_normal((ntemps, nw)) * 5.0)
+    state = State(
+        {"model_0": jnp.asarray(rng.standard_normal((ntemps, nw, 1, 3)))},
+        log_like=logl,
+        log_prior=jnp.zeros((ntemps, nw)),
+        betas=jnp.asarray(tc.betas),
+    )
+
+    n_rep = 200
+    accs = {"xla": [], "pallas": []}
+    for mode in ("xla", "pallas"):
+        for r in range(n_rep):
+            key = jax.random.PRNGKey(r)
+            if mode == "xla":
+                tc.use_pallas = False
+                _, swaps, _ = tc.temper_kernel(
+                    key, state, jnp.zeros((), jnp.int32), adapt=False
+                )
+            else:
+                tree = {
+                    "coords": state.branches_coords,
+                    "inds": state.branches_inds,
+                    "log_prior": state.log_prior,
+                }
+                _, _, swaps = tc._swap_kernel_pallas(
+                    key, tree, state.log_like, state.betas, interpret=True
+                )
+            accs[mode].append(np.asarray(swaps))
+    mean_xla = np.mean(accs["xla"], axis=0) / nw
+    mean_pallas = np.mean(accs["pallas"], axis=0) / nw
+    # same expected per-rung swap acceptance
+    np.testing.assert_allclose(mean_pallas, mean_xla, atol=0.05)
