@@ -25,7 +25,9 @@ FALLBACK_REF_STEPS_PER_SEC = 117.6
 NDIM = 5
 NWALKERS = 100
 NTEMPS = 10
-NSTEPS = 2000
+# long device-resident scans measure sustained sampling throughput
+# (production runs execute segments this size per dispatch)
+NSTEPS = 8000
 
 
 def bench_tpu():

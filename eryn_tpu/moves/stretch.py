@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .red_blue import RedBlueMove
+from .tempering import tempered_log_likelihood
 
 __all__ = ["StretchMove"]
 
@@ -27,9 +28,134 @@ class StretchMove(RedBlueMove):
     parameters from the ``inds`` masks.
     """
 
-    def __init__(self, a=2.0, return_gpu=False, random_seed=None, **kwargs):
+    def __init__(self, a=2.0, return_gpu=False, random_seed=None, use_pallas=None, **kwargs):
         super().__init__(**kwargs)
         self.a = float(a)
+        self.use_pallas = use_pallas
+
+    # ------------------------------------------------------------------
+    # fused TPU fast path
+    # ------------------------------------------------------------------
+    def _can_fuse(self, state):
+        if self.use_pallas is False:
+            return False
+        if self.use_pallas is None and jax.default_backend() != "tpu":
+            return False
+        return (
+            self.periodic is None
+            and self.gibbs_iterations == [None]
+            and state.blobs is None
+            and self.nsplits == 2
+            and self.randomize_split
+            and type(self).get_proposal_kernel is StretchMove.get_proposal_kernel
+            and type(self).choose_c_vals is StretchMove.choose_c_vals
+            and self.run_branches(state) == list(state.branches.keys())
+        )
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        if self._can_fuse(state):
+            return self._propose_impl_fused(key, state, ctx, kernel_state)
+        return super()._propose_impl(key, state, ctx, kernel_state)
+
+    def _propose_impl_fused(self, key, state, ctx, kernel_state=()):
+        """Two pallas launches per half (propose, accept+merge) bracketing
+        the XLA likelihood; branch blocks concatenated along the trailing
+        axis (see :mod:`eryn_tpu.ops.stretch_kernels`)."""
+        from ..ops.stretch_kernels import stretch_accept, stretch_propose
+
+        interpret = jax.default_backend() != "tpu"
+        names = list(state.branches.keys())
+        ntemps, nwalkers = state.log_like.shape
+        dtype = state.log_like.dtype
+
+        total_ndim = sum(
+            state.branches[n].nleaves_max * state.branches[n].ndim for n in names
+        )
+        if nwalkers < 2 * total_ndim and not self.live_dangerously:
+            raise RuntimeError(
+                "It is unadvisable to use a red-blue move with fewer walkers "
+                "than twice the number of dimensions. (set live_dangerously "
+                "to override)"
+            )
+
+        # flatten all branches into one (nt, nw, D) block
+        shapes = [
+            (n, state.branches[n].nleaves_max, state.branches[n].ndim)
+            for n in names
+        ]
+        X = jnp.concatenate(
+            [state.branches[n].coords.reshape(ntemps, nwalkers, -1) for n in names],
+            axis=-1,
+        )
+        inds = dict(state.branches_inds)
+        ndim_act = jnp.zeros((ntemps, nwalkers), dtype=dtype)
+        for n in names:
+            ndim_act = ndim_act + inds[n].sum(axis=-1) * state.branches[n].ndim
+
+        logl = state.log_like
+        logp = state.log_prior
+        betas = (
+            state.betas
+            if state.betas is not None
+            else jnp.ones((ntemps,), dtype=dtype)
+        )
+        accepted = jnp.zeros((ntemps, nwalkers), dtype=dtype)
+
+        key, kperm, ku = jax.random.split(key, 3)
+        perm = jax.random.permutation(kperm, nwalkers)
+        n0 = nwalkers - nwalkers // 2
+        sizes = [n0, nwalkers - n0]
+        offsets = [0, n0]
+        # all per-step randomness in one draw
+        u_all = jax.random.uniform(ku, (2, 3, ntemps, nwalkers), dtype=dtype)
+
+        def q_to_branches(q, ns):
+            out = {}
+            off = 0
+            for n, nl, nd in shapes:
+                out[n] = q[..., off : off + nl * nd].reshape(ntemps, ns, nl, nd)
+                off += nl * nd
+            return out
+
+        for half, (off, ns) in enumerate(zip(offsets, sizes)):
+            sel = jax.lax.dynamic_slice_in_dim(perm, off, ns)
+            comp = jnp.concatenate([perm[:off], perm[off + ns :]])
+
+            s_blk = X[:, sel]
+            c_blk = X[:, comp]
+            u = u_all[half, :2, :, :ns]
+            q, factors = stretch_propose(
+                s_blk, c_blk, ndim_act[:, sel], u, a=self.a, interpret=interpret
+            )
+
+            q_branches = q_to_branches(q, ns)
+            inds_blk = {n: inds[n][:, sel] for n in names}
+            logp_new = ctx.compute_log_prior(q_branches, inds_blk)
+            logl_new, _ = ctx.compute_log_like(q_branches, inds_blk, logp_new)
+
+            coords_blk, logl_blk, logp_blk, acc = stretch_accept(
+                q,
+                s_blk,
+                logl_new,
+                logp_new,
+                logl[:, sel],
+                logp[:, sel],
+                factors,
+                betas,
+                u_all[half, 2, :, :ns],
+                interpret=interpret,
+            )
+
+            X = X.at[:, sel].set(coords_blk)
+            logl = logl.at[:, sel].set(logl_blk)
+            logp = logp.at[:, sel].set(logp_blk)
+            accepted = accepted.at[:, sel].set(acc)
+
+        new_coords = q_to_branches(X, nwalkers)
+        new_state = state.replace(
+            coords=new_coords, inds=inds, log_like=logl, log_prior=logp
+        )
+        return new_state, accepted.astype(bool), kernel_state
 
     def adjust_factors(self, factors, ndims_old, ndims_new):
         """Gibbs dimension correction (ref ``stretch.py:55-72``):
