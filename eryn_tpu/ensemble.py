@@ -233,10 +233,54 @@ class LikelihoodEvaluator:
             return "callback"
 
     # -- host callback path --------------------------------------------------
+    def _host_eval_vectorized(self, coords_flat, inds_flat, logp_flat):
+        """Reference ``vectorize=True`` grouping semantics
+        (``ensemble.py:1305-1406``): flattened active-leaf arrays per branch
+        plus flat walker-group ids, one call for the whole batch."""
+        names = self.branch_names
+        N = logp_flat.shape[0]
+        out = np.full(N, -np.inf, dtype=np.float64)
+        finite = np.isfinite(logp_flat)
+        # zero-leaf walkers never reach the user function
+        # (ref ensemble.py:1486-1499)
+        nleaves_tot = sum(inds_flat[n].sum(axis=-1) for n in names)
+        out[(nleaves_tot == 0) & finite] = self.fill_zero_leaves_val
+        keep = np.where(finite & (nleaves_tot > 0))[0]
+        if keep.size == 0:
+            return out
+
+        x_in = []
+        groups_in = []
+        total_active = 0
+        for n in names:
+            m = inds_flat[n][keep]  # (nkeep, nl)
+            c = coords_flat[n][keep]
+            walker_ids = np.broadcast_to(
+                np.arange(keep.size)[:, None], m.shape
+            )
+            x_in.append(c[m])
+            groups_in.append(walker_ids[m])
+            total_active += int(m.sum())
+
+        if len(names) == 1:
+            args = (x_in[0],)
+            if self.provide_groups:
+                args = (x_in[0], groups_in[0])
+        else:
+            args = (x_in,)
+            if self.provide_groups:
+                args = (x_in, groups_in)
+
+        res = np.asarray(self.fn(*args, *self.args, **self.kwargs))
+        out[keep] = res.reshape(keep.size)
+        return out
+
     def _host_eval(self, coords_flat, inds_flat, logp_flat):
         """Reference per-walker grouping semantics
         (``ensemble.py:1408-1481``): active leaves per branch, ``None`` for
         zero-leaf branches in the multi-branch case."""
+        if self.vectorize:
+            return self._host_eval_vectorized(coords_flat, inds_flat, logp_flat)
         names = self.branch_names
         N = logp_flat.shape[0]
         out = np.full(N, -np.inf, dtype=np.float64)
@@ -571,6 +615,10 @@ class EnsembleSampler:
         self._kernel_states = None
         # max stored iterations buffered on device per dispatch
         self._max_segment = 256
+        from .utils.profiling import SegmentTimer
+
+        #: per-segment wall-time / throughput instrumentation
+        self.timing = SegmentTimer()
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -930,6 +978,9 @@ class EnsembleSampler:
                 m.init_kernel_state(state) for m in self.moves + self.rj_moves
             )
         fn = self._get_bulk_fn(nstored, thin_by, store)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         carry, snaps = fn(
             self._key,
             state,
@@ -940,6 +991,8 @@ class EnsembleSampler:
             jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
             self._kernel_states,
         )
+        jax.block_until_ready(carry[1].log_like)
+        self.timing.record(nstored * thin_by, _time.perf_counter() - _t0)
         (
             self._key,
             state,

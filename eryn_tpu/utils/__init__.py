@@ -10,8 +10,12 @@ from .utility import (
     thermodynamic_integration_log_evidence,
 )
 
+from .profiling import SegmentTimer, trace_profile
+
 __all__ = [
     "PeriodicContainer",
+    "SegmentTimer",
+    "trace_profile",
     "groups_from_inds",
     "get_acf",
     "get_integrated_act",
