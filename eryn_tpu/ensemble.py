@@ -1135,10 +1135,12 @@ class EnsembleSampler:
         return State(
             coords,
             inds=inds,
+            branch_supplemental=state.branches_supplemental,
             log_like=log_like,
             log_prior=log_prior,
             betas=betas,
             blobs=blobs,
+            supplemental=state.supplemental,
             random_state=None,
         )
 

@@ -337,6 +337,13 @@ class TemperatureControl:
             "inds": state.branches_inds,
             "log_prior": state.log_prior,
         }
+        branch_supps = {
+            name: supp.holder
+            for name, supp in state.branches_supplemental.items()
+            if supp is not None
+        }
+        if branch_supps:
+            swap_tree["branch_supps"] = branch_supps
         if state.blobs is not None:
             swap_tree["blobs"] = state.blobs
         if state.supplemental is not None:
@@ -364,19 +371,27 @@ class TemperatureControl:
                 betas = new_betas
             time = time + 1
 
+        from ..state import BranchSupplemental
+
         supplemental = state.supplemental
         if supplemental is not None:
             new_holder = dict(supplemental.holder)
             new_holder.update(swap_tree.get("supps", {}))
-            from ..state import BranchSupplemental
-
             supplemental = BranchSupplemental(
                 new_holder, base_shape=supplemental.base_shape
+            )
+
+        branch_supplemental = dict(state.branches_supplemental)
+        for name, holder in swap_tree.get("branch_supps", {}).items():
+            old = branch_supplemental[name]
+            branch_supplemental[name] = BranchSupplemental(
+                holder, base_shape=old.base_shape
             )
 
         new_state = state.replace(
             coords=swap_tree["coords"],
             inds=swap_tree["inds"],
+            branch_supplemental=branch_supplemental,
             log_like=logl,
             log_prior=swap_tree["log_prior"],
             blobs=swap_tree.get("blobs", state.blobs),

@@ -1,0 +1,205 @@
+"""Batched independent sub-ensembles (the TPU-native ParaState runner).
+
+The reference defines ``ParaState`` with a ``groups_running`` mask for
+ensembles of independent sub-runs but ships no runner for it
+(``/root/reference/src/eryn/state.py:588-775``, unused in-tree).  On TPU the
+natural realization is ``vmap``: one compiled sampler step mapped over a
+leading ``ngroups`` axis, so hundreds of independent PT ensembles (e.g. one
+per data segment, or one per initialization) advance in a single device
+dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ensemble import EnsembleSampler
+from ..state import ParaState, State
+
+__all__ = ["ParaEnsembleSampler"]
+
+
+class ParaEnsembleSampler:
+    """Run ``ngroups`` independent ensembles batched via ``vmap``.
+
+    Accepts the same configuration as :class:`~eryn_tpu.ensemble.
+    EnsembleSampler`; every group gets its own PRNG stream, temperature
+    ladder (adapting independently), and chain.
+
+    Note: the batched runner keeps its chain in memory
+    (``(nsteps, ngroups, ntemps, nwalkers, ...)``); per-group HDF5 export can
+    go through ordinary single-group backends.
+    """
+
+    def __init__(self, ngroups, nwalkers, ndims, log_like_fn, priors, seed=None, **kwargs):
+        self.ngroups = int(ngroups)
+        # pallas kernels under vmap are avoided for robustness; the XLA swap
+        # path vectorizes cleanly over the group axis
+        tempering_kwargs = dict(kwargs.pop("tempering_kwargs", {}) or {})
+        if tempering_kwargs:
+            tempering_kwargs.setdefault("use_pallas", False)
+        kwargs.pop("backend", None)
+        self.sampler = EnsembleSampler(
+            nwalkers,
+            ndims,
+            log_like_fn,
+            priors,
+            tempering_kwargs=tempering_kwargs,
+            seed=seed,
+            **kwargs,
+        )
+        for move in self.sampler.moves:
+            if hasattr(move, "use_pallas"):
+                move.use_pallas = False
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        self._keys = jax.random.split(jax.random.PRNGKey(seed), self.ngroups)
+        self._chain = []
+        self._log_like = []
+        self._log_prior = []
+        self._inds = []
+        self._betas = []
+        self._state = None
+        self._fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _setup_states(self, coords, inds=None):
+        """coords: {name: (ngroups, ntemps, nwalkers, nleaves_max, ndim)} or
+        a bare array for a single branch."""
+        s = self.sampler
+
+        def per_group(c_g, i_g):
+            return s._setup_state(
+                State(c_g, inds=i_g), skip_initial_state_check=True
+            )
+
+        if not isinstance(coords, dict):
+            coords = {s.branch_names[0]: coords}
+
+        def coerce5(c):
+            # (ngroups, [ntemps,] nwalkers, [nleaves_max,] ndim) -> 5D
+            if c.ndim == 3:
+                c = c[:, None, :, None, :]
+            elif c.ndim == 4:
+                c = c[:, :, :, None, :]
+            elif c.ndim != 5:
+                raise ValueError(f"coords must be 3-5D, got {c.shape}")
+            return c
+
+        coords = {
+            n: coerce5(jnp.asarray(c, dtype=s.dtype)) for n, c in coords.items()
+        }
+        if inds is None:
+            inds = {n: jnp.ones(c.shape[:-1], dtype=bool) for n, c in coords.items()}
+        else:
+            if not isinstance(inds, dict):
+                inds = {s.branch_names[0]: inds}
+            inds = {n: jnp.asarray(v).astype(bool) for n, v in inds.items()}
+        return jax.vmap(per_group)(coords, inds)
+
+    def _batched_bulk(self, nstored, thin_by, store):
+        cache_key = (nstored, thin_by, store)
+        if cache_key in self._fn_cache:
+            return self._fn_cache[cache_key]
+        s = self.sampler
+        fn = s._build_bulk_fn(nstored, thin_by, store)
+
+        def one_group(key, state, time, ks):
+            nm = len(s.moves)
+            nrj = len(s.rj_moves)
+            zeros = lambda *sh: jnp.zeros(sh, dtype=s.dtype)  # noqa: E731
+            carry, snaps = fn(
+                key,
+                state,
+                time,
+                zeros(nm, s.ntemps, s.nwalkers),
+                zeros(nm),
+                zeros(nrj, s.ntemps, s.nwalkers),
+                zeros(nrj),
+                ks,
+            )
+            key, state, time = carry[0], carry[1], carry[2]
+            return key, state, time, carry[7], snaps
+
+        out = jax.jit(jax.vmap(one_group))
+        self._fn_cache[cache_key] = out
+        return out
+
+    def run_mcmc(self, coords, nsteps, burn=None, thin_by=1, inds=None, store=True):
+        """Advance all groups; returns the final batched State."""
+        s = self.sampler
+        if self._state is None or coords is not None:
+            state = self._setup_states(coords, inds)
+            time = jnp.zeros((self.ngroups,), dtype=jnp.int32)
+            state_g0 = jax.tree_util.tree_map(lambda x: x[0], state)
+            proto_ks = tuple(
+                m.init_kernel_state(state_g0) for m in s.moves + s.rj_moves
+            )
+            ks = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (self.ngroups,) + jnp.asarray(x).shape
+                ),
+                proto_ks,
+            )
+            self._state = (state, time, ks)
+
+        state, time, ks = self._state
+
+        if burn:
+            fn = self._batched_bulk(1, int(burn) * thin_by, store=False)
+            self._keys, state, time, ks, _ = fn(self._keys, state, time, ks)
+
+        if nsteps:
+            fn = self._batched_bulk(int(nsteps), thin_by, store=store)
+            self._keys, state, time, ks, snaps = fn(self._keys, state, time, ks)
+            if store and snaps is not None:
+                snaps = jax.tree_util.tree_map(np.asarray, snaps)
+                # snaps leading dims: (ngroups, nstored, ...) -> store as
+                # (nstored, ngroups, ...)
+                self._chain.append(
+                    {
+                        n: np.swapaxes(snaps["coords"][n], 0, 1)
+                        for n in snaps["coords"]
+                    }
+                )
+                self._inds.append(
+                    {n: np.swapaxes(snaps["inds"][n], 0, 1) for n in snaps["inds"]}
+                )
+                self._log_like.append(np.swapaxes(snaps["log_like"], 0, 1))
+                self._log_prior.append(np.swapaxes(snaps["log_prior"], 0, 1))
+                self._betas.append(np.swapaxes(snaps["betas"], 0, 1))
+
+        self._state = (state, time, ks)
+        return ParaState(
+            {n: b.coords for n, b in state.branches.items()},
+            inds={n: b.inds for n, b in state.branches.items()},
+            log_like=state.log_like,
+            log_prior=state.log_prior,
+            betas=state.betas,
+            groups_running=jnp.ones((self.ngroups,), dtype=bool),
+        )
+
+    # ------------------------------------------------------------------
+    def get_chain(self):
+        return {
+            n: np.concatenate([c[n] for c in self._chain], axis=0)
+            for n in self._chain[0]
+        }
+
+    def get_inds(self):
+        return {
+            n: np.concatenate([c[n] for c in self._inds], axis=0)
+            for n in self._inds[0]
+        }
+
+    def get_log_like(self):
+        return np.concatenate(self._log_like, axis=0)
+
+    def get_log_prior(self):
+        return np.concatenate(self._log_prior, axis=0)
+
+    def get_betas(self):
+        return np.concatenate(self._betas, axis=0)

@@ -196,13 +196,13 @@ class MultivariateNormalDistribution(JaxDistribution):
         self.cov = cov
         self.ndim = self.mean.shape[0]
         self._chol = jnp.linalg.cholesky(cov)
+        self._inv = jnp.linalg.inv(cov)
         self._logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(self._chol)))
 
     def logpdf(self, x):
         x = jnp.asarray(x)
         diff = x - self.mean
-        sol = jax.scipy.linalg.cho_solve((self._chol, True), diff[..., None])[..., 0]
-        maha = jnp.sum(diff * sol, axis=-1)
+        maha = jnp.einsum("...i,ij,...j->...", diff, self._inv, diff)
         k = self.ndim
         return -0.5 * (maha + k * jnp.log(2 * jnp.pi) + self._logdet)
 

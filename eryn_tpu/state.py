@@ -58,7 +58,7 @@ class Branch:
     Mirrors ``/root/reference/src/eryn/state.py:330-384``.
     """
 
-    def __init__(self, coords, inds=None):
+    def __init__(self, coords, inds=None, branch_supplemental=None):
         coords = _coerce_coords(coords)
         ntemps, nwalkers, nleaves_max, ndim = coords.shape
         if inds is None:
@@ -74,6 +74,7 @@ class Branch:
                 )
         self.coords = coords
         self.inds = inds
+        self.supplemental = branch_supplemental
 
     # --- shape info -----------------------------------------------------
     @property
@@ -103,12 +104,12 @@ class Branch:
 
     # --- pytree protocol ------------------------------------------------
     def tree_flatten(self):
-        return (self.coords, self.inds), None
+        return (self.coords, self.inds, self.supplemental), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.coords, obj.inds = children
+        obj.coords, obj.inds, obj.supplemental = children
         return obj
 
     def __repr__(self):
@@ -248,8 +249,17 @@ class State:
         self.branches = {}
         for name, c in coords.items():
             branch_inds = None if inds is None else inds.get(name)
+            branch_supp = (
+                None
+                if branch_supplemental is None
+                else branch_supplemental.get(name)
+            )
+            if isinstance(branch_supp, dict):
+                branch_supp = BranchSupplemental(branch_supp)
             self.branches[name] = (
-                c if isinstance(c, Branch) else Branch(c, inds=branch_inds)
+                c
+                if isinstance(c, Branch)
+                else Branch(c, inds=branch_inds, branch_supplemental=branch_supp)
             )
 
         self.log_like = None if log_like is None else jnp.asarray(log_like)
@@ -281,7 +291,7 @@ class State:
 
     @property
     def branches_supplemental(self):
-        return {name: None for name in self.branches}
+        return {name: b.supplemental for name, b in self.branches.items()}
 
     @property
     def ntemps(self):
@@ -313,11 +323,19 @@ class State:
         new.betas = updates.pop("betas", self.betas)
         new.supplemental = updates.pop("supplemental", self.supplemental)
         new.random_state = updates.pop("random_state", self.random_state)
-        if "coords" in updates or "inds" in updates:
+        if "coords" in updates or "inds" in updates or "branch_supplemental" in updates:
             coords = updates.pop("coords", self.branches_coords)
             inds = updates.pop("inds", self.branches_inds)
+            branch_supps = updates.pop(
+                "branch_supplemental", self.branches_supplemental
+            )
             new.branches = {
-                name: Branch(coords[name], inds=inds[name]) for name in coords
+                name: Branch(
+                    coords[name],
+                    inds=inds[name],
+                    branch_supplemental=branch_supps.get(name),
+                )
+                for name in coords
             }
         if updates:
             raise TypeError(f"Unknown State fields: {list(updates)}")
@@ -357,22 +375,65 @@ class State:
 
 @tree_util.register_pytree_node_class
 class ParaState(State):
-    """State variant carrying ``groups_running`` instead of leaf masks,
-    for batched independent sub-ensembles (``state.py:588-775``)."""
+    """State variant carrying ``groups_running`` for batched independent
+    sub-ensembles (``state.py:588-775``).
 
-    def __init__(self, coords, groups_running=None, **kwargs):
+    Accepts group-batched 5D coordinates
+    ``(ngroups, ntemps, nwalkers, nleaves_max, ndim)``; the group and
+    temperature axes are stored folded together (``ngroups * ntemps``
+    leading dim) with ``ngroups`` kept for unstacking via
+    :meth:`group_view`.
+    """
+
+    def __init__(self, coords, groups_running=None, ngroups=None, **kwargs):
+        if isinstance(coords, dict):
+            first = next(iter(coords.values()))
+            arr = first.coords if isinstance(first, Branch) else jnp.asarray(first)
+            if arr.ndim == 5:
+                ngroups = arr.shape[0] if ngroups is None else ngroups
+
+                def fold(x, extra=0):
+                    x = jnp.asarray(x)
+                    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+                coords = {n: fold(c) for n, c in coords.items()}
+                if kwargs.get("inds") is not None:
+                    kwargs["inds"] = {
+                        n: fold(v) for n, v in kwargs["inds"].items()
+                    }
+                for field in ("log_like", "log_prior"):
+                    if kwargs.get(field) is not None:
+                        kwargs[field] = fold(kwargs[field])
+                if kwargs.get("betas") is not None:
+                    b = jnp.asarray(kwargs["betas"])
+                    if b.ndim == 2:
+                        kwargs["betas"] = b.reshape(-1)
         super().__init__(coords, **kwargs)
+        self.ngroups = ngroups
         self.groups_running = (
             None if groups_running is None else jnp.asarray(groups_running)
         )
 
+    def group_view(self, field_dict):
+        """Unfold ``(ngroups * ntemps, ...)`` arrays back to group-batched."""
+        if self.ngroups is None:
+            return field_dict
+        ng = self.ngroups
+
+        def unfold(x):
+            return x.reshape((ng, x.shape[0] // ng) + x.shape[1:])
+
+        return tree_util.tree_map(unfold, field_dict)
+
     def tree_flatten(self):
         children, names = super().tree_flatten()
-        return children + (self.groups_running,), names
+        return children + (self.groups_running,), (names, self.ngroups)
 
     @classmethod
-    def tree_unflatten(cls, names, children):
+    def tree_unflatten(cls, aux, children):
+        names, ngroups = aux
         obj = super().tree_unflatten(names, children[:-1])
         obj.__class__ = cls
         obj.groups_running = children[-1]
+        obj.ngroups = ngroups
         return obj

@@ -1,0 +1,62 @@
+"""Batched independent sub-ensembles (ParaEnsembleSampler / ParaState)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import ParaState, ProbDistContainer, uniform_dist
+from eryn_tpu.parallel.para import ParaEnsembleSampler
+
+NDIM = 2
+NWALKERS = 24
+NGROUPS = 4
+
+
+def test_para_ensemble_independent_groups():
+    # each group targets a Gaussian with a different mean
+    mus = jnp.asarray([-2.0, -0.5, 0.5, 2.0])
+
+    def log_like(x, mu):
+        return -0.5 * jnp.sum((x - mu) ** 2)
+
+    # group-dependent likelihood via kwargs is not batched; instead encode
+    # the group mean in the first coordinate's prior window... simplest:
+    # identical likelihood, verify groups decorrelate.
+    priors = ProbDistContainer({i: uniform_dist(-6, 6) for i in range(NDIM)})
+    para = ParaEnsembleSampler(
+        NGROUPS,
+        NWALKERS,
+        NDIM,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors,
+        tempering_kwargs=dict(ntemps=3),
+        seed=60,
+    )
+    coords = priors.rvs(size=(NGROUPS, 3, NWALKERS))
+    state = para.run_mcmc(coords, 200, burn=100)
+    assert isinstance(state, ParaState)
+    assert state.groups_running.shape == (NGROUPS,)
+
+    chain = para.get_chain()["model_0"]
+    assert chain.shape == (200, NGROUPS, 3, NWALKERS, 1, NDIM)
+    flat = chain[:, :, 0].reshape(200, NGROUPS, -1)
+
+    # every group converged to the same posterior...
+    for g in range(NGROUPS):
+        vals = chain[:, g, 0].reshape(-1, NDIM)
+        assert np.abs(vals.mean(axis=0)).max() < 0.3
+        assert np.abs(vals.std(axis=0) - 1.0).max() < 0.3
+
+    # ...but with independent chains (different random streams)
+    g0 = chain[:, 0, 0, 0, 0, 0]
+    g1 = chain[:, 1, 0, 0, 0, 0]
+    assert not np.allclose(g0, g1)
+
+    ll = para.get_log_like()
+    assert ll.shape == (200, NGROUPS, 3, NWALKERS)
+    assert np.isfinite(ll).all()
+
+    # continuing advances all groups
+    para.run_mcmc(None, 50)
+    assert para.get_log_like().shape[0] == 250

@@ -1,0 +1,58 @@
+"""BranchSupplemental: storage, indexing, and consistency through
+temperature swaps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eryn_tpu import BranchSupplemental, State
+from eryn_tpu.moves.tempering import TemperatureControl
+
+
+def test_branch_supplemental_container():
+    supp = BranchSupplemental(
+        {"walker_id": np.arange(12).reshape(3, 4)}, base_shape=(3, 4)
+    )
+    assert "walker_id" in supp
+    assert supp["walker_id"].shape == (3, 4)
+    assert supp.flat["walker_id"].shape == (12,)
+    with pytest.raises(ValueError):
+        BranchSupplemental({"bad": np.zeros((2, 2))}, base_shape=(3, 4))
+
+
+def test_supplemental_swaps_with_coords():
+    """After the swap cascade, per-branch supplemental entries must have
+    moved together with their coordinates."""
+    ntemps, nw, ndim = 5, 16, 2
+    rng = np.random.default_rng(0)
+    coords = rng.standard_normal((ntemps, nw, 1, ndim))
+    # supplemental tag == first coordinate, so they must stay equal
+    tag = coords[:, :, 0, 0].copy()
+
+    state = State(
+        {"model_0": coords},
+        branch_supplemental={
+            "model_0": BranchSupplemental(
+                {"tag": tag}, base_shape=(ntemps, nw)
+            )
+        },
+        log_like=rng.standard_normal((ntemps, nw)) * 5,
+        log_prior=np.zeros((ntemps, nw)),
+        betas=np.logspace(0, -2, ntemps),
+    )
+    tc = TemperatureControl(ndim, nw, ntemps=ntemps, adaptive=False)
+    tc.use_pallas = False
+
+    new_state, swaps, _ = tc.temper_kernel(
+        jax.random.PRNGKey(0), state, jnp.zeros((), jnp.int32), adapt=False
+    )
+    assert np.asarray(swaps).sum() > 0  # swaps actually happened
+    new_tag = np.asarray(new_state.branches_supplemental["model_0"]["tag"])
+    new_c0 = np.asarray(new_state.branches["model_0"].coords[:, :, 0, 0])
+    np.testing.assert_allclose(new_tag, new_c0)
+    # and it is a permutation of the original tags
+    np.testing.assert_allclose(
+        np.sort(new_tag.ravel()), np.sort(tag.ravel())
+    )
