@@ -41,6 +41,11 @@ class StretchMove(RedBlueMove):
             return False
         if self.use_pallas is None and jax.default_backend() != "tpu":
             return False
+        # the one-hot complement-pick matrix (nt, ns, nc) must fit VMEM
+        ntemps, nwalkers = state.log_like.shape
+        ns = nwalkers - nwalkers // 2
+        if ntemps * ns * (nwalkers - ns) * 4 > 6 * 2**20:
+            return False
         return (
             self.periodic is None
             and self.gibbs_iterations == [None]
