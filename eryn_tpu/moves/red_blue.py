@@ -84,20 +84,40 @@ class RedBlueMove(Move):
         ]
         offsets = [sum(sizes[:i]) for i in range(self.nsplits)]
 
+        all_names = list(coords.keys())
         for names, param_masks in self.gibbs_iterations_for(state):
             key, kperm = jax.random.split(key)
             if self.randomize_split:
                 perm = jax.random.permutation(kperm, nwalkers)
+                inv_perm = jnp.argsort(perm)
             else:
-                perm = jnp.arange(nwalkers)
+                perm = inv_perm = jnp.arange(nwalkers)
+
+            # permuted layout: splits become STATIC contiguous blocks updated
+            # with dynamic_update_slice (TPU scatters are slow); one inverse
+            # gather per gibbs iteration restores walker order
+            coords_p = {n: coords[n][:, perm] for n in all_names}
+            inds_p = {n: inds[n][:, perm] for n in all_names}
+            logl_p = logl[:, perm]
+            logp_p = logp[:, perm]
+            blobs_p = blobs[:, perm] if blobs is not None else None
+            acc_p = accepted[:, perm]
+
+            def blk(x, off, ns):
+                return x[:, off : off + ns]
+
+            def comp(x, off, ns):
+                return jnp.concatenate(
+                    [x[:, :off], x[:, off + ns :]], axis=1
+                )
+
+            def unblk(x, v, off):
+                return jax.lax.dynamic_update_slice_in_dim(x, v, off, axis=1)
 
             for split, (off, ns) in enumerate(zip(offsets, sizes)):
-                sel = jax.lax.dynamic_slice_in_dim(perm, off, ns)
-                comp = jnp.concatenate([perm[:off], perm[off + ns :]])
-
-                s_coords = {n: coords[n][:, sel] for n in names}
-                c_coords = {n: coords[n][:, comp] for n in names}
-                s_inds = {n: inds[n][:, sel] for n in names}
+                s_coords = {n: blk(coords_p[n], off, ns) for n in names}
+                c_coords = {n: comp(coords_p[n], off, ns) for n in names}
+                s_inds = {n: blk(inds_p[n], off, ns) for n in names}
 
                 key, kprop, kacc = jax.random.split(key, 3)
                 q, factors = self.get_proposal_kernel(
@@ -115,16 +135,17 @@ class RedBlueMove(Move):
                 # evaluate over ALL branches: non-proposed branches contribute
                 # their (unchanged) subset coords to the posterior
                 q_eval = {
-                    n: (q[n] if n in q else coords[n][:, sel]) for n in coords
+                    n: (q[n] if n in q else blk(coords_p[n], off, ns))
+                    for n in all_names
                 }
-                inds_eval = {n: inds[n][:, sel] for n in inds}
+                inds_eval = {n: blk(inds_p[n], off, ns) for n in all_names}
                 logp_new = ctx.compute_log_prior(q_eval, inds_eval)
                 logl_new, blobs_new = ctx.compute_log_like(
                     q_eval, inds_eval, logp_new
                 )
 
-                prev_logl = logl[:, sel]
-                prev_logp = logp[:, sel]
+                prev_logl = blk(logl_p, off, ns)
+                prev_logp = blk(logp_p, off, ns)
                 logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
                 logP_old = tempered_log_likelihood(prev_logl, betas) + prev_logp
 
@@ -132,17 +153,28 @@ class RedBlueMove(Move):
 
                 acc4 = acc[:, :, None, None]
                 for n in names:
-                    coords[n] = coords[n].at[:, sel].set(
-                        jnp.where(acc4, q[n], s_coords[n])
+                    coords_p[n] = unblk(
+                        coords_p[n],
+                        jnp.where(acc4, q[n], s_coords[n]),
+                        off,
                     )
-                logl = logl.at[:, sel].set(jnp.where(acc, logl_new, prev_logl))
-                logp = logp.at[:, sel].set(jnp.where(acc, logp_new, prev_logp))
-                if blobs is not None and blobs_new is not None:
-                    acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
-                    blobs = blobs.at[:, sel].set(
-                        jnp.where(acc_b, blobs_new, blobs[:, sel])
+                logl_p = unblk(logl_p, jnp.where(acc, logl_new, prev_logl), off)
+                logp_p = unblk(logp_p, jnp.where(acc, logp_new, prev_logp), off)
+                if blobs_p is not None and blobs_new is not None:
+                    acc_b = acc.reshape(acc.shape + (1,) * (blobs_p.ndim - 2))
+                    blobs_p = unblk(
+                        blobs_p,
+                        jnp.where(acc_b, blobs_new, blk(blobs_p, off, ns)),
+                        off,
                     )
-                accepted = accepted.at[:, sel].set(acc)
+                acc_p = unblk(acc_p, acc, off)
+
+            coords = {n: coords_p[n][:, inv_perm] for n in all_names}
+            logl = logl_p[:, inv_perm]
+            logp = logp_p[:, inv_perm]
+            if blobs_p is not None:
+                blobs = blobs_p[:, inv_perm]
+            accepted = acc_p[:, inv_perm]
 
         new_state = state.replace(
             coords=coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs

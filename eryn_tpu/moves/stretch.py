@@ -108,6 +108,7 @@ class StretchMove(RedBlueMove):
 
         key, kperm, ku = jax.random.split(key, 3)
         perm = jax.random.permutation(kperm, nwalkers)
+        inv_perm = jnp.argsort(perm)
         n0 = nwalkers - nwalkers // 2
         sizes = [n0, nwalkers - n0]
         offsets = [0, n0]
@@ -122,19 +123,26 @@ class StretchMove(RedBlueMove):
                 off += nl * nd
             return out
 
-        for half, (off, ns) in enumerate(zip(offsets, sizes)):
-            sel = jax.lax.dynamic_slice_in_dim(perm, off, ns)
-            comp = jnp.concatenate([perm[:off], perm[off + ns :]])
+        # work in the permuted layout: halves are STATIC contiguous blocks,
+        # updated with dynamic_update_slice (TPU scatters are slow); one
+        # inverse gather restores walker order at the end
+        Xp = X[:, perm]
+        lolp = jnp.stack([logl, logp, ndim_act, accepted], axis=-1)[:, perm]
+        inds_p = {n: inds[n][:, perm] for n in names}
 
-            s_blk = X[:, sel]
-            c_blk = X[:, comp]
+        for half, (off, ns) in enumerate(zip(offsets, sizes)):
+            s_blk = Xp[:, off : off + ns]
+            c_blk = jnp.concatenate(
+                [Xp[:, :off], Xp[:, off + ns :]], axis=1
+            )
+            blk = lolp[:, off : off + ns]
             u = u_all[half, :2, :, :ns]
             q, factors = stretch_propose(
-                s_blk, c_blk, ndim_act[:, sel], u, a=self.a, interpret=interpret
+                s_blk, c_blk, blk[..., 2], u, a=self.a, interpret=interpret
             )
 
             q_branches = q_to_branches(q, ns)
-            inds_blk = {n: inds[n][:, sel] for n in names}
+            inds_blk = {n: inds_p[n][:, off : off + ns] for n in names}
             logp_new = ctx.compute_log_prior(q_branches, inds_blk)
             logl_new, _ = ctx.compute_log_like(q_branches, inds_blk, logp_new)
 
@@ -143,18 +151,23 @@ class StretchMove(RedBlueMove):
                 s_blk,
                 logl_new,
                 logp_new,
-                logl[:, sel],
-                logp[:, sel],
+                blk[..., 0],
+                blk[..., 1],
                 factors,
                 betas,
                 u_all[half, 2, :, :ns],
                 interpret=interpret,
             )
 
-            X = X.at[:, sel].set(coords_blk)
-            logl = logl.at[:, sel].set(logl_blk)
-            logp = logp.at[:, sel].set(logp_blk)
-            accepted = accepted.at[:, sel].set(acc)
+            Xp = jax.lax.dynamic_update_slice_in_dim(Xp, coords_blk, off, axis=1)
+            new_blk = jnp.stack(
+                [logl_blk, logp_blk, blk[..., 2], acc], axis=-1
+            )
+            lolp = jax.lax.dynamic_update_slice_in_dim(lolp, new_blk, off, axis=1)
+
+        X = Xp[:, inv_perm]
+        out = lolp[:, inv_perm]
+        logl, logp, accepted = out[..., 0], out[..., 1], out[..., 3]
 
         new_coords = q_to_branches(X, nwalkers)
         new_state = state.replace(

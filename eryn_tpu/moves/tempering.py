@@ -227,6 +227,7 @@ class TemperatureControl:
             perms = jnp.broadcast_to(
                 jnp.arange(nwalkers), (ntemps - 1, 2, nwalkers)
             )
+        inv_perms = jnp.argsort(perms, axis=-1)
         raccept = jnp.log(
             jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=logl.dtype)
         )
@@ -250,8 +251,12 @@ class TemperatureControl:
             swaps_accepted = swaps_accepted.at[i - 1].set(
                 sel.sum().astype(logl.dtype)
             )
-            data = data.at[i, iperm].set(jnp.where(sel, di1, di))
-            data = data.at[i - 1, i1perm].set(jnp.where(sel, di, di1))
+            # permutation scatters are TPU-slow; invert them into gathers +
+            # full-row dynamic updates instead
+            new_i = jnp.where(sel, di1, di)[inv_perms[i - 1, 0]]
+            new_i1 = jnp.where(sel, di, di1)[inv_perms[i - 1, 1]]
+            data = data.at[i].set(new_i)
+            data = data.at[i - 1].set(new_i1)
 
         logl = data[..., 0]
         flat = data[..., 1].astype(jnp.int32).reshape(-1)
