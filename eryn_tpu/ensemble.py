@@ -158,15 +158,28 @@ class LikelihoodEvaluator:
         self.mode = self._detect_mode()
 
     # -- argument building -------------------------------------------------
-    def _walker_args(self, cdict, idict):
+    def _supp_args(self, sdict):
+        """Supplemental arguments appended when ``provide_supplemental``:
+        single branch gets the bare ``{key: arr}`` dict, multi-branch gets
+        ``{branch: {key: arr}}`` (ref ensemble.py:1296-1406 semantics)."""
+        if not self.provide_supplemental:
+            return ()
+        if sdict is None:
+            sdict = {}
+        if len(self.branch_names) == 1:
+            return (sdict.get(self.branch_names[0]) or {},)
+        return ({n: sdict.get(n) or {} for n in self.branch_names},)
+
+    def _walker_args(self, cdict, idict, sdict=None):
         """Per-walker traced arguments: padded coords (+ mask when needed)."""
+        supp = self._supp_args(sdict)
         if self._simple:
             name = self.branch_names[0]
-            return (cdict[name][0],)
+            return (cdict[name][0],) + supp
         if len(self.branch_names) == 1:
             name = self.branch_names[0]
-            return (cdict[name], idict[name])
-        return (cdict, idict)
+            return (cdict[name], idict[name]) + supp
+        return (cdict, idict) + supp
 
     def _coerce_out(self, out):
         if isinstance(out, (tuple, list)):
@@ -174,20 +187,25 @@ class LikelihoodEvaluator:
             return jnp.asarray(ll, dtype=self.dtype), jnp.asarray(blobs)
         return jnp.asarray(out, dtype=self.dtype)
 
-    def _traced_walker(self, cdict, idict):
-        out = self.fn(*self._walker_args(cdict, idict), *self.args, **self.kwargs)
+    def _traced_walker(self, cdict, idict, sdict=None):
+        out = self.fn(
+            *self._walker_args(cdict, idict, sdict), *self.args, **self.kwargs
+        )
         return self._coerce_out(out)
 
-    def _traced_batched(self, cdict, idict):
+    def _traced_batched(self, cdict, idict, sdict=None):
+        supp = self._supp_args(sdict)
         if self._simple:
             name = self.branch_names[0]
             x = cdict[name][:, 0]  # (N, ndim)
-            out = self.fn(x, *self.args, **self.kwargs)
+            out = self.fn(x, *supp, *self.args, **self.kwargs)
         elif len(self.branch_names) == 1:
             name = self.branch_names[0]
-            out = self.fn(cdict[name], idict[name], *self.args, **self.kwargs)
+            out = self.fn(
+                cdict[name], idict[name], *supp, *self.args, **self.kwargs
+            )
         else:
-            out = self.fn(cdict, idict, *self.args, **self.kwargs)
+            out = self.fn(cdict, idict, *supp, *self.args, **self.kwargs)
         return self._coerce_out(out)
 
     def _detect_mode(self):
@@ -212,6 +230,11 @@ class LikelihoodEvaluator:
                 return
             if shape.shape != (2,):
                 raise TypeError(f"likelihood returned shape {shape.shape}")
+
+        if self.provide_supplemental:
+            # supplemental keys are unknown until runtime; supps imply the
+            # traced contract
+            return "traced-batched" if self.vectorize else "traced-walker"
 
         try:
             if self.vectorize:
@@ -309,8 +332,9 @@ class LikelihoodEvaluator:
         return out
 
     # -- main traced entry ---------------------------------------------------
-    def __call__(self, coords: dict, inds: dict, logp):
-        """coords: {name: (ntemps, n, nleaves_max, ndim)}; logp: (ntemps, n).
+    def __call__(self, coords: dict, inds: dict, logp, branch_supps=None):
+        """coords: {name: (ntemps, n, nleaves_max, ndim)}; logp: (ntemps, n);
+        branch_supps: optional {name: {key: (ntemps, n, ...)}}.
         Returns ``(log_like (ntemps, n), blobs_or_None)``."""
         batch_shape = logp.shape
         N = int(np.prod(batch_shape))
@@ -319,6 +343,15 @@ class LikelihoodEvaluator:
         }
         inf = {n: inds[n].reshape((N,) + inds[n].shape[2:]) for n in inds}
         logp_flat = logp.reshape((N,))
+        sf = None
+        if branch_supps is not None and self.provide_supplemental:
+            sf = {
+                n: {
+                    k: v.reshape((N,) + v.shape[2:]) for k, v in holder.items()
+                }
+                for n, holder in branch_supps.items()
+                if holder is not None
+            }
 
         finite = jnp.isfinite(logp_flat)
         # guard the user fn against out-of-support coordinates: substitute
@@ -332,11 +365,11 @@ class LikelihoodEvaluator:
 
         blobs = None
         if self.mode == "traced-walker":
-            out = jax.vmap(self._traced_walker)(cf_safe, inf)
-            ll, blobs = out if self.returns_blobs else (out, None)
+            out = jax.vmap(self._traced_walker)(cf_safe, inf, sf)
+            ll, blobs = out if isinstance(out, tuple) else (out, None)
         elif self.mode == "traced-batched":
-            out = self._traced_batched(cf_safe, inf)
-            ll, blobs = out if self.returns_blobs else (out, None)
+            out = self._traced_batched(cf_safe, inf, sf)
+            ll, blobs = out if isinstance(out, tuple) else (out, None)
         else:
             ll = jax.pure_callback(
                 lambda c, i, lp: self._host_eval(
@@ -511,6 +544,12 @@ class EnsembleSampler:
         else:
             self.moves, self.weights = self._parse_moves(moves)
 
+        if dr_moves:
+            raise NotImplementedError(
+                "dr_moves (delayed rejection nested inside reversible jump) "
+                "is not implemented — the reference raises on this path too "
+                "(rj.py:350-353). Use the standalone DelayedRejection move."
+            )
         if rj_moves is not None:
             self.rj_moves, self.rj_weights = self._parse_rj_moves(rj_moves)
             self.has_reversible_jump = len(self.rj_moves) > 0
@@ -1116,7 +1155,11 @@ class EnsembleSampler:
                 self.ntemps, self.nwalkers
             )
         if log_like is None:
-            log_like, blobs_new = self._like_eval(coords, inds, log_prior)
+            from .moves.move import state_branch_supps
+
+            log_like, blobs_new = self._like_eval(
+                coords, inds, log_prior, state_branch_supps(state)
+            )
             if blobs is None:
                 blobs = blobs_new
         else:

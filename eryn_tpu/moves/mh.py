@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .move import Move, mh_accept
+from .move import Move, mh_accept, state_branch_supps
 from .tempering import tempered_log_likelihood
 
 __all__ = ["MHMove"]
@@ -59,7 +59,9 @@ class MHMove(Move):
 
             q_full = {**coords, **q}
             logp_new = ctx.compute_log_prior(q_full, inds)
-            logl_new, blobs_new = ctx.compute_log_like(q_full, inds, logp_new)
+            logl_new, blobs_new = ctx.compute_log_like(
+                q_full, inds, logp_new, state_branch_supps(state)
+            )
 
             logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
             logP_old = tempered_log_likelihood(logl, betas) + logp

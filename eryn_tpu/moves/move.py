@@ -289,6 +289,26 @@ class Move:
         return jnp.asarray(logl) + jnp.asarray(logp)
 
 
+def state_branch_supps(state, perm=None, block=None):
+    """Collect per-branch supplemental holders for likelihood evaluation,
+    optionally walker-permuted and block-sliced.  Returns None when no branch
+    carries supplemental data."""
+    out = {}
+    found = False
+    for name, supp in state.branches_supplemental.items():
+        if supp is None:
+            continue
+        holder = supp.holder
+        if perm is not None:
+            holder = {k: v[:, perm] for k, v in holder.items()}
+        if block is not None:
+            off, ns = block
+            holder = {k: v[:, off : off + ns] for k, v in holder.items()}
+        out[name] = holder
+        found = True
+    return out if found else None
+
+
 def active_ndim(state, names=None):
     """Per-walker active dimensionality: ``sum_b nleaves_b * ndim_b`` from the
     leaf masks — the RJ-aware dimension count used in detailed-balance factors

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .move import Move, mh_accept
+from .move import Move, mh_accept, state_branch_supps
 from .tempering import tempered_log_likelihood
 
 __all__ = ["RedBlueMove"]
@@ -141,7 +141,10 @@ class RedBlueMove(Move):
                 inds_eval = {n: blk(inds_p[n], off, ns) for n in all_names}
                 logp_new = ctx.compute_log_prior(q_eval, inds_eval)
                 logl_new, blobs_new = ctx.compute_log_like(
-                    q_eval, inds_eval, logp_new
+                    q_eval,
+                    inds_eval,
+                    logp_new,
+                    state_branch_supps(state, perm=perm, block=(off, ns)),
                 )
 
                 prev_logl = blk(logl_p, off, ns)

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .move import Move, mh_accept
+from .move import Move, mh_accept, state_branch_supps
 from .tempering import tempered_log_likelihood
 
 __all__ = ["ReversibleJumpMove", "rj_change_kernel"]
@@ -153,7 +153,9 @@ class ReversibleJumpMove(Move):
             q_full = {**coords, name: q_branch}
             inds_full = {**inds, name: new_inds_branch}
             logp_new = ctx.compute_log_prior(q_full, inds_full)
-            logl_new, blobs_new = ctx.compute_log_like(q_full, inds_full, logp_new)
+            logl_new, blobs_new = ctx.compute_log_like(
+                q_full, inds_full, logp_new, state_branch_supps(state)
+            )
 
             logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
             logP_old = tempered_log_likelihood(logl, betas) + logp

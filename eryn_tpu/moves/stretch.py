@@ -50,6 +50,9 @@ class StretchMove(RedBlueMove):
             self.periodic is None
             and self.gibbs_iterations == [None]
             and state.blobs is None
+            and all(
+                s is None for s in state.branches_supplemental.values()
+            )
             and self.nsplits == 2
             and self.randomize_split
             and type(self).get_proposal_kernel is StretchMove.get_proposal_kernel

@@ -114,3 +114,15 @@ def test_resume_from_previous_state(gaussian_setup):
     # continue from internal state
     ensemble.run_mcmc(None, 10)
     assert ensemble.get_log_like().shape[0] == 20
+
+
+def test_dtype_kwarg(gaussian_setup):
+    """The dtype kwarg controls device array precision."""
+    means, invcov, priors = gaussian_setup
+    ens = EnsembleSampler(
+        32, NDIM, jax_log_like, priors, args=[jnp.asarray(means), invcov],
+        seed=2, dtype=jnp.float32,
+    )
+    ens.run_mcmc(priors.rvs(size=(32,)), 20, burn=5)
+    assert ens.get_log_like().dtype == np.float64  # backend stores float64
+    assert ens._previous_state.log_like.dtype == jnp.float32

@@ -56,3 +56,42 @@ def test_supplemental_swaps_with_coords():
     np.testing.assert_allclose(
         np.sort(new_tag.ravel()), np.sort(tag.ravel())
     )
+
+
+def test_provide_supplemental_traced_likelihood():
+    """provide_supplemental=True: the traced likelihood receives per-walker
+    supplemental data (here: per-walker noise scales)."""
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    nwalkers, ndim = 24, 2
+    rng = np.random.default_rng(1)
+    noise_scale = np.full((1, nwalkers), 2.0)
+
+    def log_like(x, supps):
+        # supps: {"sigma": scalar per walker}
+        return -0.5 * jnp.sum((x / supps["sigma"]) ** 2)
+
+    priors = ProbDistContainer({i: uniform_dist(-10, 10) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nwalkers,
+        ndim,
+        log_like,
+        priors,
+        provide_supplemental=True,
+        seed=70,
+    )
+    coords = priors.rvs(size=(nwalkers,))
+    state = State(
+        {"model_0": coords},
+        branch_supplemental={
+            "model_0": BranchSupplemental(
+                {"sigma": noise_scale}, base_shape=(1, nwalkers)
+            )
+        },
+    )
+    ens.run_mcmc(state, 300, burn=200)
+    chain = ens.get_chain()["model_0"].reshape(-1, ndim)
+    # with sigma=2 the posterior std should be ~2, not ~1
+    assert abs(chain.std(axis=0).mean() - 2.0) < 0.3
