@@ -132,6 +132,9 @@ class LogUniformDistribution(JaxDistribution):
 
     The reference returns ``scipy.stats.loguniform`` (``prior.py:115-136``);
     this is the traced equivalent: pdf(x) = 1 / (x * log(max/min)).
+    (Deviation: the reference passes ``max - min`` as scipy's upper bound —
+    an apparent loc/scale mix-up that silently shrinks the support; this
+    implementation uses the stated ``[min, max]``.)
     """
 
     def __init__(self, min_val, max_val):
@@ -146,7 +149,7 @@ class LogUniformDistribution(JaxDistribution):
     def logpdf(self, x):
         x = jnp.asarray(x)
         in_range = (x >= self.min_val) & (x <= self.max_val)
-        val = -jnp.log(x) - self._log_ratio
+        val = -jnp.log(x) - float(np.log(self._log_ratio))
         return jnp.where(in_range, val, -jnp.inf)
 
     def ppf(self, q):

@@ -126,3 +126,22 @@ def test_dtype_kwarg(gaussian_setup):
     ens.run_mcmc(priors.rvs(size=(32,)), 20, burn=5)
     assert ens.get_log_like().dtype == np.float64  # backend stores float64
     assert ens._previous_state.log_like.dtype == jnp.float32
+
+
+def test_sample_generator(gaussian_setup):
+    """The sample() generator yields per-iteration states and stores them."""
+    means, invcov, priors = gaussian_setup
+    ens = EnsembleSampler(
+        32, NDIM, jax_log_like, priors, args=[jnp.asarray(means), invcov], seed=5
+    )
+    coords = priors.rvs(size=(32,))
+    states = []
+    for state in ens.sample(coords, iterations=5, thin_by=2):
+        states.append(state)
+    assert len(states) == 5
+    assert ens.backend.iteration == 5
+    # each yielded state matches the stored chain
+    last = ens.backend.get_last_sample()
+    np.testing.assert_allclose(
+        np.asarray(states[-1].log_like), np.asarray(last.log_like), rtol=1e-5
+    )

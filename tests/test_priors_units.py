@@ -1,0 +1,127 @@
+"""Unit tests for the prior distributions and small utilities."""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+import jax
+import jax.numpy as jnp
+
+from eryn_tpu.prior import (
+    LogUniformDistribution,
+    MappedUniformDistribution,
+    NormalDistribution,
+    ProbDistContainer,
+    log_uniform,
+    uniform_dist,
+)
+from eryn_tpu.utils.utility import get_integrated_act, groups_from_inds, psrf
+
+
+def test_uniform_distribution():
+    d = uniform_dist(-2.0, 3.0)
+    x = np.array([-3.0, 0.0, 2.9, 3.1])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(x)),
+        stats.uniform(-2, 5).logpdf(x),
+    )
+    samples = d.rvs(size=5000)
+    assert samples.min() >= -2.0 and samples.max() <= 3.0
+    assert abs(samples.mean() - 0.5) < 0.1
+    # keyed traced sampling
+    s2 = d.sample(jax.random.PRNGKey(0), (1000,))
+    assert float(s2.min()) >= -2.0 and float(s2.max()) <= 3.0
+    # reversed bounds are swapped like the reference
+    d2 = uniform_dist(3.0, -2.0)
+    assert d2.min_val == -2.0 and d2.max_val == 3.0
+    with pytest.raises(ValueError):
+        uniform_dist(1.0, 1.0)
+
+
+def test_log_uniform():
+    d = log_uniform(0.1, 10.0)
+    assert isinstance(d, LogUniformDistribution)
+    x = np.array([0.05, 0.5, 5.0, 20.0])
+    expected = stats.loguniform(0.1, 10.0).logpdf(x)
+    np.testing.assert_allclose(np.asarray(d.logpdf(x)), expected, rtol=1e-6)
+    s = np.asarray(d.sample(jax.random.PRNGKey(1), (20000,)))
+    assert 0.1 <= s.min() and s.max() <= 10.0
+    # log-uniform: log(s) is uniform
+    ls = np.log(s)
+    assert abs(ls.mean() - (np.log(0.1) + np.log(10)) / 2) < 0.05
+
+
+def test_mapped_uniform():
+    d = MappedUniformDistribution(2.0, 6.0)
+    x = np.array([1.0, 2.5, 6.0, 7.0])
+    lp = np.asarray(d.logpdf(x))
+    assert lp[0] == -np.inf and lp[3] == -np.inf
+    assert lp[1] == 0.0 and lp[2] == 0.0
+    s = d.rvs(size=1000)
+    assert s.min() >= 2.0 and s.max() <= 6.0
+
+
+def test_normal_distribution():
+    d = NormalDistribution(1.0, 2.0)
+    x = np.linspace(-5, 7, 13)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(x)), stats.norm(1.0, 2.0).logpdf(x), rtol=1e-5
+    )
+    q = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(
+        np.asarray(d.ppf(q)), stats.norm(1.0, 2.0).ppf(q), rtol=1e-4
+    )
+
+
+def test_container_string_keys():
+    pc = ProbDistContainer(
+        {"amp": uniform_dist(0, 1), "freq": uniform_dist(1, 2)}
+    )
+    assert pc.key_order == ["amp", "freq"]
+    assert pc.ndim == 2
+    x = np.array([[0.5, 1.5]])
+    assert np.isfinite(np.asarray(pc.logpdf(x))).all()
+    # rvs with keys filter
+    s = pc.rvs(size=10)
+    assert s.shape == (10, 2)
+
+
+def test_container_logpdf_batch_shapes():
+    pc = ProbDistContainer({i: uniform_dist(-1, 1) for i in range(3)})
+    for shape in [(3,), (5, 3), (2, 4, 3), (2, 3, 4, 3)]:
+        x = np.zeros(shape)
+        assert np.asarray(pc.logpdf(x)).shape == shape[:-1]
+
+
+def test_groups_from_inds():
+    inds = {
+        "m": np.array(
+            [[[True, False], [True, True]], [[False, False], [True, False]]]
+        )
+    }
+    groups = groups_from_inds(inds)["m"]
+    # walker flat ids: t0w0=0, t0w1=1, t1w0=2, t1w1=3
+    np.testing.assert_array_equal(groups, [0, 1, 1, 3])
+
+
+def test_integrated_act_known_chain():
+    rng = np.random.default_rng(0)
+    # AR(1) with rho: IACT = (1+rho)/(1-rho)
+    rho = 0.7
+    n = 40000
+    x = np.zeros(n)
+    e = rng.standard_normal(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + e[i]
+    tau = get_integrated_act(x[:, None])
+    expected = (1 + rho) / (1 - rho)
+    assert abs(tau - expected) / expected < 0.25
+
+
+def test_psrf_converged_vs_not():
+    rng = np.random.default_rng(1)
+    good = rng.standard_normal((500, 8, 2))
+    bad = good.copy()
+    bad[:, :4] += 5.0  # half the walkers stuck elsewhere
+    assert np.all(psrf(good, 2) < 1.1)
+    assert np.all(psrf(bad, 2) > 1.5)
