@@ -41,10 +41,14 @@ class StretchMove(RedBlueMove):
             return False
         if self.use_pallas is None and jax.default_backend() != "tpu":
             return False
-        # the one-hot complement-pick matrix (nt, ns, nc) must fit VMEM
+        # engage the fused kernels where launch overhead dominates (small and
+        # mid ensembles); at large nwalkers the general XLA path amortizes
+        # its op overhead and runs equally fast, without the one-hot matmul
+        # FLOPs (the propose kernel grids over temperatures, so the VMEM
+        # constraint is per temperature)
         ntemps, nwalkers = state.log_like.shape
         ns = nwalkers - nwalkers // 2
-        if ntemps * ns * (nwalkers - ns) * 4 > 6 * 2**20:
+        if ns * (nwalkers - ns) * 4 > 2**18:  # ~nwalkers <= 512
             return False
         return (
             self.periodic is None

@@ -210,9 +210,10 @@ class TemperatureControl:
 
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # in-kernel one-hot rotation matrices are O(nwalkers^2) VMEM;
-            # at large nwalkers the XLA path's overhead is amortized anyway
-            use_pallas = jax.default_backend() == "tpu" and nwalkers <= 640
+            # pt_swap_cascade dispatches internally: exact one-hot matmul
+            # rotations for small ensembles, lane-aligned rolled variant for
+            # large ones
+            use_pallas = jax.default_backend() == "tpu"
         if use_pallas and self.permute:
             return self._swap_kernel_pallas(key, swap_tree, logl, betas)
 

@@ -27,36 +27,38 @@ __all__ = ["stretch_propose", "stretch_accept"]
 
 
 def _propose_kernel(a, s_ref, c_ref, ndim_ref, u_ref, q_ref, fac_ref):
-    # shapes: s (nt, ns, D), c (nt, nc, D), ndim (nt, ns), u (2, nt, ns)
-    nt, ns, D = s_ref.shape
+    # per-temperature block: s (1, ns, D), c (1, nc, D), ndim (1, ns),
+    # u (2, 1, ns) — the grid runs one program per temperature so the
+    # one-hot pick matrix is only (ns, nc)
+    # blocks: s (1, ns, D), c (1, nc, D), ndim (1, 1, ns), u (2, 1, 1, ns)
+    ns = s_ref.shape[1]
     nc = c_ref.shape[1]
     dtype = s_ref.dtype
 
-    u_z = u_ref[0]
-    u_pick = u_ref[1]
-    zz = ((a - 1.0) * u_z + 1.0) ** 2 / a  # (nt, ns)
+    u_z = u_ref[0, 0, 0]  # (ns,)
+    u_pick = u_ref[1, 0, 0]
+    zz = ((a - 1.0) * u_z + 1.0) ** 2 / a  # (ns,)
 
-    # complement pick as a one-hot batched matmul: rint in [0, nc)
+    # complement pick as a one-hot matmul: rint in [0, nc)
     rint = jnp.floor(u_pick * nc).astype(jnp.int32)
     pick = (
-        jax.lax.broadcasted_iota(jnp.int32, (nt, ns, nc), 2) == rint[:, :, None]
+        jax.lax.broadcasted_iota(jnp.int32, (ns, nc), 1) == rint[:, None]
     ).astype(dtype)
-    c_temp = jax.lax.dot_general(
+    c_temp = jnp.dot(
         pick,
-        c_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        c_ref[0],
         preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (nt, ns, D)
+    )  # (ns, D)
 
-    s = s_ref[:]
-    q_ref[:] = c_temp - (c_temp - s) * zz[:, :, None]
-    fac_ref[:] = (ndim_ref[:] - 1.0) * jnp.log(zz)
+    s = s_ref[0]
+    q_ref[0] = c_temp - (c_temp - s) * zz[:, None]
+    fac_ref[0, 0] = (ndim_ref[0, 0] - 1.0) * jnp.log(zz)
 
 
 @functools.partial(jax.jit, static_argnames=("a", "interpret"))
 def stretch_propose(s, c, ndim_act, u, a=2.0, interpret=False):
-    """One-launch stretch proposal.
+    """One launch, gridded over temperatures.
 
     Args:
         s: ``(nt, ns, D)`` coordinates being moved (branches concatenated).
@@ -69,21 +71,40 @@ def stretch_propose(s, c, ndim_act, u, a=2.0, interpret=False):
         ``(q (nt, ns, D), factors (nt, ns))``.
     """
     nt, ns, D = s.shape
+    nc = c.shape[1]
     dtype = s.dtype
     kernel = functools.partial(_propose_kernel, float(a))
-    return pl.pallas_call(
+    q, fac = pl.pallas_call(
         kernel,
+        grid=(nt,),
         out_shape=(
             jax.ShapeDtypeStruct((nt, ns, D), dtype),
-            jax.ShapeDtypeStruct((nt, ns), dtype),
+            jax.ShapeDtypeStruct((nt, 1, ns), dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[
+            pl.BlockSpec((1, ns, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, ns), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, 1, 1, ns), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, ns), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         interpret=interpret,
-    )(s, c, ndim_act.astype(dtype), u.astype(dtype))
+    )(
+        s,
+        c,
+        ndim_act.astype(dtype).reshape(nt, 1, ns),
+        u.astype(dtype).reshape(2, nt, 1, ns),
+    )
+    return q, fac.reshape(nt, ns)
 
 
 def _accept_kernel(

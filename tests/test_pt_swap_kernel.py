@@ -106,3 +106,60 @@ def test_pallas_path_statistics():
     mean_pallas = np.mean(accs["pallas"], axis=0) / nw
     # same expected per-rung swap acceptance
     np.testing.assert_allclose(mean_pallas, mean_xla, atol=0.05)
+
+
+def _numpy_cascade_rolled(logl, origin, dbetas, shifts, raccept, nwpad):
+    nt, nw = logl.shape
+    pad = nwpad - nw
+    L = np.concatenate([logl, np.zeros((nt, pad), logl.dtype)], axis=1)
+    O = np.concatenate([origin, np.zeros((nt, pad), origin.dtype)], axis=1)
+    V = np.concatenate(
+        [np.ones((nt, nw), bool), np.zeros((nt, pad), bool)], axis=1
+    )
+    R = np.concatenate(
+        [raccept, np.full((nt - 1, pad), np.inf, raccept.dtype)], axis=1
+    )
+    sel_out = np.zeros((nt - 1, nwpad))
+    for i in range(nt - 1, 0, -1):
+        s = shifts[i - 1]
+        partner = (np.arange(nwpad) + s) % nwpad
+        pacc = dbetas[i - 1] * (L[i] - L[i - 1, partner])
+        sel = (pacc > R[i - 1]) & V[i] & V[i - 1, partner]
+        sel_out[i - 1] = sel
+        li, oi = L[i].copy(), O[i].copy()
+        L[i, sel] = L[i - 1, partner[sel]]
+        O[i, sel] = O[i - 1, partner[sel]]
+        L[i - 1, partner[sel]] = li[sel]
+        O[i - 1, partner[sel]] = oi[sel]
+    return L[:, :nw], O[:, :nw], sel_out[:, :nw]
+
+
+def test_rolled_cascade_matches_numpy():
+    from eryn_tpu.ops.pt_swap import pt_swap_cascade_rolled
+
+    rng = np.random.default_rng(4)
+    ntemps, nw = 5, 200  # pads to 256
+    logl = rng.standard_normal((ntemps, nw)).astype(np.float32) * 10
+    origin = np.arange(ntemps * nw, dtype=np.float32).reshape(ntemps, nw)
+    betas = np.logspace(0, -2, ntemps).astype(np.float32)
+    dbetas = betas[:-1] - betas[1:]
+    shifts = rng.integers(0, nw, size=ntemps - 1).astype(np.int32)
+    raccept = np.log(rng.uniform(size=(ntemps - 1, nw))).astype(np.float32)
+
+    out_l, out_o, sel = pt_swap_cascade_rolled(
+        jnp.asarray(logl),
+        jnp.asarray(origin),
+        jnp.asarray(dbetas),
+        jnp.asarray(shifts),
+        jnp.asarray(raccept),
+        interpret=True,
+    )
+    exp_l, exp_o, exp_sel = _numpy_cascade_rolled(
+        logl, origin, dbetas, shifts, raccept, 256
+    )
+    np.testing.assert_allclose(np.asarray(out_l), exp_l, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_o), exp_o)
+    np.testing.assert_array_equal(np.asarray(sel), exp_sel)
+    # provenance remains a permutation of the real walkers
+    flat = np.asarray(out_o).astype(int).reshape(-1)
+    assert sorted(flat) == list(range(ntemps * nw))
