@@ -46,24 +46,14 @@ def _finite_min(dtype):
     return float(np.finfo(np.dtype(dtype)).min / 2)
 
 
-def _pow2_decompose(n, cap):
-    """Split ``n`` into power-of-two chunks (each <= cap) so jitted segment
-    functions are compiled for at most log2(cap) distinct lengths."""
-    out = []
-    while n > 0:
-        chunk = min(1 << (n.bit_length() - 1), cap)
-        out.append(chunk)
-        n -= chunk
-    return out
-
-
 def _segment_plan(nsteps, seg):
-    """Plan stored-segment sizes: full segments of ``seg`` plus a
-    power-of-two decomposition of the remainder (avoids one-off compiles)."""
+    """Plan segment sizes: full segments of ``seg`` plus one remainder.
+    Each distinct length costs one jit compile, so a run compiles at most
+    two segment programs."""
     plan = [seg] * (nsteps // seg)
     rem = nsteps % seg
     if rem:
-        plan.extend(_pow2_decompose(rem, seg))
+        plan.append(rem)
     return plan
 
 
@@ -970,19 +960,18 @@ class EnsembleSampler:
             accepted, rj_accepted, swaps = (o[-1] for o in outs)
             key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates = carry
             if store:
+                # keep the transfer lean: accept counts fit uint8 (bounded by
+                # num_repeats); per-move counters are NOT snapshotted per step
+                # (only segment-final values persist in the backend)
                 snap = {
                     "coords": state.branches_coords,
                     "inds": state.branches_inds,
                     "log_like": state.log_like,
                     "log_prior": state.log_prior,
                     "betas": state.betas,
-                    "accepted": accepted,
-                    "rj_accepted": rj_accepted,
+                    "accepted": accepted.astype(jnp.uint8),
+                    "rj_accepted": rj_accepted.astype(jnp.uint8),
                     "swaps": swaps,
-                    "m_acc": m_acc,
-                    "m_np": m_np,
-                    "rj_m_acc": rj_acc_c,
-                    "rj_m_np": rj_np,
                 }
                 if state.blobs is not None:
                     snap["blobs"] = state.blobs
@@ -1065,23 +1054,24 @@ class EnsembleSampler:
         return state, snaps
 
     def _save_snaps(self, snaps):
-        """Flush a bulk segment of stored snapshots into the backend."""
+        """Flush a bulk segment of stored snapshots into the backend.
+
+        Per-move acceptance fractions use the segment-final counters: the
+        backend only retains the latest value per move (matching the
+        reference, which overwrites them every save)."""
         nstored = snaps["log_like"].shape[0]
+        if self.track_moves:
+            final_fractions = {}
+            for i, key_name in enumerate(self.all_moves.keys()):
+                if i < len(self.moves):
+                    acc = self._move_accepted[i]
+                    nprop = self._move_nprop[i]
+                else:
+                    acc = self._rj_move_accepted[i - len(self.moves)]
+                    nprop = self._rj_move_nprop[i - len(self.moves)]
+                final_fractions[key_name] = acc / max(nprop, 1.0)
         for j in range(nstored):
-            if self.track_moves:
-                fractions = {}
-                for i, (key_name, _m) in enumerate(
-                    zip(self.all_moves.keys(), list(self.moves) + list(self.rj_moves))
-                ):
-                    if i < len(self.moves):
-                        acc = snaps["m_acc"][j, i]
-                        nprop = snaps["m_np"][j, i]
-                    else:
-                        acc = snaps["rj_m_acc"][j, i - len(self.moves)]
-                        nprop = snaps["rj_m_np"][j, i - len(self.moves)]
-                    fractions[key_name] = acc / max(nprop, 1.0)
-            else:
-                fractions = None
+            fractions = final_fractions if self.track_moves else None
             self.backend.save_snapshot(
                 coords={n: snaps["coords"][n][j] for n in snaps["coords"]},
                 inds={n: snaps["inds"][n][j] for n in snaps["inds"]},
@@ -1148,24 +1138,40 @@ class EnsembleSampler:
         log_prior = state.log_prior
         log_like = state.log_like
         blobs = state.blobs
-        if log_prior is None:
-            log_prior = self._prior_eval(coords, inds)
-        else:
+        if log_prior is not None and log_like is not None:
             log_prior = jnp.asarray(log_prior, dtype=self.dtype).reshape(
                 self.ntemps, self.nwalkers
             )
-        if log_like is None:
-            from .moves.move import state_branch_supps
-
-            log_like, blobs_new = self._like_eval(
-                coords, inds, log_prior, state_branch_supps(state)
-            )
-            if blobs is None:
-                blobs = blobs_new
-        else:
             log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
                 self.ntemps, self.nwalkers
             )
+        else:
+            from .moves.move import state_branch_supps
+
+            if "init_eval" not in self._step_cache:
+                def _init_eval(c, i, supps):
+                    lp = self._prior_eval(c, i)
+                    ll, bl = self._like_eval(c, i, lp, supps)
+                    return lp, ll, bl
+
+                self._step_cache["init_eval"] = jax.jit(_init_eval)
+            lp_new, ll_new, blobs_new = self._step_cache["init_eval"](
+                coords, inds, state_branch_supps(state)
+            )
+            if log_prior is None:
+                log_prior = lp_new
+            else:
+                log_prior = jnp.asarray(log_prior, dtype=self.dtype).reshape(
+                    self.ntemps, self.nwalkers
+                )
+            if log_like is None:
+                log_like = ll_new
+                if blobs is None:
+                    blobs = blobs_new
+            else:
+                log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
+                    self.ntemps, self.nwalkers
+                )
 
         if not skip_initial_state_check:
             ll = np.asarray(log_like)
@@ -1257,7 +1263,7 @@ class EnsembleSampler:
         # burn-in: compiled scans, nothing stored (ref ensemble.py:1082-1095)
         if burn is not None and burn > 0:
             burn_steps = int(burn) * thin_by
-            for n in _pow2_decompose(burn_steps, 4 * self._max_segment):
+            for n in _segment_plan(burn_steps, 4 * self._max_segment):
                 state, _ = self._run_bulk(state, 1, n, store=False)
             if post_burn_update and self.update_fn is not None:
                 self.update_fn(0, state, self)
