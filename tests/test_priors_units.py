@@ -125,3 +125,19 @@ def test_psrf_converged_vs_not():
     bad[:, :4] += 5.0  # half the walkers stuck elsewhere
     assert np.all(psrf(good, 2) < 1.1)
     assert np.all(psrf(bad, 2) > 1.5)
+
+
+def test_walkers_independent():
+    from eryn_tpu import walkers_independent
+
+    rng = np.random.default_rng(2)
+    good = rng.standard_normal((50, 5))
+    assert walkers_independent(good)
+    # degenerate: all walkers identical in one dimension
+    bad = good.copy()
+    bad[:, 2] = 1.25  # exactly representable -> exact zero column after centering
+    assert not walkers_independent(bad)
+    # non-finite coordinates
+    nan = good.copy()
+    nan[0, 0] = np.nan
+    assert not walkers_independent(nan)
