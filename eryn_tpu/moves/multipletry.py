@@ -131,6 +131,14 @@ class MultipleTryMove(Move):
             )
             cur = self._current_target_coords(state)
             aux_tries = jnp.where(one_hot[..., None], cur[:, :, None, :], aux_tries)
+            if not self.symmetric:
+                # The chosen slot now holds the *current* point, so its
+                # importance weight must use the proposal logpdf of the
+                # current point, not of the discarded random draw (the
+                # reference computes the generate logpdf after filling the
+                # slot, ref mtdistgen.py special_generate_func).
+                cur_logq = self.special_generate_logpdf_kernel(state)
+                aux_logq = jnp.where(one_hot, cur_logq[:, :, None], aux_logq)
             aux_ll, aux_lp = self.mt_eval_kernel(ctx, state, aux_tries)
             aux_logP = tempered_log_likelihood(aux_ll, betas[:, None, None]) + aux_lp
             aux_logw = aux_logP if self.symmetric else aux_logP - aux_logq

@@ -160,6 +160,11 @@ class ReversibleJumpMove(Move):
             logP_new = tempered_log_likelihood(logl_new, betas) + logp_new
             logP_old = tempered_log_likelihood(logl, betas) + logp
             acc = mh_accept(kacc, factors, logP_new, logP_old)
+            # identity proposals (change == 0, e.g. nleaves_min ==
+            # nleaves_max branches) accept with probability ~1 and would
+            # inflate rj acceptance diagnostics; mask them out like
+            # MTDistGenMoveRJ does (chain distribution is unaffected)
+            acc = acc & (new_nleaves != old_nleaves)
 
             acc4 = acc[:, :, None, None]
             coords[name] = jnp.where(acc4, q_branch, coords[name])

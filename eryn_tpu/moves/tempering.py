@@ -200,13 +200,19 @@ class TemperatureControl:
                 and is itself swapped).
 
         Returns:
-            ``(swap_tree, logl, swaps_accepted)`` with ``swaps_accepted``
-            shaped ``(ntemps - 1,)``.
+            ``(swap_tree, logl, swaps_accepted, swaps_proposed)`` with
+            ``swaps_accepted``/``swaps_proposed`` shaped ``(ntemps - 1,)``
+            (``swaps_proposed`` is ``nwalkers`` per rung except for the
+            large-ensemble rolled pallas variant, which skips pairs whose
+            rotated partner lands on a pad lane).
         """
         ntemps, nwalkers = logl.shape
         swaps_accepted = jnp.zeros((max(ntemps - 1, 0),), dtype=logl.dtype)
+        swaps_proposed = jnp.full(
+            (max(ntemps - 1, 0),), nwalkers, dtype=logl.dtype
+        )
         if ntemps == 1:
-            return swap_tree, logl, swaps_accepted
+            return swap_tree, logl, swaps_accepted, swaps_proposed
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -268,7 +274,7 @@ class TemperatureControl:
             )
 
         swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
-        return swap_tree, logl, swaps_accepted
+        return swap_tree, logl, swaps_accepted, swaps_proposed
 
     def _swap_kernel_pallas(self, key, swap_tree, logl, betas, interpret=False):
         """Single-kernel cascade: the whole rung loop runs in VMEM
@@ -276,7 +282,7 @@ class TemperatureControl:
         walker axis per cascade composes with per-rung random rotations to
         randomize swap partners (statistically equivalent to the reference's
         per-rung permutations)."""
-        from ..ops.pt_swap import pt_swap_cascade
+        from ..ops.pt_swap import ROLLED_THRESHOLD, pt_swap_cascade
 
         ntemps, nwalkers = logl.shape
         k_pi, k_shift, k_acc = jax.random.split(key, 3)
@@ -299,6 +305,20 @@ class TemperatureControl:
             logl_p, origin0, dbetas, shifts, raccept, interpret=interpret
         )
         swaps_accepted = sel.sum(axis=-1).astype(logl.dtype)
+        if nwalkers > ROLLED_THRESHOLD:
+            # rolled variant: rung-i walker w pairs with (w + s) % nwpad at
+            # rung i-1 and the pair is skipped when the partner is a pad
+            # lane, so the number of proposals per rung depends on the shift
+            nwpad = -(-nwalkers // 128) * 128
+            w = jnp.arange(nwalkers)
+            partner = (w[None, :] + shifts[:, None]) % nwpad
+            swaps_proposed = (partner < nwalkers).sum(axis=-1).astype(
+                logl.dtype
+            )
+        else:
+            swaps_proposed = jnp.full(
+                (ntemps - 1,), nwalkers, dtype=logl.dtype
+            )
 
         logl_new = logl_res[:, inv_pi]
         flat = origin_res[:, inv_pi].astype(jnp.int32).reshape(-1)
@@ -309,7 +329,7 @@ class TemperatureControl:
             )
 
         swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
-        return swap_tree, logl_new, swaps_accepted
+        return swap_tree, logl_new, swaps_accepted, swaps_proposed
 
     def ladder_adjustment_kernel(self, time, betas, ratios):
         """Traced ladder adjustment per arXiv:1501.05823
@@ -362,13 +382,13 @@ class TemperatureControl:
                 if name not in self.skip_swap_supp_names
             }
 
-        swap_tree, logl, swaps_accepted = self.swap_kernel(
+        swap_tree, logl, swaps_accepted, swaps_proposed = self.swap_kernel(
             key, swap_tree, state.log_like, state.betas
         )
 
         betas = state.betas
         if adapt and self.adaptive and ntemps > 1:
-            ratios = swaps_accepted / nwalkers
+            ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
             new_betas = self.ladder_adjustment_kernel(
                 time.astype(betas.dtype), betas, ratios
             )

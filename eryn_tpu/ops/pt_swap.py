@@ -23,7 +23,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pt_swap_cascade", "pt_swap_cascade_rolled"]
+__all__ = ["pt_swap_cascade", "pt_swap_cascade_rolled", "ROLLED_THRESHOLD"]
+
+# above this walker count the O(nwalkers^2) one-hot rotation matrices no
+# longer fit comfortably in VMEM and the lane-aligned rolled variant engages
+ROLLED_THRESHOLD = 640
+
+
+def _check_provenance_capacity(ntemps, nwalkers):
+    # provenance indices ride the f32 data channel and are exact only up to
+    # 2^24; beyond that the final gather would silently corrupt the ensemble
+    if ntemps * nwalkers >= 2**24:
+        raise ValueError(
+            f"pt_swap cascade provenance is carried in float32 and supports "
+            f"at most 2**24 - 1 ensemble slots; got ntemps*nwalkers = "
+            f"{ntemps * nwalkers}."
+        )
 
 
 def _cascade_kernel(ntemps, nwalkers, dbetas_ref, shifts_ref, data_ref,
@@ -85,8 +100,9 @@ def pt_swap_cascade(logl, origin, dbetas, shifts, raccept, interpret=False):
         accepted-swap mask (in rung-``i`` walker order).
     """
     ntemps, nwalkers = logl.shape
+    _check_provenance_capacity(ntemps, nwalkers)
     dtype = logl.dtype
-    if nwalkers > 640:
+    if nwalkers > ROLLED_THRESHOLD:
         # the in-kernel one-hot rotation matrices are O(nwalkers^2) VMEM;
         # large ensembles use the lane-aligned rolled variant instead
         return pt_swap_cascade_rolled(
@@ -153,10 +169,15 @@ def pt_swap_cascade_rolled(logl, origin, dbetas, shifts, raccept, interpret=Fals
     multiple and per-rung partner rotation uses the hardware dynamic-rotate
     (``pltpu.roll``) instead of one-hot matmuls.  A validity channel keeps
     pad lanes out of every swap; real walkers whose rotated partner lands on
-    a pad lane simply skip that rung (<= pad/nwpad of proposals, ~2% at
-    nwalkers=1000 — a uniform, state-independent thinning of swap attempts).
+    a pad lane simply skip that rung — a uniform, state-independent thinning
+    of swap attempts of up to ``pad/nwpad`` (~2% at nwalkers=1000 but ~15%
+    just above the dispatch threshold, e.g. nwalkers=650).  Callers must
+    therefore normalize acceptance ratios by the *actual* number of valid
+    pairings per rung (see ``TemperatureControl._swap_kernel_pallas``), not
+    by ``nwalkers``.
     """
     ntemps, nwalkers = logl.shape
+    _check_provenance_capacity(ntemps, nwalkers)
     dtype = logl.dtype
     nwpad = -(-nwalkers // 128) * 128
 

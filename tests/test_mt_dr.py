@@ -7,6 +7,7 @@ import pytest
 import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.prior import normal_dist
 from eryn_tpu.moves import (
     DelayedRejection,
     GaussianMove,
@@ -46,6 +47,29 @@ def test_mt_distgen(priors):
     assert np.abs(chain.std(axis=0) - 1.0).max() < 0.25
     # multiple tries from a broad prior should still mix decently
     assert ens.acceptance_fraction.mean() > 0.1
+
+
+def test_mt_distgen_nonindependent_unbiased(priors):
+    """Regression: independent=False with a *non-uniform* generator must keep
+    detailed balance.  Previously the auxiliary set substituted the current
+    point into the tries but kept the discarded draw's proposal logpdf, which
+    biased the chain toward the generator's mean (N(1.5, 1.2) generator over
+    an N(0,1) target gave mean ~ +0.16)."""
+    gen = ProbDistContainer({i: normal_dist(1.5, 1.2) for i in range(NDIM)})
+    move = MTDistGenMove({"model_0": gen}, num_try=8, independent=False)
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        moves=[move],
+        seed=21,
+    )
+    coords = 0.1 * np.random.randn(NWALKERS, NDIM)
+    ens.run_mcmc(coords, 800, burn=300)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.08
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.15
 
 
 def test_mt_rj(priors):

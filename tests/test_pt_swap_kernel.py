@@ -98,7 +98,7 @@ def test_pallas_path_statistics():
                     "inds": state.branches_inds,
                     "log_prior": state.log_prior,
                 }
-                _, _, swaps = tc._swap_kernel_pallas(
+                _, _, swaps, _prop = tc._swap_kernel_pallas(
                     key, tree, state.log_like, state.betas, interpret=True
                 )
             accs[mode].append(np.asarray(swaps))
@@ -106,6 +106,50 @@ def test_pallas_path_statistics():
     mean_pallas = np.mean(accs["pallas"], axis=0) / nw
     # same expected per-rung swap acceptance
     np.testing.assert_allclose(mean_pallas, mean_xla, atol=0.05)
+
+
+def test_rolled_swaps_proposed_counts():
+    """The pallas swap path must report the true number of proposed pairings
+    per rung (rolled variant skips pairs whose partner lands on a pad lane),
+    so ladder adaptation ratios are unbiased."""
+    from eryn_tpu.moves.tempering import TemperatureControl
+    from eryn_tpu.state import State
+
+    ntemps, nw = 4, 650  # pads to 768: ~15% of naive pairings invalid
+    rng = np.random.default_rng(7)
+    tc = TemperatureControl(5, nw, ntemps=ntemps, adaptive=False)
+    state_tree = {
+        "coords": {"m": jnp.asarray(rng.standard_normal((ntemps, nw, 1, 2)))},
+        "inds": {"m": jnp.ones((ntemps, nw, 1), bool)},
+        "log_prior": jnp.zeros((ntemps, nw)),
+    }
+    logl = jnp.asarray(
+        rng.standard_normal((ntemps, nw)).astype(np.float32) * 5.0
+    )
+    tc.use_pallas = True
+    _, _, acc, prop = jax.jit(
+        lambda k: tc._swap_kernel_pallas(
+            k, state_tree, logl, jnp.asarray(tc.betas, jnp.float32),
+            interpret=True,
+        )
+    )(jax.random.PRNGKey(3))
+    prop = np.asarray(prop)
+    acc = np.asarray(acc)
+    nwpad = 768
+    # every rung proposes at most nw and at least nw - pad pairings
+    assert np.all(prop <= nw) and np.all(prop >= nw - (nwpad - nw))
+    assert np.all(acc <= prop)
+
+
+def test_provenance_capacity_guard():
+    with pytest.raises(ValueError, match="2\\*\\*24"):
+        pt_swap_cascade(
+            jnp.zeros((2**15, 2**10), jnp.float32),
+            jnp.zeros((2**15, 2**10), jnp.float32),
+            jnp.zeros((2**15 - 1,), jnp.float32),
+            jnp.zeros((2**15 - 1,), jnp.int32),
+            jnp.zeros((2**15 - 1, 2**10), jnp.float32),
+        )
 
 
 def _numpy_cascade_rolled(logl, origin, dbetas, shifts, raccept, nwpad):
