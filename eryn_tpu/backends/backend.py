@@ -40,6 +40,7 @@ class Backend:
         rj=False,
         moves=None,
         info=None,
+        key_order=None,
     ):
         """Allocate empty chain storage (ref ``backend.py:76-257``)."""
         if branch_names is None:
@@ -64,6 +65,7 @@ class Backend:
         self.rj = rj
         self.move_keys = list(moves) if moves else None
         self.info = dict(info) if info else {}
+        self.key_order = dict(key_order) if key_order else None
 
         self.iteration = 0
         self.chain = {
@@ -244,6 +246,69 @@ class Backend:
 
         self.iteration += 1
 
+    def save_segment(
+        self,
+        coords,
+        inds,
+        log_like,
+        log_prior,
+        betas=None,
+        blobs=None,
+        accepted=None,
+        rj_accepted=None,
+        swaps_accepted=None,
+        moves_accepted_fraction=None,
+        random_state=None,
+    ):
+        """Append a whole segment of stored steps in one slab write.
+
+        Every array carries a leading ``nstored`` axis (``accepted`` /
+        ``rj_accepted`` / ``swaps_accepted`` are per-step counts and are
+        summed into the cumulative counters).  This is the bulk-flush
+        analogue of the reference's per-step ``save_step``
+        (``/root/reference/src/eryn/backends/backend.py:1014-1091``) — same
+        stored layout, one ingestion call per device segment instead of one
+        per step.
+        """
+        log_like = np.asarray(log_like, dtype=self.dtype)
+        n = log_like.shape[0]
+        it = self.iteration
+        sl = slice(it, it + n)
+        for name in self.branch_names:
+            c = np.asarray(coords[name], dtype=self.dtype).copy()
+            m = np.asarray(inds[name], dtype=bool)
+            c[~m] = self.store_missing_leaves
+            self.chain[name][sl] = c
+            self.inds[name][sl] = m
+        self.log_like[sl] = log_like
+        self.log_prior[sl] = np.asarray(log_prior, dtype=self.dtype)
+        if betas is not None:
+            self.betas[sl] = np.asarray(betas, dtype=self.dtype)
+        if blobs is not None and self.blobs is not None:
+            self.blobs[sl] = np.asarray(blobs)
+
+        if accepted is not None:
+            self.accepted += np.asarray(accepted, dtype=self.dtype).sum(axis=0)
+        if self.rj_accepted is not None and rj_accepted is not None:
+            self.rj_accepted += np.asarray(rj_accepted, dtype=self.dtype).sum(
+                axis=0
+            )
+        if self.swaps_accepted is not None and swaps_accepted is not None:
+            self.swaps_accepted += np.asarray(
+                swaps_accepted, dtype=self.dtype
+            ).sum(axis=0)
+        if (
+            self.moves_accepted_fraction is not None
+            and moves_accepted_fraction is not None
+        ):
+            for key, val in moves_accepted_fraction.items():
+                if val is not None:
+                    self.moves_accepted_fraction[key] = np.asarray(val)
+        if random_state is not None:
+            self.random_state = np.asarray(random_state)
+
+        self.iteration += n
+
     # ------------------------------------------------------------------
     # getters (ref backend.py:263-384)
     # ------------------------------------------------------------------
@@ -351,28 +416,38 @@ class Backend:
     # diagnostics (filled in by eryn_tpu.utils.utility; ref backend.py:616-817)
     # ------------------------------------------------------------------
     def get_autocorr_thin_burn(self):
-        """Suggested (thin, burn) from the integrated autocorrelation time
-        (ref ``backend.py:354-384``)."""
+        """Suggested ``(discard, thin)`` from the per-parameter integrated
+        autocorrelation times (ref ``backend.py:354-384``): discard = 2x the
+        maximum tau, thin = 0.5x the minimum tau."""
         tau = self.get_autocorr_time()
-        tau_max = max(np.max(np.atleast_1d(v)) for v in tau.values())
-        thin = max(int(0.5 * tau_max), 1)
-        burn = int(2 * tau_max)
-        return thin, burn
+        tau_max = max(np.nanmax(np.atleast_1d(v)) for v in tau.values())
+        tau_min = min(np.nanmin(np.atleast_1d(v)) for v in tau.values())
+        discard = int(2 * tau_max)
+        thin = max(int(0.5 * tau_min), 1)
+        return discard, thin
 
-    def get_autocorr_time(self, discard=0, thin=1, all_temps=False, multiply_thin=True, **kwargs):
-        """Integrated autocorrelation time per branch/parameter
-        (ref ``backend.py:616-662``)."""
+    def get_autocorr_time(
+        self, discard=0, thin=1, all_temps=False, multiply_thin=True, **kwargs
+    ):
+        """Per-parameter integrated autocorrelation time per branch
+        (ref ``backend.py:616-662``).
+
+        Returns ``{branch: tau}`` with tau shaped
+        ``(ntemps_kept, nleaves_max, ndim)`` (``average=True``, the default)
+        — per-parameter values with the reference's ``average`` /
+        ``all_temps`` / ``window`` / ``tol`` semantics.  Unlike the
+        reference (which raises for ``ntemps > 1`` or RJ), tempered and RJ
+        chains are supported: taus are computed on the kept temperatures and
+        RJ-masked leaves are NaN-filled per column.
+        """
         from ..utils.utility import get_integrated_act
 
         chain = self.get_chain(discard=discard, thin=thin)
-        out = {}
-        for name, arr in chain.items():
-            ntemp_keep = self.ntemps if all_temps else 1
-            x = arr[:, :ntemp_keep]
-            # (nsteps, ntemps, nwalkers, nleaves_max, ndim) -> average walkers
-            tau = get_integrated_act(x, **kwargs)
-            out[name] = tau * thin if multiply_thin else tau
-        return out
+        ntemp_keep = self.ntemps if all_temps else 1
+        x = {name: arr[:, :ntemp_keep] for name, arr in chain.items()}
+        out = get_integrated_act(x, **kwargs)
+        thin_factor = thin if multiply_thin else 1
+        return {name: values * thin_factor for name, values in out.items()}
 
     def get_evidence_estimate(
         self, discard=0, thin=1, return_error=True, method="therodynamic", **ss_kwargs
@@ -429,6 +504,8 @@ class Backend:
         """Bundle of everything stored (ref ``backend.py:1093-1153``)."""
         samples = self.get_chain(discard=discard, thin=thin)
         out = {"samples": samples, **self.info}
+        out["thin"] = thin
+        out["burn"] = discard
         out["log_like"] = self.get_log_like(discard=discard, thin=thin)
         out["log_prior"] = self.get_log_prior(discard=discard, thin=thin)
         out["inds"] = self.get_inds(discard=discard, thin=thin)
@@ -439,7 +516,23 @@ class Backend:
         out["nbranches"] = self.nbranches
         out["branch names"] = self.branch_names
         out["ndims"] = self.ndims
-        out["tau"] = None
-        out["ac_burn"] = 0
-        out["ac_thin"] = 1
+        try:
+            tau = self.get_autocorr_time()
+            out["tau"] = tau
+            out["ac_burn"] = int(
+                2 * max(np.nanmax(np.atleast_1d(v)) for v in tau.values())
+            )
+            out["ac_thin"] = int(
+                0.5 * min(np.nanmin(np.atleast_1d(v)) for v in tau.values())
+            )
+        except Exception as e:  # noqa: BLE001 — mirror the reference's guard
+            print(
+                "Failed to calculate the autocorrelation length. Will not "
+                f"output this piece of information. \n\n Actual error: [{e}]"
+            )
+            out["tau"] = None
+            out["ac_thin"] = 1
+            out["ac_burn"] = 1
+        if out["ac_thin"] < 1:
+            out["ac_thin"] = 1
         return out

@@ -228,7 +228,11 @@ class HDFBackend(Backend):
                     dtype=bool,
                     **opts,
                 )
-                if key_order is not None and name in key_order:
+                if (
+                    key_order is not None
+                    and name in key_order
+                    and len(key_order[name]) > 0
+                ):
                     k_o_g.attrs[name] = key_order[name]
 
             if moves is not None:
@@ -278,6 +282,15 @@ class HDFBackend(Backend):
             with self.open() as f:
                 g = f[self.name]
                 return list(g["moves"].keys()) if "moves" in g else None
+        if item == "key_order":
+            with self.open() as f:
+                g = f[self.name]
+                if "key_order" not in g:
+                    return None
+                return {
+                    key: list(np.atleast_1d(value))
+                    for key, value in g["key_order"].attrs.items()
+                }
         if item == "info":
             with self.open() as f:
                 return dict(f[self.name]["info"].attrs)
@@ -412,6 +425,102 @@ class HDFBackend(Backend):
             if random_state is not None:
                 g.attrs["random_state_key"] = np.asarray(random_state)
             g.attrs["iteration"] = it + 1
+
+    def save_segment(
+        self,
+        coords,
+        inds,
+        log_like,
+        log_prior,
+        betas=None,
+        blobs=None,
+        accepted=None,
+        rj_accepted=None,
+        swaps_accepted=None,
+        moves_accepted_fraction=None,
+        random_state=None,
+    ):
+        """Append a whole segment in ONE file open + slab dataset writes.
+
+        The reference appends one step per ``save_step`` call, each with its
+        own open/retry (``/root/reference/src/eryn/backends/hdfbackend.py:725-807``);
+        the stored layout here is identical, but a device segment of
+        ``nstored`` steps costs a single open and ``O(ndatasets)`` writes.
+        """
+        for attempt in range(_OPEN_RETRIES):
+            try:
+                self._save_segment_once(
+                    coords,
+                    inds,
+                    log_like,
+                    log_prior,
+                    betas,
+                    blobs,
+                    accepted,
+                    rj_accepted,
+                    swaps_accepted,
+                    moves_accepted_fraction,
+                    random_state,
+                )
+                return
+            except BlockingIOError:
+                if attempt == _OPEN_RETRIES - 1:
+                    raise
+                time.sleep(_OPEN_RETRY_SLEEP)
+
+    def _save_segment_once(
+        self,
+        coords,
+        inds,
+        log_like,
+        log_prior,
+        betas,
+        blobs,
+        accepted,
+        rj_accepted,
+        swaps_accepted,
+        moves_accepted_fraction,
+        random_state,
+    ):
+        log_like = np.asarray(log_like, dtype=self.dtype)
+        n = log_like.shape[0]
+        with self.open("a") as f:
+            g = f[self.name]
+            it = g.attrs["iteration"]
+            sl = slice(it, it + n)
+            for name in g.attrs["branch_names"]:
+                c = np.asarray(coords[name], dtype=self.dtype).copy()
+                m = np.asarray(inds[name], dtype=bool)
+                c[~m] = self.store_missing_leaves
+                g["chain"][name][sl] = c
+                g["inds"][name][sl] = m
+            g["log_like"][sl] = log_like
+            g["log_prior"][sl] = np.asarray(log_prior, dtype=self.dtype)
+            if betas is not None:
+                g["betas"][sl] = np.asarray(betas, dtype=self.dtype)
+            if blobs is not None and g.attrs["has_blobs"]:
+                g["blobs"][sl] = np.asarray(blobs)
+            if accepted is not None:
+                g["accepted"][:] = g["accepted"][:] + np.asarray(accepted).sum(
+                    axis=0
+                )
+            if rj_accepted is not None and "rj_accepted" in g:
+                g["rj_accepted"][:] = g["rj_accepted"][:] + np.asarray(
+                    rj_accepted
+                ).sum(axis=0)
+            if swaps_accepted is not None:
+                g["swaps_accepted"][:] = g["swaps_accepted"][:] + np.asarray(
+                    swaps_accepted
+                ).sum(axis=0)
+            if moves_accepted_fraction is not None and "moves" in g:
+                for key, val in moves_accepted_fraction.items():
+                    if val is not None and key in g["moves"]:
+                        g["moves"][key]["acceptance_fraction"][:] = np.asarray(
+                            val
+                        )
+            if random_state is not None:
+                g.attrs["random_state_key"] = np.asarray(random_state)
+            g.attrs["iteration"] = it + n
 
     # ------------------------------------------------------------------
     def get_value(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .backends import Backend, HDFBackend
 from .model import Model
 from .moves import StretchMove
-from .moves.move import EvalContext
+from .moves.move import EvalContext, Move
 from .moves.tempering import TemperatureControl, tempered_log_likelihood
 from .pbar import get_progress_bar
 from .prior import ProbDistContainer
@@ -402,6 +402,21 @@ class _FunctionWrapper:
         return self.f(x, *self.args, **self.kwargs)
 
 
+def _normalize_key_order(key_order):
+    """Coerce a per-branch key-order mapping to plain Python types so
+    sampler-side lists compare equal to HDF5-attr round-tripped arrays."""
+
+    def norm(v):
+        out = []
+        for x in np.atleast_1d(np.asarray(v)).tolist():
+            if isinstance(x, bytes):
+                x = x.decode()
+            out.append(x)
+        return out
+
+    return {name: norm(v) for name, v in dict(key_order).items()}
+
+
 def walkers_independent(coords):
     """Check walkers span the parameter space (ref ``ensemble.py:1670-1700``)."""
     coords = np.asarray(coords)
@@ -526,6 +541,12 @@ class EnsembleSampler:
 
         # ---- priors -------------------------------------------------------
         self.priors = self._normalize_priors(priors)
+        #: per-branch prior key ordering (ref ensemble.py:755), persisted to
+        #: the backend and validated on resume
+        self.key_order = {
+            name: list(getattr(c, "key_order", []))
+            for name, c in self.priors.items()
+        }
 
         # ---- moves schedule (ref ensemble.py:349-514) ----------------------
         if moves is None:
@@ -613,7 +634,35 @@ class EnsembleSampler:
         if not self.backend.initialized:
             self._reset_backend()
         else:
-            # resume path (ref ensemble.py:605-652)
+            # resume path (ref ensemble.py:605-652): validate move keys,
+            # prior key order, and shape before restoring state + RNG
+            if self.track_moves:
+                backend_move_keys = getattr(self.backend, "move_keys", None)
+                if backend_move_keys is not None:
+                    ours = list(self.all_moves.keys())
+                    theirs = list(backend_move_keys)
+                    if len(ours) != len(theirs) or any(
+                        k not in theirs for k in ours
+                    ):
+                        raise ValueError(
+                            "Configuration of moves has changed. Cannot use "
+                            "the same backend. Declare a new backend and "
+                            "start from the previous state. If you would "
+                            "prefer not to track move acceptance fraction, "
+                            "set track_moves to False in the EnsembleSampler."
+                        )
+            backend_key_order = getattr(self.backend, "key_order", None)
+            if backend_key_order:
+                if _normalize_key_order(
+                    {
+                        n: v
+                        for n, v in self.key_order.items()
+                        if n in backend_key_order
+                    }
+                ) != _normalize_key_order(backend_key_order):
+                    raise ValueError(
+                        "Input key order from priors does not match backend."
+                    )
             if self.backend.shape != self.shape:
                 raise ValueError(
                     f"Backend shape {self.backend.shape} incompatible with "
@@ -781,6 +830,7 @@ class EnsembleSampler:
             rj=self.has_reversible_jump,
             moves=list(self.all_moves.keys()) if self.track_moves else None,
             info=self.info,
+            key_order=self.key_order,
         )
 
     def reset(self, **info):
@@ -994,11 +1044,11 @@ class EnsembleSampler:
             self._step_cache[cache_key] = fn
         return fn
 
-    def _run_bulk(self, state, nstored, thin_by=1, store=True):
-        """Run ``nstored * thin_by`` compiled steps in ONE device dispatch.
+    def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
+        """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
 
-        Returns ``(state, snaps)`` with ``snaps`` a host-side dict of stacked
-        per-stored-step arrays (or None when ``store=False``)."""
+        Returns ``(carry, snaps, t0)`` of *device* arrays — nothing blocks;
+        call :meth:`_sync_bulk` on the carry to commit host mirrors."""
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
         if self._kernel_states is None:
@@ -1019,8 +1069,17 @@ class EnsembleSampler:
             jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
             self._kernel_states,
         )
+        return carry, snaps, _t0
+
+    def _sync_bulk(self, carry, snaps, nsteps, t0):
+        """Block on the dispatched segment and sync host mirrors.  ``snaps``
+        stays on device; device->host transfers are *started* here
+        (``copy_to_host_async``) so the flush overlaps the next dispatch."""
+        import time as _time
+
+        tc = self.temperature_control
         jax.block_until_ready(carry[1].log_like)
-        self.timing.record(nstored * thin_by, _time.perf_counter() - _t0)
+        self.timing.record(nsteps, _time.perf_counter() - t0)
         (
             self._key,
             state,
@@ -1048,20 +1107,37 @@ class EnsembleSampler:
             tc.betas = np.asarray(state.betas)
 
         if snaps is not None:
+            for leaf in jax.tree_util.tree_leaves(snaps):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+        return state
+
+    def _run_bulk(self, state, nstored, thin_by=1, store=True):
+        """Run ``nstored * thin_by`` compiled steps in ONE device dispatch.
+
+        Returns ``(state, snaps)`` with ``snaps`` a host-side dict of stacked
+        per-stored-step arrays (or None when ``store=False``)."""
+        carry, snaps, t0 = self._dispatch_bulk(state, nstored, thin_by, store)
+        state = self._sync_bulk(carry, snaps, nstored * thin_by, t0)
+        if snaps is not None:
             snaps = jax.tree_util.tree_map(np.asarray, snaps)
+            tc = self.temperature_control
             if tc is not None and self.ntemps > 1:
                 tc.swaps_accepted = snaps["swaps"][-1]
         return state, snaps
 
     def _save_snaps(self, snaps):
-        """Flush a bulk segment of stored snapshots into the backend.
+        """Flush a bulk segment of stored snapshots into the backend with ONE
+        slab ingestion call (one HDF5 open for :class:`HDFBackend`).
 
         Per-move acceptance fractions use the segment-final counters: the
         backend only retains the latest value per move (matching the
-        reference, which overwrites them every save)."""
-        nstored = snaps["log_like"].shape[0]
+        reference, which overwrites them every save).  ``snaps`` may hold
+        device arrays; they are materialized here (transfers were started by
+        ``_sync_bulk``, so this overlaps the next segment's device compute)."""
+        snaps = jax.tree_util.tree_map(np.asarray, snaps)
         if self.track_moves:
-            final_fractions = {}
+            fractions = {}
             for i, key_name in enumerate(self.all_moves.keys()):
                 if i < len(self.moves):
                     acc = self._move_accepted[i]
@@ -1069,24 +1145,27 @@ class EnsembleSampler:
                 else:
                     acc = self._rj_move_accepted[i - len(self.moves)]
                     nprop = self._rj_move_nprop[i - len(self.moves)]
-                final_fractions[key_name] = acc / max(nprop, 1.0)
-        for j in range(nstored):
-            fractions = final_fractions if self.track_moves else None
-            self.backend.save_snapshot(
-                coords={n: snaps["coords"][n][j] for n in snaps["coords"]},
-                inds={n: snaps["inds"][n][j] for n in snaps["inds"]},
-                log_like=snaps["log_like"][j],
-                log_prior=snaps["log_prior"][j],
-                betas=snaps["betas"][j],
-                blobs=snaps["blobs"][j] if "blobs" in snaps else None,
-                accepted=snaps["accepted"][j],
-                rj_accepted=snaps["rj_accepted"][j]
-                if self.has_reversible_jump
-                else None,
-                swaps_accepted=snaps["swaps"][j] if self.ntemps > 1 else None,
-                moves_accepted_fraction=fractions,
-                random_state=np.asarray(self._key),
-            )
+                fractions[key_name] = acc / max(nprop, 1.0)
+        else:
+            fractions = None
+        self.backend.save_segment(
+            coords=snaps["coords"],
+            inds=snaps["inds"],
+            log_like=snaps["log_like"],
+            log_prior=snaps["log_prior"],
+            betas=snaps["betas"],
+            blobs=snaps.get("blobs"),
+            accepted=snaps["accepted"],
+            rj_accepted=snaps["rj_accepted"]
+            if self.has_reversible_jump
+            else None,
+            swaps_accepted=snaps["swaps"] if self.ntemps > 1 else None,
+            moves_accepted_fraction=fractions,
+            random_state=np.asarray(self._key),
+        )
+        tc = self.temperature_control
+        if tc is not None and self.ntemps > 1:
+            tc.swaps_accepted = snaps["swaps"][-1]
 
     # ------------------------------------------------------------------
     # sampling loop (ref ensemble.py:808-1125)
@@ -1204,7 +1283,16 @@ class EnsembleSampler:
         progress=False,
     ):
         """Generator yielding the state every ``thin_by`` compiled steps
-        (ref ``ensemble.py:808-1045``)."""
+        (ref ``ensemble.py:808-1045``).
+
+        ``tune=True`` fires ``move.tune(state, move.accepted)`` on every move
+        that overrides the base stub, at yield boundaries (the reference
+        calls it per proposal, ``ensemble.py:983-984``; here proposals run
+        inside the compiled segment, so tuning uses the synced per-move
+        cumulative accepted counters).  ``update_fn`` fires every
+        ``update_iterations`` yielded iterations, matching the reference's
+        in-``sample()`` hook (``ensemble.py:1033-1038``).
+        """
         if iterations is None and store:
             raise ValueError("Cannot have iterations be None if store == True.")
 
@@ -1217,13 +1305,35 @@ class EnsembleSampler:
         if store:
             self.backend.grow(iterations, state.blobs)
 
+        tuned_moves = (
+            [
+                m
+                for m in self.moves + self.rj_moves
+                if type(m).tune is not Move.tune
+            ]
+            if tune
+            else []
+        )
+
         total = None if iterations is None else iterations * thin_by
         with get_progress_bar(progress, total) as pbar:
             iterator = count() if iterations is None else range(iterations)
+            i = 0
             for _ in iterator:
                 state, snaps = self._run_bulk(state, 1, thin_by, store=store)
                 if store:
                     self._save_snaps(snaps)
+                for m in tuned_moves:
+                    # tune hooks that mutate traced move config must clear
+                    # sampler._step_cache (see AdjustStretchProposalScale)
+                    m.tune(state, m.accepted)
+                i += 1
+                if (
+                    self.update_iterations > 0
+                    and self.update_fn is not None
+                    and i % self.update_iterations == 0
+                ):
+                    self.update_fn(i, state, self)
                 pbar.update(thin_by)
                 self._previous_state = state
                 yield state
@@ -1286,16 +1396,48 @@ class EnsembleSampler:
         if store:
             self.backend.grow(nsteps, state.blobs)
 
+        def hook_fires(i):
+            return (
+                (
+                    self.plot_iterations > 0
+                    and self.plot_generator is not None
+                    and (i % self.plot_iterations) == 0
+                )
+                or (
+                    self.stopping_iterations > 0
+                    and self.stopping_fn is not None
+                    and (i % self.stopping_iterations) == 0
+                )
+                or (
+                    self.update_iterations > 0
+                    and self.update_fn is not None
+                    and (i % self.update_iterations) == 0
+                )
+            )
+
         total = nsteps * thin_by
         i = 0
         segment_plan = _segment_plan(int(nsteps), seg)
+        pending = None  # previous segment's snaps, not yet flushed
         with get_progress_bar(progress, total) as pbar:
             while i < nsteps:
                 n = segment_plan.pop(0)
-                state, snaps = self._run_bulk(state, n, thin_by, store=store)
-                if store:
-                    self._save_snaps(snaps)
+                # software pipeline: dispatch segment k+1, then flush segment
+                # k's chain to the backend while the device computes
+                carry, snaps, t0 = self._dispatch_bulk(
+                    state, n, thin_by, store=store
+                )
+                if pending is not None:
+                    self._save_snaps(pending)
+                    pending = None
+                state = self._sync_bulk(carry, snaps, n * thin_by, t0)
                 i += n
+                if store:
+                    if hook_fires(i) or not segment_plan:
+                        # hooks read the backend; it must be current
+                        self._save_snaps(snaps)
+                    else:
+                        pending = snaps
                 pbar.update(n * thin_by)
                 self._previous_state = state
 
@@ -1319,6 +1461,9 @@ class EnsembleSampler:
                     and (i % self.update_iterations) == 0
                 ):
                     self.update_fn(i, state, self)
+
+        if pending is not None:
+            self._save_snaps(pending)
 
         self._previous_state = state
         return state

@@ -236,7 +236,7 @@ class PlotContainer:
             return
         if self.thin_chain_by_ac:
             try:
-                thin, burn = self.backend.get_autocorr_thin_burn()
+                burn, thin = self.backend.get_autocorr_thin_burn()
             except Exception:
                 pass
         groups = {

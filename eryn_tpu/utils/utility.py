@@ -68,55 +68,97 @@ def get_acf(x, axis=0, fast=False):
     return acf / acf[tuple(m)]
 
 
-def _sokal_window(taus, c):
-    m = np.arange(len(taus)) < c * taus
-    if np.any(m):
-        return int(np.argmin(m))
-    return len(taus) - 1
+def _fill_nonfinite_columns(x):
+    """RJ-masked chains carry NaNs for dead leaves; replace each column's
+    non-finite entries with the column mean so the FFT ACF stays defined
+    (all-NaN columns become zeros -> tau = NaN downstream)."""
+    bad = ~np.isfinite(x)
+    if not bad.any():
+        return x
+    with np.errstate(invalid="ignore"):
+        col_mean = np.nanmean(np.where(bad, np.nan, x), axis=0, keepdims=True)
+    x = np.where(bad, np.broadcast_to(col_mean, x.shape), x)
+    return np.nan_to_num(x)
 
 
-def get_integrated_act(x, average=True, c=5, tol=0, quiet=True, has_walkers=True):
-    """Integrated autocorrelation time with a Sokal window
-    (ref ``utility.py:79-144``).
+def get_integrated_act(
+    x, axis=0, window=50, fast=False, average=True, tol=0, quiet=True
+):
+    """Integrated autocorrelation time, per parameter
+    (ref ``utility.py:79-144``; same fixed-window estimator).
 
     Args:
-        x: chain array. Leading axis = steps; if ``has_walkers`` the second
-           non-temp axis is averaged as independent walkers. Accepts
-           ``(nsteps, ...)`` of any trailing shape or a dict of such arrays.
+        x: the time series.  Either a dict of per-branch chains shaped
+           ``(nsteps, ntemps, nwalkers, nleaves_max, ndim)`` or an ndarray
+           with the step axis first.
+        window: summation window of the ACF (default 50, as the reference).
+        average: average the per-walker estimates over axis 1 (the walker
+           axis for the dict form / the reference's chain layout).
+        tol: if > 0, require ``nsteps > tol * tau``; raises when ``quiet`` is
+           False, warns otherwise (emcee ``integrated_time`` semantics).
+
+    Returns:
+        dict input -> ``{name: tau}`` with tau shaped
+        ``(ntemps, nleaves_max, ndim)`` (``average=True``) or
+        ``(ntemps, nwalkers, nleaves_max, ndim)``; ndarray input -> the
+        reference's shapes (scalar for 1-D input, step axis summed out, axis
+        1 averaged when ``average`` and the result is >= 2-D).
     """
-    if isinstance(x, dict):
-        return {k: get_integrated_act(v, average=average, c=c) for k, v in x.items()}
+    if axis != 0:
+        raise NotImplementedError("get_integrated_act requires axis=0.")
 
-    x = np.asarray(x, dtype=np.float64)
-    if x.ndim == 1:
-        x = x[:, None]
-    nsteps = x.shape[0]
-    flat = x.reshape(nsteps, -1)
+    is_dict = isinstance(x, dict)
+    if is_dict:
+        shapes = {}
+        values_out = []
+        breaks = []
+        total = 0
+        for name, values in x.items():
+            values = np.asarray(values, dtype=np.float64)
+            nsteps, ntemps, nwalkers, nleaves_max, ndim = values.shape
+            shapes[name] = (ntemps, nwalkers, nleaves_max, ndim)
+            total += nleaves_max * ndim
+            breaks.append(total)
+            values_out.append(values.reshape(nsteps, ntemps, nwalkers, -1))
+        x_in = np.concatenate(values_out, axis=-1)
+    else:
+        x_in = np.asarray(x, dtype=np.float64)
 
-    # average ACF over all chains (walkers/temps/leaves) per parameter is the
-    # standard emcee estimator; here each flat column is a chain
-    acf = np.zeros(nsteps)
-    valid = 0
-    for j in range(flat.shape[1]):
-        col = flat[:, j]
-        good = np.isfinite(col)
-        if good.sum() < 4:
-            continue
-        col = np.where(good, col, np.nanmean(col))
-        acf += get_acf(col)
-        valid += 1
-    if valid == 0:
-        return np.nan
-    acf /= valid
+    nsteps = x_in.shape[0]
+    x_in = _fill_nonfinite_columns(x_in.reshape(nsteps, -1)).reshape(x_in.shape)
 
-    taus = 2.0 * np.cumsum(acf) - 1.0
-    window = _sokal_window(taus, c)
-    tau = taus[window]
-    if tol > 0 and not quiet and tau * tol > nsteps:
-        raise RuntimeError(
-            f"The chain is shorter than {tol} times the integrated "
-            f"autocorrelation time ({tau:.1f})."
-        )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = get_acf(x_in, axis=0, fast=fast)
+
+    if f.ndim == 1:
+        tau = 1.0 + 2.0 * np.sum(f[1:window])
+    else:
+        tau = 1.0 + 2.0 * np.sum(f[1:window], axis=0)
+        if average and tau.ndim >= 2:
+            tau = np.average(tau, axis=1)
+
+    if tol > 0:
+        tau_max = np.nanmax(np.atleast_1d(tau))
+        if np.isfinite(tau_max) and tau_max * tol > nsteps:
+            msg = (
+                f"The chain is shorter than {tol} times the integrated "
+                f"autocorrelation time ({tau_max:.1f})."
+            )
+            if quiet:
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
+            else:
+                raise RuntimeError(msg)
+
+    if is_dict:
+        splits = np.split(tau, breaks[:-1], axis=-1)
+        out = {}
+        for (name, shape), split in zip(shapes.items(), splits):
+            ntemps, nwalkers, nleaves_max, ndim = shape
+            lead = (ntemps,) if average else (ntemps, nwalkers)
+            out[name] = split.reshape(lead + (nleaves_max, ndim))
+        return out
     return tau
 
 

@@ -125,7 +125,9 @@ def test_memory_backend_diagnostics(priors):
     ens.run_mcmc(coords, 300, burn=100)
 
     tau = ens.backend.get_autocorr_time()
-    assert np.isfinite(tau["model_0"])
+    # per-parameter taus: (ntemps_kept=1, nleaves_max=1, ndim)
+    assert tau["model_0"].shape == (1, 1, NDIM)
+    assert np.isfinite(tau["model_0"]).all()
 
     # analytic: Z = (2*pi)^(3/2) / 16^3  -> log Z ~ 2.757 - 8.317 = -5.56
     expected = 0.5 * NDIM * np.log(2 * np.pi) - NDIM * np.log(16.0)
@@ -142,3 +144,70 @@ def test_memory_backend_diagnostics(priors):
         discard=50, doprint=False
     )
     assert np.all(rhat["model_0"] < 1.3)
+
+
+def test_resume_validation_mismatch(priors, tmp_path):
+    """Resuming with a changed move set or prior key order raises
+    (ref ensemble.py:605-652)."""
+    from eryn_tpu.moves import GaussianMove, StretchMove
+
+    fn = str(tmp_path / "validate.h5")
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=HDFBackend(fn),
+        moves=[StretchMove()],
+        seed=5,
+    )
+    ens.run_mcmc(priors.rvs(size=(NWALKERS,)), 10)
+    del ens
+
+    # changed move configuration
+    with pytest.raises(ValueError, match="Configuration of moves"):
+        EnsembleSampler(
+            NWALKERS,
+            NDIM,
+            log_like,
+            priors,
+            backend=HDFBackend(fn),
+            moves=[GaussianMove({"model_0": 0.5 * np.ones(NDIM)})],
+            seed=5,
+        )
+    # track_moves=False skips the move-key check
+    EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=HDFBackend(fn),
+        moves=[GaussianMove({"model_0": 0.5 * np.ones(NDIM)})],
+        track_moves=False,
+        seed=5,
+    )
+
+    # string key_order persistence + mismatch detection
+    fn2 = str(tmp_path / "keyorder.h5")
+    named = ProbDistContainer(
+        {"a": uniform_dist(-8, 8), "b": uniform_dist(-8, 8), "c": uniform_dist(-8, 8)}
+    )
+    ens2 = EnsembleSampler(
+        NWALKERS, NDIM, log_like, named, backend=HDFBackend(fn2), seed=6
+    )
+    ens2.run_mcmc(named.rvs(size=(NWALKERS,)), 10)
+    assert ens2.backend.key_order == {"model_0": ["a", "b", "c"]}
+    del ens2
+
+    reordered = ProbDistContainer(
+        {"b": uniform_dist(-8, 8), "a": uniform_dist(-8, 8), "c": uniform_dist(-8, 8)}
+    )
+    with pytest.raises(ValueError, match="key order"):
+        EnsembleSampler(
+            NWALKERS, NDIM, log_like, reordered, backend=HDFBackend(fn2), seed=6
+        )
+    # same order resumes fine
+    ens3 = EnsembleSampler(
+        NWALKERS, NDIM, log_like, named, backend=HDFBackend(fn2), seed=6
+    )
+    assert ens3.backend.iteration == 10

@@ -145,3 +145,39 @@ def test_sample_generator(gaussian_setup):
     np.testing.assert_allclose(
         np.asarray(states[-1].log_like), np.asarray(last.log_like), rtol=1e-5
     )
+
+
+def test_sample_hooks_and_tune(gaussian_setup):
+    """Driving sample() directly fires update_fn every update_iterations and
+    move.tune on moves that override the stub (ref ensemble.py:983-984,
+    1033-1038)."""
+    from eryn_tpu.moves import GaussianMove
+
+    means, invcov, priors = gaussian_setup
+    update_calls = []
+
+    class TunedGaussian(GaussianMove):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.tune_calls = 0
+
+        def tune(self, state, accepted):
+            self.tune_calls += 1
+
+    move = TunedGaussian({"model_0": 0.5 * np.ones(NDIM)})
+    ens = EnsembleSampler(
+        32,
+        NDIM,
+        jax_log_like,
+        priors,
+        args=[jnp.asarray(means), invcov],
+        moves=[move],
+        update_fn=lambda it, state, sampler: update_calls.append(it),
+        update_iterations=2,
+        seed=7,
+    )
+    coords = priors.rvs(size=(32,))
+    for _ in ens.sample(coords, iterations=6, tune=True):
+        pass
+    assert update_calls == [2, 4, 6]
+    assert move.tune_calls == 6

@@ -316,3 +316,35 @@ def test_make_ladder_parity():
         ours = make_ladder(ndim, ntemps=ntemps, Tmax=tmax)
         ref = ref_make_ladder(ndim, ntemps=ntemps, Tmax=tmax)
         np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+def test_integrated_act_matches_reference():
+    """Per-parameter IACT matches the reference estimator exactly on an
+    identical chain array (ref utils/utility.py:79-144) in its supported
+    domain (single temperature, nleaves_max=1)."""
+    _import_reference()
+    from eryn.utils.utility import get_integrated_act as ref_act
+
+    from eryn_tpu.utils.utility import get_integrated_act as our_act
+
+    rng = np.random.default_rng(11)
+    nsteps, nwalkers, ndim = 2000, 16, 4
+    # AR(1) chains with per-parameter correlation
+    rho = np.array([0.2, 0.5, 0.7, 0.9])
+    x = np.zeros((nsteps, 1, nwalkers, 1, ndim))
+    e = rng.standard_normal((nsteps, 1, nwalkers, 1, ndim))
+    for t in range(1, nsteps):
+        x[t] = rho * x[t - 1] + e[t]
+
+    ours = our_act({"model_0": x})["model_0"]
+    ref = ref_act({"model_0": x})["model_0"]
+    assert ours.shape == (1, 1, ndim)
+    np.testing.assert_allclose(
+        ours.reshape(ref.shape), ref, rtol=1e-10, atol=1e-12
+    )
+    # and the per-walker (average=False) variant
+    ours_w = our_act({"model_0": x}, average=False)["model_0"]
+    ref_w = ref_act({"model_0": x}, average=False)["model_0"]
+    np.testing.assert_allclose(
+        ours_w.reshape(ref_w.shape), ref_w, rtol=1e-10, atol=1e-12
+    )
