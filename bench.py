@@ -39,7 +39,10 @@ NTEMPS = 10
 # long device-resident scans measure sustained sampling throughput
 # (production runs execute segments this size per dispatch)
 NSTEPS = 8000
-STORED_STEPS = 4000
+# stored run: exact multiple of the segment size so the timed window reuses
+# one compiled program (a remainder segment would compile inside the timing)
+STORED_SEGMENT = 1024
+STORED_STEPS = 4 * STORED_SEGMENT
 RJ_NSTEPS = 2000
 
 
@@ -117,10 +120,12 @@ def bench_tpu():
     )
     coords = priors.rvs(size=(NTEMPS, NWALKERS))
     # warm the stored-segment compile outside the timed window
-    sampler2.run_mcmc(coords, 512, burn=256, segment_size=512)
+    sampler2.run_mcmc(
+        coords, STORED_SEGMENT, burn=256, segment_size=STORED_SEGMENT
+    )
     sampler2.reset()
     t0 = time.perf_counter()
-    sampler2.run_mcmc(None, STORED_STEPS, segment_size=512)
+    sampler2.run_mcmc(None, STORED_STEPS, segment_size=STORED_SEGMENT)
     stored_elapsed = time.perf_counter() - t0
     stored_sps = STORED_STEPS / stored_elapsed
     chain_cold = np.asarray(sampler2.get_chain()["model_0"][:, 0])

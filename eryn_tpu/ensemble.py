@@ -691,6 +691,9 @@ class EnsembleSampler:
         self._reset_move_counters()
         self._step_cache = {}
         self._kernel_states = None
+        #: mesh the ensemble state is sharded over (None = single device);
+        #: detected from the concrete state at dispatch time
+        self._sharding_mesh = None
         # max stored iterations buffered on device per dispatch
         self._max_segment = 256
         from .utils.profiling import SegmentTimer
@@ -958,6 +961,8 @@ class EnsembleSampler:
                 nprop = nprop.at[idx].add(1.0)
             return key, state, time, acc, swaps, counters, nprop, mstates
 
+        sharding_mesh = self._sharding_mesh
+
         def one_step(carry, _):
             key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates = carry
             accepted = jnp.zeros((nt, nw), dtype=self.dtype)
@@ -993,6 +998,12 @@ class EnsembleSampler:
                     rj_accepted = rj_accepted + racc
             else:
                 rj_accepted = jnp.zeros((0, 0), dtype=self.dtype)
+            if sharding_mesh is not None:
+                # anchor the carry: XLA must keep the (temp, walker) layout
+                # across steps instead of silently resharding mid-scan
+                from .parallel.mesh import constrain_state
+
+                state = constrain_state(state, sharding_mesh)
             new_carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates)
             return new_carry, (accepted, rj_accepted, swaps)
 
@@ -1004,6 +1015,9 @@ class EnsembleSampler:
         device-side snapshot per stored iteration.  One dispatch per segment —
         the chain buffer lives in HBM until the host flush."""
         one_step = self._make_one_step()
+        inds_change = self.has_reversible_jump or any(
+            getattr(m, "is_rj", False) for m in self.moves
+        )
 
         def stored_block(carry, _):
             carry, outs = jax.lax.scan(one_step, carry, None, length=thin_by)
@@ -1012,10 +1026,11 @@ class EnsembleSampler:
             if store:
                 # keep the transfer lean: accept counts fit uint8 (bounded by
                 # num_repeats); per-move counters are NOT snapshotted per step
-                # (only segment-final values persist in the backend)
+                # (only segment-final values persist in the backend); leaf
+                # masks are only snapshotted when an RJ move can flip them
+                # (otherwise they are constant and the host already has them)
                 snap = {
                     "coords": state.branches_coords,
-                    "inds": state.branches_inds,
                     "log_like": state.log_like,
                     "log_prior": state.log_prior,
                     "betas": state.betas,
@@ -1023,6 +1038,8 @@ class EnsembleSampler:
                     "rj_accepted": rj_accepted.astype(jnp.uint8),
                     "swaps": swaps,
                 }
+                if inds_change:
+                    snap["inds"] = state.branches_inds
                 if state.blobs is not None:
                     snap["blobs"] = state.blobs
             else:
@@ -1037,12 +1054,31 @@ class EnsembleSampler:
         return jax.jit(bulk)
 
     def _get_bulk_fn(self, nstored, thin_by, store):
-        cache_key = (nstored, thin_by, store)
+        cache_key = (nstored, thin_by, store, self._sharding_mesh)
         fn = self._step_cache.get(cache_key)
         if fn is None:
             fn = self._build_bulk_fn(nstored, thin_by, store)
             self._step_cache[cache_key] = fn
         return fn
+
+    def _detect_sharding(self, state):
+        """Detect a multi-device NamedSharding on the concrete state and
+        propagate it: pallas fast paths are bypassed when the ensemble is
+        sharded (the fused kernels are single-device programs; the XLA path
+        lowers to collectives over the mesh instead)."""
+        from .parallel.mesh import mesh_of_state
+
+        try:
+            mesh = mesh_of_state(state)
+        except Exception:
+            mesh = None
+        if mesh is not self._sharding_mesh:
+            self._sharding_mesh = mesh
+            active = mesh is not None
+            for move in self.moves + self.rj_moves:
+                move.sharding_active = active
+            if self.temperature_control is not None:
+                self.temperature_control.sharding_active = active
 
     def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
@@ -1051,6 +1087,14 @@ class EnsembleSampler:
         call :meth:`_sync_bulk` on the carry to commit host mirrors."""
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
+        self._detect_sharding(state)
+        if store:
+            # non-RJ runs do not snapshot the constant leaf masks; keep a
+            # host copy to rebuild them at flush time
+            self._static_inds = {
+                n: np.asarray(state.branches_inds[n])
+                for n in self.branch_names
+            }
         if self._kernel_states is None:
             self._kernel_states = tuple(
                 m.init_kernel_state(state) for m in self.moves + self.rj_moves
@@ -1136,6 +1180,14 @@ class EnsembleSampler:
         device arrays; they are materialized here (transfers were started by
         ``_sync_bulk``, so this overlaps the next segment's device compute)."""
         snaps = jax.tree_util.tree_map(np.asarray, snaps)
+        if "inds" in snaps:
+            inds = snaps["inds"]
+        else:
+            nstored = snaps["log_like"].shape[0]
+            inds = {
+                n: np.broadcast_to(v, (nstored,) + v.shape)
+                for n, v in self._static_inds.items()
+            }
         if self.track_moves:
             fractions = {}
             for i, key_name in enumerate(self.all_moves.keys()):
@@ -1150,7 +1202,7 @@ class EnsembleSampler:
             fractions = None
         self.backend.save_segment(
             coords=snaps["coords"],
-            inds=snaps["inds"],
+            inds=inds,
             log_like=snaps["log_like"],
             log_prior=snaps["log_prior"],
             betas=snaps["betas"],

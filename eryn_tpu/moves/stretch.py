@@ -41,6 +41,10 @@ class StretchMove(RedBlueMove):
             return False
         if self.use_pallas is None and jax.default_backend() != "tpu":
             return False
+        if getattr(self, "sharding_active", False):
+            # fused kernels are single-device programs; on a sharded ensemble
+            # the XLA path partitions over the mesh instead
+            return False
         # engage the fused kernels where launch overhead dominates (small and
         # mid ensembles); at large nwalkers the general XLA path amortizes
         # its op overhead and runs equally fast, without the one-hot matmul

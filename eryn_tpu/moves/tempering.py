@@ -218,8 +218,11 @@ class TemperatureControl:
         if use_pallas is None:
             # pt_swap_cascade dispatches internally: exact one-hot matmul
             # rotations for small ensembles, lane-aligned rolled variant for
-            # large ones
-            use_pallas = jax.default_backend() == "tpu"
+            # large ones; sharded ensembles take the XLA path (the cascade
+            # lowers to permutation collectives over the mesh)
+            use_pallas = jax.default_backend() == "tpu" and not getattr(
+                self, "sharding_active", False
+            )
         if use_pallas and self.permute:
             return self._swap_kernel_pallas(key, swap_tree, logl, betas)
 

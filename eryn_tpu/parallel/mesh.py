@@ -17,7 +17,13 @@ import jax
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_state", "sharding_for_state"]
+__all__ = [
+    "make_mesh",
+    "shard_state",
+    "sharding_for_state",
+    "constrain_state",
+    "mesh_of_state",
+]
 
 TEMP_AXIS = "temp"
 WALKER_AXIS = "walker"
@@ -72,3 +78,28 @@ def sharding_for_state(state, mesh):
 def shard_state(state, mesh):
     """Place a State on the mesh with (temp, walker) sharding."""
     return jax.device_put(state, sharding_for_state(state, mesh))
+
+
+def mesh_of_state(state):
+    """The NamedSharding mesh a concrete State is distributed over, or None
+    when unsharded / single-device / not NamedSharding-placed."""
+    sh = getattr(state.log_like, "sharding", None)
+    if sh is None or not isinstance(sh, NamedSharding):
+        return None
+    if len(sh.device_set) <= 1:
+        return None
+    return sh.mesh
+
+
+def constrain_state(state, mesh):
+    """Anchor the (ntemps, nwalkers)-leading leaves of a (traced) State with
+    ``with_sharding_constraint`` so XLA cannot silently reshard the scan
+    carry mid-graph."""
+    ntemps, nwalkers = state.log_like.shape
+
+    def anchor(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, _spec_for_leaf(x, ntemps, nwalkers))
+        )
+
+    return jax.tree_util.tree_map(anchor, state)

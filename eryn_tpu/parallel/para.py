@@ -165,9 +165,22 @@ class ParaEnsembleSampler:
                         for n in snaps["coords"]
                     }
                 )
-                self._inds.append(
-                    {n: np.swapaxes(snaps["inds"][n], 0, 1) for n in snaps["inds"]}
-                )
+                if "inds" in snaps:
+                    inds_seg = {
+                        n: np.swapaxes(snaps["inds"][n], 0, 1)
+                        for n in snaps["inds"]
+                    }
+                else:
+                    # non-RJ runs do not snapshot the constant leaf masks
+                    nstored = snaps["log_like"].shape[1]
+                    inds_seg = {
+                        n: np.broadcast_to(
+                            np.asarray(b.inds)[None],
+                            (nstored,) + b.inds.shape,
+                        )
+                        for n, b in state.branches.items()
+                    }
+                self._inds.append(inds_seg)
                 self._log_like.append(np.swapaxes(snaps["log_like"], 0, 1))
                 self._log_prior.append(np.swapaxes(snaps["log_prior"], 0, 1))
                 self._betas.append(np.swapaxes(snaps["betas"], 0, 1))

@@ -348,3 +348,313 @@ def test_integrated_act_matches_reference():
     np.testing.assert_allclose(
         ours_w.reshape(ref_w.shape), ref_w, rtol=1e-10, atol=1e-12
     )
+
+
+def test_gaussian_move_parity():
+    """GaussianMove parity in all three update modes (ref gaussian.py:134-181):
+    acceptance fractions and posterior moments match the reference."""
+    RefSampler, RefContainer, ref_uniform = _import_reference()
+    from eryn.moves import GaussianMove as RefGaussianMove
+
+    from eryn_tpu.moves import GaussianMove
+
+    nwalkers, nsteps, burn = 32, 800, 200
+    # scalar (isotropic) covariance: the reference's 1-D diag path crashes
+    # on np.linalg.cholesky of a 1-D array (ref gaussian.py:137-144), so the
+    # shared working surface is scalar + full-matrix covariances
+    cov_scalar = 0.25
+    invcov_np = np.eye(NDIM)
+    invcov_j = jnp.eye(NDIM)
+
+    def ref_ll(x, icov):
+        return -0.5 * (x * np.dot(icov, x.T).T).sum()
+
+    def our_ll(x):
+        return -0.5 * jnp.sum(x * (invcov_j @ x))
+
+    for mode in ("vector", "random", "sequential"):
+        np.random.seed(42)
+        ref_priors = RefContainer(
+            {i: ref_uniform(-LIMS, LIMS) for i in range(NDIM)}
+        )
+        ref = RefSampler(
+            nwalkers,
+            NDIM,
+            ref_ll,
+            ref_priors,
+            args=[invcov_np],
+            moves=RefGaussianMove({"model_0": cov_scalar}, mode=mode),
+        )
+        coords = ref_priors.rvs(size=(nwalkers,))
+        ref.run_mcmc(coords, nsteps, burn=burn, progress=False)
+
+        priors = ProbDistContainer(
+            {i: uniform_dist(-LIMS, LIMS) for i in range(NDIM)}
+        )
+        ours = EnsembleSampler(
+            nwalkers,
+            NDIM,
+            our_ll,
+            priors,
+            moves=[GaussianMove({"model_0": cov_scalar}, mode=mode)],
+            seed=321,
+        )
+        ours.run_mcmc(coords, nsteps, burn=burn)
+
+        acc_ref = float(np.mean(ref.acceptance_fraction))
+        acc_ours = float(np.mean(ours.acceptance_fraction))
+        assert abs(acc_ref - acc_ours) < 0.05, (mode, acc_ref, acc_ours)
+
+        c_ref = ref.get_chain()["model_0"].reshape(-1, NDIM)
+        c_ours = ours.get_chain()["model_0"].reshape(-1, NDIM)
+        assert np.abs(c_ref.mean(0) - c_ours.mean(0)).max() < 0.2, mode
+        assert np.abs(c_ref.std(0) - c_ours.std(0)).max() < 0.15, mode
+
+
+def test_mtdistgen_parity():
+    """MTDistGenMove parity (ref tests/test_eryn.py:1047-1101): multiple-try
+    prior draws under PT match the reference's posterior."""
+    RefSampler, RefContainer, ref_uniform = _import_reference()
+    from eryn.moves import MTDistGenMove as RefMT
+
+    from eryn_tpu.moves import MTDistGenMove
+
+    nwalkers, ntemps, nsteps, burn, num_try = 20, 10, 400, 100, 25
+    invcov_np = np.eye(NDIM)
+    invcov_j = jnp.eye(NDIM)
+
+    def ref_ll(x, mu, icov):
+        diff = x - mu
+        return -0.5 * (diff * np.dot(icov, diff.T).T).sum()
+
+    def our_ll(x):
+        return -0.5 * jnp.sum(x * (invcov_j @ x))
+
+    np.random.seed(42)
+    means = np.zeros(NDIM)
+    ref_priors = RefContainer({i: ref_uniform(-LIMS, LIMS) for i in range(NDIM)})
+    ref = RefSampler(
+        nwalkers,
+        NDIM,
+        ref_ll,
+        ref_priors,
+        args=[means, invcov_np],
+        moves=RefMT(ref_priors, num_try=num_try, independent=True),
+        tempering_kwargs={"ntemps": ntemps},
+    )
+    coords = ref_priors.rvs(size=(ntemps, nwalkers, 1))
+    ref.run_mcmc(coords, nsteps, burn=burn, progress=False)
+
+    priors = ProbDistContainer({i: uniform_dist(-LIMS, LIMS) for i in range(NDIM)})
+    ours = EnsembleSampler(
+        nwalkers,
+        NDIM,
+        our_ll,
+        priors,
+        moves=[MTDistGenMove(priors, num_try=num_try, independent=True)],
+        tempering_kwargs={"ntemps": ntemps},
+        seed=654,
+    )
+    ours.run_mcmc(coords[:, :, 0], nsteps, burn=burn)
+
+    # cold-chain acceptance (hot rungs accept broad prior draws trivially)
+    acc_ref = np.mean(np.asarray(ref.acceptance_fraction), axis=-1)
+    acc_ours = np.mean(np.asarray(ours.acceptance_fraction), axis=-1)
+    assert np.abs(acc_ref - acc_ours).max() < 0.1, (acc_ref, acc_ours)
+
+    c_ref = ref.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
+    c_ours = ours.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
+    assert np.abs(c_ref.mean(0) - c_ours.mean(0)).max() < 0.2
+    assert np.abs(c_ref.std(0) - c_ours.std(0)).max() < 0.15
+
+
+def test_config_d_group_stretch_parity():
+    """Config D (BASELINE configs[3]): multi-pulse RJ with a group-stretch
+    in-model move (ref tests/test_eryn.py:809-1045 at reduced scale).  The
+    reference requires a user-implemented friends subclass; ours ships a
+    default friends table — the comparison is statistical: leaf-count
+    posterior, recovered pulse centers, acceptance."""
+    RefSampler, RefContainer, ref_uniform = _import_reference()
+    from eryn.moves import GroupStretchMove as RefGroupStretchMove
+    from eryn.state import BranchSupplemental as RefBranchSupplemental
+    from eryn.state import State as RefState
+
+    from eryn_tpu import State
+    from eryn_tpu.moves import GroupStretchMove
+
+    nwalkers, ntemps, ndim = 20, 4, 3
+    nleaves_max, nleaves_min = 4, 0
+    num = 128
+    t_np = np.linspace(-1, 1, num)
+    gauss_inj_params = np.asarray(
+        [[3.3, -0.5, 0.1], [2.9, 0.0, 0.1], [3.1, 0.5, 0.1]]
+    )
+    sigma = 1.0
+    rng = np.random.default_rng(42)
+    injection = np.zeros(num)
+    for a, b, c in gauss_inj_params:
+        injection += a * np.exp(-((t_np - b) ** 2) / (2 * c**2))
+    y = injection + sigma * rng.standard_normal(num)
+
+    bounds = {0: (2.5, 3.5), 1: (-1.0, 1.0), 2: (0.05, 0.21)}
+
+    class MeanGaussianGroupMove(RefGroupStretchMove):
+        """Reference-style friends: nearest stored cold-chain pulses by mean
+        (ref tests/test_eryn.py:813-907)."""
+
+        def setup_friends(self, branches):
+            friends = branches["gauss"].coords[0, branches["gauss"].inds[0]]
+            means = friends[:, 1].copy()
+            self.means, uni = np.unique(means, return_index=True)
+            self.friends = friends[uni]
+            srt = np.argsort(self.means)
+            self.friends[:] = self.friends[srt]
+            self.means[:] = self.means[srt]
+            current = branches["gauss"].coords[branches["gauss"].inds, 1]
+            dist = np.abs(current[:, None] - self.means[None, :])
+            closest = np.argsort(dist, axis=1)[:, : self.nfriends]
+            branches["gauss"].branch_supplemental[branches["gauss"].inds] = {
+                "inds_closest": closest
+            }
+            branches["gauss"].branch_supplemental[~branches["gauss"].inds] = {
+                "inds_closest": -np.ones(
+                    (ntemps, nwalkers, nleaves_max, self.nfriends), dtype=int
+                )[~branches["gauss"].inds]
+            }
+
+        def fix_friends(self, branches):
+            fix = branches["gauss"].inds & (
+                np.all(
+                    branches["gauss"].branch_supplemental[:]["inds_closest"]
+                    == -1,
+                    axis=-1,
+                )
+            )
+            if not np.any(fix):
+                return
+            current = branches["gauss"].coords[fix, 1]
+            dist = np.abs(current[:, None] - self.means[None, :])
+            closest = np.argsort(dist, axis=1)[:, : self.nfriends]
+            branches["gauss"].branch_supplemental[fix] = {
+                "inds_closest": closest
+            }
+
+        def find_friends(self, name, s, s_inds=None, branch_supps=None):
+            friends = np.zeros_like(s)
+            closest = branch_supps[name][s_inds]["inds_closest"]
+            pick = closest[
+                np.arange(closest.shape[0]),
+                np.random.randint(self.nfriends, size=(closest.shape[0],)),
+            ]
+            friends[s_inds] = self.friends[pick]
+            return friends
+
+    # starting state: walkers at the injections (post-search phase)
+    coords0 = np.zeros((ntemps, nwalkers, nleaves_max, ndim))
+    for nn, pars in enumerate(gauss_inj_params):
+        coords0[:, :, nn] = np.random.default_rng(nn).multivariate_normal(
+            pars, np.diag(np.ones(3) * 1e-4), size=(ntemps, nwalkers)
+        )
+    inds0 = np.zeros((ntemps, nwalkers, nleaves_max), dtype=bool)
+    inds0[:, :, : len(gauss_inj_params)] = True
+    nsteps, burn = 400, 50
+
+    # ---- reference ------------------------------------------------------
+    np.random.seed(42)
+
+    def ref_ll(params, t, data, sig):
+        template = np.zeros_like(t)
+        for p in params:
+            template = template + p[0] * np.exp(
+                -((t - p[1]) ** 2) / (2 * p[2] ** 2)
+            )
+        return -0.5 * np.sum(((template - data) / sig) ** 2)
+
+    ref_priors = {
+        "gauss": {k: ref_uniform(*v) for k, v in bounds.items()}
+    }
+    ref = RefSampler(
+        nwalkers,
+        ndim,
+        ref_ll,
+        ref_priors,
+        args=[t_np, y, sigma],
+        tempering_kwargs=dict(ntemps=ntemps),
+        branch_names=["gauss"],
+        nleaves_max=nleaves_max,
+        nleaves_min=nleaves_min,
+        moves=MeanGaussianGroupMove(nfriends=nwalkers),
+        rj_moves=True,
+    )
+    lp = ref.compute_log_prior(
+        {"gauss": coords0}, inds={"gauss": inds0}
+    )
+    ll0 = ref.compute_log_like(
+        {"gauss": coords0}, inds={"gauss": inds0}, logp=lp
+    )[0]
+    branch_supps = {
+        "gauss": RefBranchSupplemental(
+            {"inds_closest": np.zeros(inds0.shape + (nwalkers,), dtype=int)},
+            base_shape=(ntemps, nwalkers, nleaves_max),
+        )
+    }
+    ref.run_mcmc(
+        RefState(
+            {"gauss": coords0},
+            log_like=ll0,
+            log_prior=lp,
+            inds={"gauss": inds0},
+            branch_supplemental=branch_supps,
+        ),
+        nsteps,
+        burn=burn,
+        progress=False,
+    )
+
+    # ---- ours -------------------------------------------------------------
+    t_j, y_j = jnp.asarray(t_np), jnp.asarray(y)
+
+    def our_ll(c, m):
+        a, b, w = c[:, 0], c[:, 1], c[:, 2]
+        p = a[:, None] * jnp.exp(
+            -((t_j[None] - b[:, None]) ** 2) / (2 * w[:, None] ** 2)
+        )
+        tmpl = jnp.sum(jnp.where(m[:, None], p, 0.0), axis=0)
+        return -0.5 * jnp.sum(((tmpl - y_j) / sigma) ** 2)
+
+    priors = ProbDistContainer({k: uniform_dist(*v) for k, v in bounds.items()})
+    ours = EnsembleSampler(
+        nwalkers,
+        ndim,
+        our_ll,
+        priors,
+        branch_names=["gauss"],
+        nleaves_max=nleaves_max,
+        nleaves_min=nleaves_min,
+        moves=[GroupStretchMove(n_iter_update=25)],
+        rj_moves=True,
+        tempering_kwargs=dict(ntemps=ntemps),
+        seed=17,
+    )
+    ours.run_mcmc(
+        State({"gauss": coords0}, inds={"gauss": inds0}), nsteps, burn=burn
+    )
+
+    # the three injected pulses stay found in both
+    ref_k = ref.get_nleaves()["gauss"][:, 0]
+    our_k = ours.get_nleaves()["gauss"][:, 0]
+    assert abs(ref_k.mean() - our_k.mean()) < 0.5, (ref_k.mean(), our_k.mean())
+    assert ref_k.mean() >= 2.5 and our_k.mean() >= 2.5
+
+    # recovered pulse centers cluster at the same injections
+    ref_b = ref.get_chain()["gauss"][:, 0][..., 1][
+        ref.get_inds()["gauss"][:, 0]
+    ]
+    our_b = ours.get_chain()["gauss"][:, 0][..., 1][
+        ours.get_inds()["gauss"][:, 0]
+    ]
+    for b_true in gauss_inj_params[:, 1]:
+        frac_ref = float(np.mean(np.abs(ref_b - b_true) < 0.15))
+        frac_our = float(np.mean(np.abs(our_b - b_true) < 0.15))
+        assert frac_our > 0.1, (b_true, frac_our)
+        assert abs(frac_ref - frac_our) < 0.25, (b_true, frac_ref, frac_our)

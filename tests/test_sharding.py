@@ -64,3 +64,112 @@ def test_sharded_full_run(sampler):
     chain = ens.get_chain()["model_0"]
     assert chain.shape == (20, 4, 64, 1, 3)
     assert np.isfinite(ens.get_log_like()).all()
+
+
+def _make_pt_sampler(seed):
+    ndim = 3
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        64,
+        ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors,
+        tempering_kwargs=dict(ntemps=4),
+        seed=seed,
+    )
+    return ens, priors
+
+
+def test_sharded_statistical_equivalence():
+    """A sharded run is statistically equivalent to an unsharded run of the
+    same config: same acceptance / swap-acceptance / posterior moments."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    nsteps, burn = 300, 100
+    results = {}
+    for mode in ("unsharded", "sharded"):
+        ens, priors = _make_pt_sampler(seed=77)
+        state = ens._setup_state(priors.rvs(size=(4, 64)))
+        if mode == "sharded":
+            mesh = make_mesh(8)
+            state = shard_state(state, mesh)
+            ens.run_mcmc(state, nsteps, burn=burn)
+            # the detected mesh disabled the pallas fast paths and anchored
+            # the carry; output stays sharded over all 8 devices
+            assert ens._sharding_mesh is mesh
+            assert (
+                len(ens._previous_state.log_like.sharding.device_set) == 8
+            )
+        else:
+            ens.run_mcmc(state, nsteps, burn=burn)
+        chain = np.asarray(ens.get_chain()["model_0"][:, 0]).reshape(-1, 3)
+        results[mode] = dict(
+            acc=float(ens.acceptance_fraction.mean()),
+            swap=np.asarray(ens.swap_acceptance_fraction),
+            mean=chain.mean(axis=0),
+            std=chain.std(axis=0),
+            logl=float(np.asarray(ens.get_log_like()[:, 0]).mean()),
+        )
+    a, b = results["unsharded"], results["sharded"]
+    assert abs(a["acc"] - b["acc"]) < 0.05
+    np.testing.assert_allclose(a["swap"], b["swap"], atol=0.08)
+    np.testing.assert_allclose(a["mean"], b["mean"], atol=0.15)
+    np.testing.assert_allclose(a["std"], b["std"], atol=0.15)
+    assert abs(a["logl"] - b["logl"]) < 0.5
+
+
+def test_sharded_rj_group_run():
+    """RJ + group-stretch configuration on a sharded ensemble: compiles,
+    runs, stays sharded, and keeps finding the single pulse."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from eryn_tpu import State
+    from eryn_tpu.moves import GroupStretchMove
+
+    rng = np.random.default_rng(5)
+    t_np = np.linspace(0, 10, 64)
+    sigma = 0.4
+    data_np = 3.0 * np.exp(-((t_np - 5.0) ** 2) / (2 * 0.7**2))
+    data_np = data_np + sigma * rng.standard_normal(len(t_np))
+    t, data = jnp.asarray(t_np), jnp.asarray(data_np)
+
+    def ll(coords, inds):
+        a, b, c = coords[:, 0], coords[:, 1], coords[:, 2]
+        p = a[:, None] * jnp.exp(
+            -((t[None] - b[:, None]) ** 2) / (2 * c[:, None] ** 2)
+        )
+        tmpl = jnp.sum(jnp.where(inds[:, None], p, 0.0), axis=0)
+        return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2)
+
+    pr = ProbDistContainer(
+        {
+            0: uniform_dist(0.5, 5.0),
+            1: uniform_dist(0.0, 10.0),
+            2: uniform_dist(0.2, 2.0),
+        }
+    )
+    nlmax = 2
+    ens = EnsembleSampler(
+        64,
+        3,
+        ll,
+        pr,
+        nleaves_max=nlmax,
+        nleaves_min=0,
+        moves=[GroupStretchMove(n_iter_update=20)],
+        rj_moves=True,
+        tempering_kwargs=dict(ntemps=4),
+        fill_zero_leaves_val=float(-0.5 * np.sum((data_np / sigma) ** 2)),
+        seed=41,
+    )
+    coords = pr.rvs(size=(4, 64, nlmax))
+    inds = np.random.default_rng(6).random((4, 64, nlmax)) < 0.5
+    mesh = make_mesh(8)
+    state = ens._setup_state(State({"model_0": coords}, inds={"model_0": inds}))
+    state = shard_state(state, mesh)
+    ens.run_mcmc(state, 150, burn=100)
+    assert ens._sharding_mesh is mesh
+    assert len(ens._previous_state.log_like.sharding.device_set) == 8
+    nleaves = ens.get_nleaves()["model_0"][:, 0]
+    assert nleaves.mean() > 0.8
+    assert np.isfinite(ens.get_log_like()).all()
