@@ -624,7 +624,10 @@ class EnsembleSampler:
 
         # ---- backend ---------------------------------------------------------
         if backend is None:
-            self.backend = Backend(dtype=np.float64)
+            # store in the compute dtype: the device chain IS float32 by
+            # default, so a float64 backend would only burn host memory and
+            # flush time on a lossless upcast
+            self.backend = Backend(dtype=np.dtype(self.dtype))
         elif isinstance(backend, str):
             self.backend = HDFBackend(backend)
         else:
@@ -1018,6 +1021,34 @@ class EnsembleSampler:
         inds_change = self.has_reversible_jump or any(
             getattr(m, "is_rj", False) for m in self.moves
         )
+        if store:
+            # snapshots are packed into ONE float buffer + ONE uint8 buffer
+            # per step: the tunnel/device->host path moves a single large 2-D
+            # (nstored, packed) array ~2x faster than many small-strided 5-D
+            # leaves, and per-leaf transfer latency is paid once
+            names = list(self.branch_names)
+            nt, nw = self.ntemps, self.nwalkers
+            fp_layout = [
+                (
+                    "coords",
+                    n,
+                    (nt, nw, self.nleaves_max[n], self.ndims[n]),
+                )
+                for n in names
+            ] + [
+                ("log_like", None, (nt, nw)),
+                ("log_prior", None, (nt, nw)),
+                ("betas", None, (nt,)),
+                ("swaps", None, (max(nt - 1, 0),)),
+            ]
+            u8_layout = [("accepted", None, (nt, nw))]
+            if self.has_reversible_jump:
+                u8_layout.append(("rj_accepted", None, (nt, nw)))
+            if inds_change:
+                u8_layout += [
+                    ("inds", n, (nt, nw, self.nleaves_max[n])) for n in names
+                ]
+            self._snap_layout = (fp_layout, u8_layout)
 
         def stored_block(carry, _):
             carry, outs = jax.lax.scan(one_step, carry, None, length=thin_by)
@@ -1029,17 +1060,27 @@ class EnsembleSampler:
                 # (only segment-final values persist in the backend); leaf
                 # masks are only snapshotted when an RJ move can flip them
                 # (otherwise they are constant and the host already has them)
-                snap = {
-                    "coords": state.branches_coords,
-                    "log_like": state.log_like,
-                    "log_prior": state.log_prior,
-                    "betas": state.betas,
-                    "accepted": accepted.astype(jnp.uint8),
-                    "rj_accepted": rj_accepted.astype(jnp.uint8),
-                    "swaps": swaps,
-                }
+                fp = jnp.concatenate(
+                    [
+                        state.branches_coords[n].reshape(-1)
+                        for n in self.branch_names
+                    ]
+                    + [
+                        state.log_like.reshape(-1),
+                        state.log_prior.reshape(-1),
+                        state.betas.reshape(-1).astype(self.dtype),
+                        swaps.reshape(-1),
+                    ]
+                )
+                u8_parts = [accepted.astype(jnp.uint8).reshape(-1)]
+                if self.has_reversible_jump:
+                    u8_parts.append(rj_accepted.astype(jnp.uint8).reshape(-1))
                 if inds_change:
-                    snap["inds"] = state.branches_inds
+                    u8_parts += [
+                        state.branches_inds[n].astype(jnp.uint8).reshape(-1)
+                        for n in self.branch_names
+                    ]
+                snap = {"fp": fp, "u8": jnp.concatenate(u8_parts)}
                 if state.blobs is not None:
                     snap["blobs"] = state.blobs
             else:
@@ -1156,6 +1197,40 @@ class EnsembleSampler:
                     leaf.copy_to_host_async()
         return state
 
+    def _unpack_snaps(self, snaps):
+        """Expand packed ``{"fp", "u8"[, "blobs"]}`` snapshot buffers back
+        into the named per-field dict (any number of leading batch axes)."""
+        if snaps is None or "fp" not in snaps:
+            return snaps
+        fp_layout, u8_layout = self._snap_layout
+        out = {"coords": {}, "inds": {}}
+
+        def split(buf, layout, post=None):
+            lead = buf.shape[:-1]
+            off = 0
+            for kind, name, shape in layout:
+                size = int(np.prod(shape))
+                arr = buf[..., off : off + size].reshape(lead + shape)
+                off += size
+                if post is not None:
+                    arr = post(kind, arr)
+                if name is not None:
+                    out[kind][name] = arr
+                else:
+                    out[kind] = arr
+
+        split(np.asarray(snaps["fp"]), fp_layout)
+        split(
+            np.asarray(snaps["u8"]),
+            u8_layout,
+            post=lambda kind, a: a.astype(bool) if kind == "inds" else a,
+        )
+        if not out["inds"]:
+            del out["inds"]
+        if "blobs" in snaps:
+            out["blobs"] = np.asarray(snaps["blobs"])
+        return out
+
     def _run_bulk(self, state, nstored, thin_by=1, store=True):
         """Run ``nstored * thin_by`` compiled steps in ONE device dispatch.
 
@@ -1164,7 +1239,9 @@ class EnsembleSampler:
         carry, snaps, t0 = self._dispatch_bulk(state, nstored, thin_by, store)
         state = self._sync_bulk(carry, snaps, nstored * thin_by, t0)
         if snaps is not None:
-            snaps = jax.tree_util.tree_map(np.asarray, snaps)
+            snaps = self._unpack_snaps(
+                jax.tree_util.tree_map(np.asarray, snaps)
+            )
             tc = self.temperature_control
             if tc is not None and self.ntemps > 1:
                 tc.swaps_accepted = snaps["swaps"][-1]
@@ -1179,7 +1256,7 @@ class EnsembleSampler:
         reference, which overwrites them every save).  ``snaps`` may hold
         device arrays; they are materialized here (transfers were started by
         ``_sync_bulk``, so this overlaps the next segment's device compute)."""
-        snaps = jax.tree_util.tree_map(np.asarray, snaps)
+        snaps = self._unpack_snaps(jax.tree_util.tree_map(np.asarray, snaps))
         if "inds" in snaps:
             inds = snaps["inds"]
         else:
@@ -1218,6 +1295,15 @@ class EnsembleSampler:
         tc = self.temperature_control
         if tc is not None and self.ntemps > 1:
             tc.swaps_accepted = snaps["swaps"][-1]
+
+    def _blobs_example(self, state):
+        """Blob exemplar for backend allocation: honor a user ``blobs_dtype``
+        (ref ensemble.py:1490-1515) instead of the device array's dtype."""
+        if state.blobs is None:
+            return None
+        if self.blobs_dtype is None:
+            return state.blobs
+        return np.empty(state.blobs.shape, dtype=self.blobs_dtype)
 
     # ------------------------------------------------------------------
     # sampling loop (ref ensemble.py:808-1125)
@@ -1355,7 +1441,7 @@ class EnsembleSampler:
         state = self._setup_state(initial_state, skip_initial_state_check)
 
         if store:
-            self.backend.grow(iterations, state.blobs)
+            self.backend.grow(iterations, self._blobs_example(state))
 
         tuned_moves = (
             [

@@ -47,11 +47,20 @@ class GroupStretchMove(GroupMove, StretchMove):
         return out
 
     def find_friends_kernel(self, key, name, s_coords, s_inds, friends):
-        """Default: a uniformly random friend per walker."""
+        """Default: a uniformly random friend per walker, excluding the
+        walker's own snapshot column (a self-pick right after a refresh is an
+        identity proposal that would count as an accept and inflate
+        acceptance fractions at small ``nfriends``)."""
         table = friends[name]
         nfr = table.shape[1]
         ntemps, ns = s_coords.shape[:2]
-        rint = jax.random.randint(key, (ntemps, ns), 0, nfr)
+        if nfr > 1 and ns == nfr:
+            # the default table is an ensemble snapshot in walker order:
+            # draw over the other nfr-1 columns and skip past self
+            rint = jax.random.randint(key, (ntemps, ns), 0, nfr - 1)
+            rint = rint + (rint >= jnp.arange(ns)[None, :])
+        else:
+            rint = jax.random.randint(key, (ntemps, ns), 0, nfr)
         return jnp.take_along_axis(table, rint[:, :, None, None], axis=1)
 
     # -- proposal -----------------------------------------------------------

@@ -156,7 +156,9 @@ class ParaEnsembleSampler:
             fn = self._batched_bulk(int(nsteps), thin_by, store=store)
             self._keys, state, time, ks, snaps = fn(self._keys, state, time, ks)
             if store and snaps is not None:
-                snaps = jax.tree_util.tree_map(np.asarray, snaps)
+                snaps = s._unpack_snaps(
+                    jax.tree_util.tree_map(np.asarray, snaps)
+                )
                 # snaps leading dims: (ngroups, nstored, ...) -> store as
                 # (nstored, ngroups, ...)
                 self._chain.append(
