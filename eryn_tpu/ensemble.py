@@ -121,8 +121,10 @@ class LikelihoodEvaluator:
         fill_zero_leaves_val,
         rj,
         dtype,
+        pool=None,
     ):
         self.fn = fn
+        self.pool = pool
         self.branch_names = list(branch_names)
         self.ndims = ndims
         self.nleaves_max = nleaves_max
@@ -221,25 +223,25 @@ class LikelihoodEvaluator:
             if shape.shape != (2,):
                 raise TypeError(f"likelihood returned shape {shape.shape}")
 
-        if self.provide_supplemental:
-            # supplemental keys are unknown until runtime; supps imply the
-            # traced contract
-            return "traced-batched" if self.vectorize else "traced-walker"
-
+        # supplemental keys are unknown until runtime: probe the traced
+        # contract with empty supp dicts; fns that index specific supp keys
+        # (or are plain NumPy) fall back to the host callback, which passes
+        # active-leaf branch supplementals like the reference
+        # (ensemble.py:1408-1481)
+        probe_args = (example_c, example_i)
         try:
             if self.vectorize:
-                check_shape(
-                    jax.eval_shape(self._traced_batched, example_c, example_i)
-                )
+                check_shape(jax.eval_shape(self._traced_batched, *probe_args))
                 return "traced-batched"
             check_shape(
-                jax.eval_shape(jax.vmap(self._traced_walker), example_c, example_i)
+                jax.eval_shape(jax.vmap(self._traced_walker), *probe_args)
             )
             return "traced-walker"
         except Exception:
             warnings.warn(
-                "log_like_fn is not JAX-traceable; falling back to a host "
-                "callback (jax.pure_callback). For TPU performance, provide a "
+                "log_like_fn is not JAX-traceable (or indexes supplemental "
+                "keys unknown at setup); falling back to a host callback "
+                "(jax.pure_callback). For TPU performance, provide a "
                 "jax.numpy likelihood.",
                 stacklevel=2,
             )
@@ -288,16 +290,21 @@ class LikelihoodEvaluator:
         out[keep] = res.reshape(keep.size)
         return out
 
-    def _host_eval(self, coords_flat, inds_flat, logp_flat):
+    def _host_eval(self, coords_flat, inds_flat, logp_flat, supps_flat=None):
         """Reference per-walker grouping semantics
         (``ensemble.py:1408-1481``): active leaves per branch, ``None`` for
-        zero-leaf branches in the multi-branch case."""
+        zero-leaf branches in the multi-branch case, active-leaf branch
+        supplementals as a ``branch_supps`` kwarg when
+        ``provide_supplemental``, and a user ``pool.map`` fan-out when a
+        pool is configured."""
         if self.vectorize:
             return self._host_eval_vectorized(coords_flat, inds_flat, logp_flat)
         names = self.branch_names
         N = logp_flat.shape[0]
         out = np.full(N, -np.inf, dtype=np.float64)
         multi = len(names) > 1
+        items = []
+        keep = []
         for i in range(N):
             if not np.isfinite(logp_flat[i]):
                 continue
@@ -311,14 +318,39 @@ class LikelihoodEvaluator:
             if total_active == 0:
                 out[i] = self.fill_zero_leaves_val
                 continue
+            kwargs_i = {}
+            if self.provide_supplemental and supps_flat:
+                kwargs_i["branch_supps"] = {
+                    n: (
+                        {
+                            k: (
+                                v[i][inds_flat[n][i]]
+                                if v[i].shape[:1]
+                                == inds_flat[n][i].shape[:1]
+                                else v[i]
+                            )
+                            for k, v in supps_flat[n].items()
+                        }
+                        if n in supps_flat
+                        else None
+                    )
+                    for n in names
+                }
             if multi:
-                res = self.fn(per_branch, *self.args, **self.kwargs)
+                arg = per_branch
             else:
-                a = per_branch[0]
+                arg = per_branch[0]
                 if self.nleaves_max[names[0]] == 1 and not self.rj:
-                    a = a[0]
-                res = self.fn(a, *self.args, **self.kwargs)
-            out[i] = float(np.asarray(res))
+                    arg = arg[0]
+            items.append((arg, kwargs_i))
+            keep.append(i)
+
+        if items:
+            worker = _CallbackWorker(self.fn, self.args, self.kwargs)
+            map_func = self.pool.map if self.pool is not None else map
+            results = list(map_func(worker, items))
+            for i, res in zip(keep, results):
+                out[i] = float(np.asarray(res))
         return out
 
     # -- main traced entry ---------------------------------------------------
@@ -362,15 +394,17 @@ class LikelihoodEvaluator:
             ll, blobs = out if isinstance(out, tuple) else (out, None)
         else:
             ll = jax.pure_callback(
-                lambda c, i, lp: self._host_eval(
+                lambda c, i, lp, s: self._host_eval(
                     jax.tree_util.tree_map(np.asarray, c),
                     jax.tree_util.tree_map(np.asarray, i),
                     np.asarray(lp),
+                    jax.tree_util.tree_map(np.asarray, s),
                 ).astype(self.dtype),
                 jax.ShapeDtypeStruct((N,), self.dtype),
                 cf,
                 inf,
                 logp_flat,
+                sf,
                 vmap_method="sequential",
             )
 
@@ -387,6 +421,21 @@ class LikelihoodEvaluator:
         if blobs is not None:
             blobs = blobs.reshape(batch_shape + blobs.shape[1:])
         return ll.reshape(batch_shape).astype(self.dtype), blobs
+
+
+class _CallbackWorker:
+    """Picklable per-walker likelihood invocation for the legacy callback
+    path: one ``(active_leaf_params, kwargs)`` item per walker, fanned out
+    through a user pool's ``.map`` (ref ``ensemble.py:1408-1481``)."""
+
+    def __init__(self, fn, args, kwargs):
+        self.fn = fn
+        self.args = tuple(args) if args else ()
+        self.kwargs = dict(kwargs) if kwargs else {}
+
+    def __call__(self, item):
+        arg, kwargs_i = item
+        return self.fn(arg, *self.args, **{**self.kwargs, **kwargs_i})
 
 
 class _FunctionWrapper:
@@ -555,12 +604,6 @@ class EnsembleSampler:
         else:
             self.moves, self.weights = self._parse_moves(moves)
 
-        if dr_moves:
-            raise NotImplementedError(
-                "dr_moves (delayed rejection nested inside reversible jump) "
-                "is not implemented — the reference raises on this path too "
-                "(rj.py:350-353). Use the standalone DelayedRejection move."
-            )
         if rj_moves is not None:
             self.rj_moves, self.rj_weights = self._parse_rj_moves(rj_moves)
             self.has_reversible_jump = len(self.rj_moves) > 0
@@ -568,6 +611,24 @@ class EnsembleSampler:
             self.rj_moves = []
             self.rj_weights = []
             self.has_reversible_jump = False
+        if dr_moves:
+            # The reference ships the DR-on-rejected-RJ-births machinery but
+            # raises on this path (ref rj.py:350-374) — for good reason:
+            # retrying only rejected births (never deaths) breaks
+            # trans-dimensional detailed balance because the reverse
+            # intermediate (another k+1 sibling) is not reachable from the
+            # birthed state, so Mira's recursion does not apply (verified
+            # empirically: the k-posterior inflates by ~0.10 on a quadrature-
+            # checked problem). The *correct* retry-rejected-births mechanism
+            # is multiple-try RJ.
+            raise NotImplementedError(
+                "dr_moves (delayed rejection nested inside reversible jump) "
+                "is not implemented — the reference raises on this path too "
+                "(rj.py:350-353), and the naive birth-only retry provably "
+                "biases the leaf-count posterior. Use MTDistGenMoveRJ "
+                "(multiple-try RJ) for unbiased birth retries, or the "
+                "standalone DelayedRejection move for in-model proposals."
+            )
 
         # inject temperature control & periodic (ref ensemble.py:516-536)
         for move in self.moves + self.rj_moves:
@@ -607,6 +668,7 @@ class EnsembleSampler:
             fill_zero_leaves_val=fill_zero_leaves_val,
             rj=self.has_reversible_jump,
             dtype=self.dtype,
+            pool=pool,
         )
 
         # hooks

@@ -6,7 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 
 NWALKERS = 40
 NTEMPS = 4
@@ -163,3 +163,79 @@ def test_rj_multiple_branches():
     # rj acceptance tracked
     assert ens.rj_acceptance_fraction is not None
     assert np.isfinite(ens.rj_acceptance_fraction).all()
+
+
+def test_rj_nleaves_min_positive_edge_factors():
+    """k in {1, 2} (nleaves_min > 0): the trans-dimensional posterior must
+    match a brute-force quadrature Bayes factor — this pins the edge-factor
+    math at BOTH boundaries of a shifted k-range
+    (eryn_tpu/moves/rj.py edge factors vs ref rj.py:228-271)."""
+    rng = np.random.default_rng(8)
+    npts = 64
+    t_np = np.linspace(0, 1, npts)
+    g = np.exp(-((t_np - 0.5) ** 2) / (2 * 0.1**2))
+    sigma = 1.0
+    a_true = 1.2
+    data_np = a_true * g + sigma * rng.standard_normal(npts)
+    amax = 3.0
+
+    def ll_np(amp_sum):
+        resid = data_np[None] - amp_sum[:, None] * g[None]
+        return -0.5 * np.sum((resid / sigma) ** 2, axis=-1)
+
+    # quadrature: Z_k = E_prior[L] for k active amplitude-only leaves
+    a = np.linspace(0.0, amax, 400)
+    z1 = np.exp(ll_np(a)).mean()
+    A1, A2 = np.meshgrid(a, a, indexing="ij")
+    z2 = np.exp(ll_np((A1 + A2).ravel())).mean()
+    p2_true = z2 / (z1 + z2)
+
+    t_j, d_j = jnp.asarray(t_np), jnp.asarray(data_np)
+    g_j = jnp.asarray(g)
+
+    def our_ll(c, m):
+        amp = jnp.sum(jnp.where(m, c[:, 0], 0.0))
+        return -0.5 * jnp.sum(((amp * g_j - d_j) / sigma) ** 2)
+
+    priors = ProbDistContainer({0: uniform_dist(0.0, amax)})
+    ens = EnsembleSampler(
+        64,
+        1,
+        our_ll,
+        priors,
+        nleaves_max=2,
+        nleaves_min=1,
+        rj_moves=True,
+        seed=99,
+    )
+    coords = priors.rvs(size=(1, 64, 2))
+    inds0 = np.zeros((1, 64, 2), dtype=bool)
+    inds0[..., 0] = True
+    inds0[:, ::2, 1] = True
+    ens.run_mcmc(
+        State({"model_0": coords}, inds={"model_0": inds0}), 4000, burn=1000
+    )
+    nleaves = ens.get_nleaves()["model_0"][:, 0]
+    assert nleaves.min() >= 1 and nleaves.max() <= 2
+    p2 = (nleaves == 2).mean()
+    assert abs(p2 - p2_true) < 0.05, (p2, p2_true)
+
+
+def test_rj_dr_moves_raises_with_guidance():
+    """dr_moves=True raises like the reference (rj.py:350-353); the naive
+    birth-only retry provably biases the k-posterior (verified against the
+    quadrature truth before reverting), so the error points at MTDistGenMoveRJ
+    as the unbiased retry mechanism."""
+    priors = ProbDistContainer({0: uniform_dist(0.0, 3.0)})
+    with pytest.raises(NotImplementedError, match="MTDistGenMoveRJ"):
+        EnsembleSampler(
+            32,
+            1,
+            lambda c, m: 0.0,
+            priors,
+            nleaves_max=2,
+            nleaves_min=0,
+            rj_moves=True,
+            dr_moves=True,
+            seed=1,
+        )

@@ -164,3 +164,52 @@ def test_plot_container(tmp_path):
     assert "test_log_like.png" in produced
     assert "test_betas.png" in produced
     assert "test_swap_acceptance.png" in produced
+    # full reference plot-family parity (ref plot.py:409-988)
+    assert "test_ridgeline_model_0.png" in produced
+    assert "test_logl_betas.png" in produced
+    assert "test_acceptance_evolution.png" in produced
+    assert "test_acceptance_tempered_evolution.png" in produced
+    assert "test_act_evolution_model_0.png" in produced
+
+    # acceptance-evolution history accumulates across calls
+    ens.run_mcmc(None, 30)
+    pc.produce_plots()
+    assert len(pc._steps) == 2
+    assert pc._total_acc_history.shape[0] == 2
+
+
+def test_plot_rj_and_info_keys(tmp_path):
+    from eryn_tpu import State
+
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+
+    def ll(c, m):
+        contrib = -0.5 * jnp.sum(c**2, axis=-1)
+        return jnp.sum(jnp.where(m, contrib, 0.0))
+
+    ens = EnsembleSampler(
+        16,
+        2,
+        ll,
+        priors,
+        nleaves_max=2,
+        nleaves_min=0,
+        rj_moves=True,
+        fill_zero_leaves_val=-100.0,
+        seed=25,
+    )
+    coords = priors.rvs(size=(1, 16, 2))
+    inds = np.random.rand(1, 16, 2) < 0.5
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 30)
+    pc = PlotContainer(
+        fp="rj",
+        backend=ens.backend,
+        plot_dir=str(tmp_path),
+        info_keys={"model_0": ["alpha", "beta"]},
+        which_plots=("base", "rj"),
+    )
+    pc.produce_plots()
+    produced = os.listdir(tmp_path)
+    assert "rj_leaves_model_0.png" in produced
+    assert "rj_leaves_evolution_model_0.png" in produced
+    assert pc._labels("model_0", 2) == ["alpha", "beta"]

@@ -58,3 +58,58 @@ def test_vectorized_groups_rj():
     assert np.all(np.isfinite(ll))
     # likelihood improves from the prior draw as the pulse is found
     assert ll[-1].max() > ll[0].max() - 1.0
+
+
+def test_callback_supplementals_and_pool():
+    """Legacy NumPy likelihoods receive active-leaf branch supplementals as a
+    branch_supps kwarg and fan out through a user pool's .map
+    (ref ensemble.py:1408-1481)."""
+    from eryn_tpu import BranchSupplemental, State
+
+    ndim, nwalkers = 2, 16
+    seen = {"supps": 0}
+
+    def np_ll(x, branch_supps=None):
+        # host NumPy likelihood (not traceable: uses np.polyfit)
+        assert branch_supps is not None and "model_0" in branch_supps
+        tag = branch_supps["model_0"]["tag"]
+        assert tag.shape[0] == 1  # active leaves of this walker
+        seen["supps"] += 1
+        _ = np.polyfit(np.arange(ndim), np.asarray(x, dtype=float), 1)
+        return -0.5 * float(np.sum(np.asarray(x) ** 2)) + 0.0 * float(tag[0])
+
+    class CountingPool:
+        def __init__(self):
+            self.calls = 0
+
+        def map(self, fn, items):
+            items = list(items)
+            self.calls += 1
+            return [fn(it) for it in items]
+
+    pool = CountingPool()
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    with pytest.warns(UserWarning, match="host callback"):
+        ens = EnsembleSampler(
+            nwalkers,
+            ndim,
+            np_ll,
+            priors,
+            provide_supplemental=True,
+            pool=pool,
+            seed=31,
+        )
+    assert ens._like_eval.mode == "callback"
+
+    coords = priors.rvs(size=(1, nwalkers, 1))
+    supp = BranchSupplemental(
+        {"tag": np.arange(nwalkers, dtype=float).reshape(1, nwalkers, 1)},
+        base_shape=(1, nwalkers, 1),
+    )
+    state = State(
+        {"model_0": coords}, branch_supplemental={"model_0": supp}
+    )
+    ens.run_mcmc(state, 10)
+    assert seen["supps"] > 0
+    assert pool.calls > 0
+    assert np.isfinite(ens.get_log_like()).all()
