@@ -190,6 +190,39 @@ def bench_tpu_rj():
     return RJ_NSTEPS / (time.perf_counter() - t0)
 
 
+def bench_tpu_config_e():
+    """LISA-scale stress (BASELINE configs[4]): ntemps=20 x nwalkers=1000 PT
+    on the 5-D Gaussian; reports walker-steps/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    ntemps, nwalkers, nsteps = 20, 1000, 2000
+    invcov = jnp.eye(NDIM)
+
+    def log_like(x):
+        return -0.5 * jnp.sum(x * (invcov @ x))
+
+    priors = ProbDistContainer({i: uniform_dist(-5.0, 5.0) for i in range(NDIM)})
+    s = EnsembleSampler(
+        nwalkers,
+        NDIM,
+        log_like,
+        priors,
+        tempering_kwargs=dict(ntemps=ntemps),
+        seed=5,
+    )
+    state = s._setup_state(priors.rvs(size=(ntemps, nwalkers)))
+    state, _ = s._run_bulk(state, 1, nsteps, store=False)  # warmup/compile
+    jax.block_until_ready(state.log_like)
+    t0 = time.perf_counter()
+    state, _ = s._run_bulk(state, 1, nsteps, store=False)
+    jax.block_until_ready(state.log_like)
+    sps = nsteps / (time.perf_counter() - t0)
+    return sps, sps * ntemps * nwalkers
+
+
 def _import_reference():
     sys.path.insert(0, "/root/reference/src")
     sys.modules.setdefault("corner", types.ModuleType("corner"))
@@ -300,6 +333,10 @@ def bench_reference_cpu_rj():
 def main():
     store_false, stored_sps, ess_rate, tau = bench_tpu()
     rj_sps = bench_tpu_rj()
+    try:
+        e_sps, e_wsps = bench_tpu_config_e()
+    except Exception:
+        e_sps, e_wsps = float("nan"), float("nan")
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
     print(
@@ -319,6 +356,8 @@ def main():
                     "cold_chain_tau": round(tau, 2),
                     "rj_pulse128_steps_per_sec": round(rj_sps, 1),
                     "rj_pulse128_vs_ref": round(rj_sps / ref_rj, 2),
+                    "config_e_steps_per_sec": round(e_sps, 1),
+                    "config_e_walker_steps_per_sec": round(e_wsps, 0),
                     "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
                     "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
                     "ref_rj_steps_per_sec": round(ref_rj, 2),

@@ -223,11 +223,12 @@ class LikelihoodEvaluator:
             if shape.shape != (2,):
                 raise TypeError(f"likelihood returned shape {shape.shape}")
 
-        # supplemental keys are unknown until runtime: probe the traced
-        # contract with empty supp dicts; fns that index specific supp keys
-        # (or are plain NumPy) fall back to the host callback, which passes
-        # active-leaf branch supplementals like the reference
-        # (ensemble.py:1408-1481)
+        if self.provide_supplemental:
+            # supplemental keys are unknown until runtime: defer the
+            # traced-vs-callback decision to the first evaluation, where the
+            # real supp arrays are available (see __call__)
+            return None
+
         probe_args = (example_c, example_i)
         try:
             if self.vectorize:
@@ -384,6 +385,29 @@ class LikelihoodEvaluator:
             )
             for n in cf
         }
+
+        if self.mode is None:
+            # deferred decision (provide_supplemental=True): try the traced
+            # contract with the REAL supp arrays; a fn that is not traceable
+            # (or expects host conventions) falls back to the callback bridge
+            try:
+                if self.vectorize:
+                    jax.eval_shape(self._traced_batched, cf_safe, inf, sf)
+                    self.mode = "traced-batched"
+                else:
+                    jax.eval_shape(
+                        jax.vmap(self._traced_walker), cf_safe, inf, sf
+                    )
+                    self.mode = "traced-walker"
+            except Exception:
+                warnings.warn(
+                    "log_like_fn with provide_supplemental=True is not "
+                    "JAX-traceable; falling back to a host callback "
+                    "(jax.pure_callback). For TPU performance, provide a "
+                    "jax.numpy likelihood.",
+                    stacklevel=2,
+                )
+                self.mode = "callback"
 
         blobs = None
         if self.mode == "traced-walker":
@@ -911,6 +935,9 @@ class EnsembleSampler:
         self._move_nprop = np.zeros((nm,))
         self._rj_move_accepted = np.zeros((nrj, self.ntemps, self.nwalkers))
         self._rj_move_nprop = np.zeros((nrj,))
+        #: device-resident counter arrays reused across dispatches (rebuilt
+        #: from the host mirrors when None)
+        self._counters_dev = None
 
     # ------------------------------------------------------------------
     # evaluation API (host-facing, ref ensemble.py:1127-1545)
@@ -1152,7 +1179,13 @@ class EnsembleSampler:
         def bulk(key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates):
             carry = (key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates)
             carry, snaps = jax.lax.scan(stored_block, carry, None, length=nstored)
-            return carry, snaps
+            # per-move counters packed into ONE host-fetchable vector: the
+            # tunnel pays per-transfer latency, so 4 small fetches per
+            # segment would cost more than the whole counter payload
+            counters = jnp.concatenate(
+                [jnp.reshape(c, (-1,)) for c in carry[3:7]]
+            )
+            return carry, snaps, counters
 
         return jax.jit(bulk)
 
@@ -1205,20 +1238,24 @@ class EnsembleSampler:
         fn = self._get_bulk_fn(nstored, thin_by, store)
         import time as _time
 
+        if self._counters_dev is None:
+            self._counters_dev = (
+                jnp.asarray(self._move_accepted, dtype=self.dtype),
+                jnp.asarray(self._move_nprop, dtype=self.dtype),
+                jnp.asarray(self._rj_move_accepted, dtype=self.dtype),
+                jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
+            )
         _t0 = _time.perf_counter()
-        carry, snaps = fn(
+        carry, snaps, counters = fn(
             self._key,
             state,
             time,
-            jnp.asarray(self._move_accepted, dtype=self.dtype),
-            jnp.asarray(self._move_nprop, dtype=self.dtype),
-            jnp.asarray(self._rj_move_accepted, dtype=self.dtype),
-            jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
+            *self._counters_dev,
             self._kernel_states,
         )
-        return carry, snaps, _t0
+        return carry, snaps, counters, _t0
 
-    def _sync_bulk(self, carry, snaps, nsteps, t0):
+    def _sync_bulk(self, carry, snaps, counters, nsteps, t0):
         """Block on the dispatched segment and sync host mirrors.  ``snaps``
         stays on device; device->host transfers are *started* here
         (``copy_to_host_async``) so the flush overlaps the next dispatch."""
@@ -1238,11 +1275,18 @@ class EnsembleSampler:
             self._kernel_states,
         ) = carry
 
-        # sync host mirrors
-        self._move_accepted = np.asarray(m_acc)
-        self._move_nprop = np.asarray(m_np)
-        self._rj_move_accepted = np.asarray(rj_acc)
-        self._rj_move_nprop = np.asarray(rj_np)
+        # device counters feed the next dispatch without a host round-trip;
+        # the host mirrors are refilled from ONE packed fetch
+        self._counters_dev = (m_acc, m_np, rj_acc, rj_np)
+        packed = np.asarray(counters)
+        sizes = np.cumsum(
+            [m_acc.size, m_np.size, rj_acc.size, rj_np.size]
+        )[:-1]
+        a, b, c, d = np.split(packed, sizes)
+        self._move_accepted = a.reshape(self._move_accepted.shape)
+        self._move_nprop = b.reshape(self._move_nprop.shape)
+        self._rj_move_accepted = c.reshape(self._rj_move_accepted.shape)
+        self._rj_move_nprop = d.reshape(self._rj_move_nprop.shape)
         for i, move in enumerate(self.moves):
             move.accepted = self._move_accepted[i]
             move.num_proposals = int(self._move_nprop[i])
@@ -1298,8 +1342,10 @@ class EnsembleSampler:
 
         Returns ``(state, snaps)`` with ``snaps`` a host-side dict of stacked
         per-stored-step arrays (or None when ``store=False``)."""
-        carry, snaps, t0 = self._dispatch_bulk(state, nstored, thin_by, store)
-        state = self._sync_bulk(carry, snaps, nstored * thin_by, t0)
+        carry, snaps, counters, t0 = self._dispatch_bulk(
+            state, nstored, thin_by, store
+        )
+        state = self._sync_bulk(carry, snaps, counters, nstored * thin_by, t0)
         if snaps is not None:
             snaps = self._unpack_snaps(
                 jax.tree_util.tree_map(np.asarray, snaps)
@@ -1624,13 +1670,15 @@ class EnsembleSampler:
                 n = segment_plan.pop(0)
                 # software pipeline: dispatch segment k+1, then flush segment
                 # k's chain to the backend while the device computes
-                carry, snaps, t0 = self._dispatch_bulk(
+                carry, snaps, counters, t0 = self._dispatch_bulk(
                     state, n, thin_by, store=store
                 )
                 if pending is not None:
                     self._save_snaps(pending)
                     pending = None
-                state = self._sync_bulk(carry, snaps, n * thin_by, t0)
+                state = self._sync_bulk(
+                    carry, snaps, counters, n * thin_by, t0
+                )
                 i += n
                 if store:
                     if hook_fires(i) or not segment_plan:

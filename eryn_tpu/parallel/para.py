@@ -111,7 +111,7 @@ class ParaEnsembleSampler:
             nm = len(s.moves)
             nrj = len(s.rj_moves)
             zeros = lambda *sh: jnp.zeros(sh, dtype=s.dtype)  # noqa: E731
-            carry, snaps = fn(
+            carry, snaps, _counters = fn(
                 key,
                 state,
                 time,

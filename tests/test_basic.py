@@ -124,7 +124,9 @@ def test_dtype_kwarg(gaussian_setup):
         seed=2, dtype=jnp.float32,
     )
     ens.run_mcmc(priors.rvs(size=(32,)), 20, burn=5)
-    assert ens.get_log_like().dtype == np.float64  # backend stores float64
+    # the default backend stores in the compute dtype (the device chain IS
+    # float32; an upcast would be lossless padding)
+    assert ens.get_log_like().dtype == np.float32
     assert ens._previous_state.log_like.dtype == jnp.float32
 
 

@@ -89,17 +89,17 @@ def test_callback_supplementals_and_pool():
 
     pool = CountingPool()
     priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
-    with pytest.warns(UserWarning, match="host callback"):
-        ens = EnsembleSampler(
-            nwalkers,
-            ndim,
-            np_ll,
-            priors,
-            provide_supplemental=True,
-            pool=pool,
-            seed=31,
-        )
-    assert ens._like_eval.mode == "callback"
+    ens = EnsembleSampler(
+        nwalkers,
+        ndim,
+        np_ll,
+        priors,
+        provide_supplemental=True,
+        pool=pool,
+        seed=31,
+    )
+    # mode decision is deferred until real supps are seen
+    assert ens._like_eval.mode is None
 
     coords = priors.rvs(size=(1, nwalkers, 1))
     supp = BranchSupplemental(
@@ -113,3 +113,4 @@ def test_callback_supplementals_and_pool():
     assert seen["supps"] > 0
     assert pool.calls > 0
     assert np.isfinite(ens.get_log_like()).all()
+    assert ens._like_eval.mode == "callback"
