@@ -17,6 +17,18 @@ from ..state import State
 __all__ = ["Backend"]
 
 
+def _key_data(rs):
+    """Raw array form of a (possibly typed) JAX PRNG key for storage."""
+    if rs is None:
+        return None
+    try:
+        return np.asarray(rs)
+    except TypeError:
+        import jax
+
+        return np.asarray(jax.random.key_data(rs))
+
+
 class Backend:
     """In-memory backend (ref ``backends/backend.py:16``)."""
 
@@ -190,11 +202,7 @@ class Backend:
             rj_accepted=rj_accepted,
             swaps_accepted=swaps_accepted,
             moves_accepted_fraction=moves_accepted_fraction,
-            random_state=(
-                np.asarray(state.random_state)
-                if state.random_state is not None
-                else None
-            ),
+            random_state=_key_data(state.random_state),
         )
 
     def save_snapshot(

@@ -546,6 +546,7 @@ class EnsembleSampler:
         info={},
         seed=None,
         dtype=None,
+        prng_impl="rbg",
     ):
         self.provide_groups = provide_groups
         self.provide_supplemental = provide_supplemental
@@ -704,9 +705,13 @@ class EnsembleSampler:
         self.plot_generator = plot_generator
 
         # ---- RNG ------------------------------------------------------------
+        # default PRNG is the TPU hardware bit generator ("rbg"): threefry
+        # costs ~25% of the whole compiled step on the north-star config;
+        # pass prng_impl="threefry2x32" for jax-default draws
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        self._key = jax.random.PRNGKey(seed)
+        self._prng_impl = prng_impl
+        self._key = jax.random.key(seed, impl=prng_impl)
 
         # ---- backend ---------------------------------------------------------
         if backend is None:
@@ -761,7 +766,7 @@ class EnsembleSampler:
                 self._previous_state = self.backend.get_last_sample()
                 rs = getattr(self.backend, "random_state", None)
                 if rs is not None:
-                    self._key = jnp.asarray(rs)
+                    self._key = self._wrap_key(rs)
 
         # default runtime plot generator (ref ensemble.py:660-674)
         if self.plot_iterations > 0 and self.plot_generator is None:
@@ -888,14 +893,30 @@ class EnsembleSampler:
     def set_key(self, key):
         self._key = key
 
+    def _wrap_key(self, value):
+        """Coerce raw checkpointed key data back into a typed PRNG key.
+        Old chains persisted (2,)-uint32 threefry keys; new ones persist the
+        key data of the sampler's impl."""
+        value = jnp.asarray(value)
+        if jnp.issubdtype(value.dtype, jax.dtypes.prng_key):
+            return value
+        impl = (
+            "threefry2x32"
+            if value.shape[-1] == 2 and self._prng_impl != "threefry2x32"
+            else self._prng_impl
+        )
+        return jax.random.wrap_key_data(
+            value.astype(jnp.uint32), impl=impl
+        )
+
     @property
     def random_state(self):
-        return np.asarray(self._key)
+        return np.asarray(jax.random.key_data(self._key))
 
     @random_state.setter
     def random_state(self, value):
         try:
-            self._key = jnp.asarray(value)
+            self._key = self._wrap_key(value)
         except Exception:
             pass
 
@@ -1398,7 +1419,7 @@ class EnsembleSampler:
             else None,
             swaps_accepted=snaps["swaps"] if self.ntemps > 1 else None,
             moves_accepted_fraction=fractions,
-            random_state=np.asarray(self._key),
+            random_state=np.asarray(jax.random.key_data(self._key)),
         )
         tc = self.temperature_control
         if tc is not None and self.ntemps > 1:

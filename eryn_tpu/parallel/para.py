@@ -56,7 +56,12 @@ class ParaEnsembleSampler:
                 move.use_pallas = False
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        self._keys = jax.random.split(jax.random.PRNGKey(seed), self.ngroups)
+        self._keys = jax.random.split(
+            jax.random.key(
+                seed, impl=getattr(self.sampler, "_prng_impl", "rbg")
+            ),
+            self.ngroups,
+        )
         self._chain = []
         self._log_like = []
         self._log_prior = []

@@ -358,7 +358,10 @@ def test_gaussian_move_parity():
 
     from eryn_tpu.moves import GaussianMove
 
-    nwalkers, nsteps, burn = 32, 800, 200
+    # random/sequential modes update one dim per step -> tau is ~ndim times
+    # larger than vector mode; the run must be long enough that the MC error
+    # on the posterior mean (sigma/sqrt(ESS) per sampler) is well under tol
+    nwalkers, nsteps, burn = 32, 1600, 400
     # scalar (isotropic) covariance: the reference's 1-D diag path crashes
     # on np.linalg.cholesky of a 1-D array (ref gaussian.py:137-144), so the
     # shared working surface is scalar + full-matrix covariances
@@ -407,7 +410,11 @@ def test_gaussian_move_parity():
 
         c_ref = ref.get_chain()["model_0"].reshape(-1, NDIM)
         c_ours = ours.get_chain()["model_0"].reshape(-1, NDIM)
-        assert np.abs(c_ref.mean(0) - c_ours.mean(0)).max() < 0.2, mode
+        assert np.abs(c_ref.mean(0) - c_ours.mean(0)).max() < 0.2, (
+            mode,
+            c_ref.mean(0),
+            c_ours.mean(0),
+        )
         assert np.abs(c_ref.std(0) - c_ours.std(0)).max() < 0.15, mode
 
 
