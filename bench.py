@@ -41,8 +41,8 @@ NTEMPS = 10
 NSTEPS = 8000
 # stored run: exact multiple of the segment size so the timed window reuses
 # one compiled program (a remainder segment would compile inside the timing)
-STORED_SEGMENT = 1024
-STORED_STEPS = 4 * STORED_SEGMENT
+STORED_SEGMENT = 2048
+STORED_STEPS = 2 * STORED_SEGMENT
 RJ_NSTEPS = 2000
 
 
