@@ -249,10 +249,14 @@ class LikelihoodEvaluator:
             return "callback"
 
     # -- host callback path --------------------------------------------------
-    def _host_eval_vectorized(self, coords_flat, inds_flat, logp_flat):
+    def _host_eval_vectorized(
+        self, coords_flat, inds_flat, logp_flat, supps_flat=None
+    ):
         """Reference ``vectorize=True`` grouping semantics
         (``ensemble.py:1305-1406``): flattened active-leaf arrays per branch
-        plus flat walker-group ids, one call for the whole batch."""
+        plus flat walker-group ids, one call for the whole batch; active-leaf
+        branch supplementals as a ``branch_supps`` kwarg (bare for a single
+        branch, list otherwise — ref ``ensemble.py:1387-1399``)."""
         names = self.branch_names
         N = logp_flat.shape[0]
         out = np.full(N, -np.inf, dtype=np.float64)
@@ -267,7 +271,7 @@ class LikelihoodEvaluator:
 
         x_in = []
         groups_in = []
-        total_active = 0
+        supps_in = []
         for n in names:
             m = inds_flat[n][keep]  # (nkeep, nl)
             c = coords_flat[n][keep]
@@ -276,7 +280,19 @@ class LikelihoodEvaluator:
             )
             x_in.append(c[m])
             groups_in.append(walker_ids[m])
-            total_active += int(m.sum())
+            if self.provide_supplemental and supps_flat and n in supps_flat:
+                supps_in.append(
+                    {
+                        k: (
+                            v[keep][m]
+                            if v.shape[1:2] == m.shape[1:2]
+                            else v[keep]
+                        )
+                        for k, v in supps_flat[n].items()
+                    }
+                )
+            else:
+                supps_in.append(None)
 
         if len(names) == 1:
             args = (x_in[0],)
@@ -286,8 +302,15 @@ class LikelihoodEvaluator:
             args = (x_in,)
             if self.provide_groups:
                 args = (x_in, groups_in)
+        kwargs_in = {}
+        if self.provide_supplemental and supps_flat:
+            kwargs_in["branch_supps"] = (
+                supps_in[0] if len(names) == 1 else supps_in
+            )
 
-        res = np.asarray(self.fn(*args, *self.args, **self.kwargs))
+        res = np.asarray(
+            self.fn(*args, *self.args, **{**self.kwargs, **kwargs_in})
+        )
         out[keep] = res.reshape(keep.size)
         return out
 
@@ -299,7 +322,9 @@ class LikelihoodEvaluator:
         ``provide_supplemental``, and a user ``pool.map`` fan-out when a
         pool is configured."""
         if self.vectorize:
-            return self._host_eval_vectorized(coords_flat, inds_flat, logp_flat)
+            return self._host_eval_vectorized(
+                coords_flat, inds_flat, logp_flat, supps_flat
+            )
         names = self.branch_names
         N = logp_flat.shape[0]
         out = np.full(N, -np.inf, dtype=np.float64)
@@ -655,6 +680,13 @@ class EnsembleSampler:
                 "standalone DelayedRejection move for in-model proposals."
             )
 
+        #: leaf masks can only change when an RJ move runs; non-RJ runs skip
+        #: snapshotting them and rebuild from a host copy at flush time
+        self._inds_change = self.has_reversible_jump or any(
+            getattr(m, "is_rj", False) for m in self.moves
+        )
+        self._static_inds = None
+
         # inject temperature control & periodic (ref ensemble.py:516-536)
         for move in self.moves + self.rj_moves:
             move.temperature_control = self.temperature_control
@@ -799,10 +831,14 @@ class EnsembleSampler:
     @staticmethod
     def _normalize_per_branch(value, branch_names, label):
         if isinstance(value, (int, np.integer)):
-            assert len(branch_names) == 1
-            return {branch_names[0]: int(value)}
+            # a scalar broadcasts to every branch (ref ensemble.py:277-317)
+            return {bn: int(value) for bn in branch_names}
         if isinstance(value, (list, np.ndarray)):
-            assert len(branch_names) == len(value)
+            if len(branch_names) != len(value):
+                raise ValueError(
+                    f"{label} list has {len(value)} entries for "
+                    f"{len(branch_names)} branches."
+                )
             return {bn: int(v) for bn, v in zip(branch_names, value)}
         if isinstance(value, dict):
             for key_name in value:
@@ -1128,9 +1164,7 @@ class EnsembleSampler:
         device-side snapshot per stored iteration.  One dispatch per segment —
         the chain buffer lives in HBM until the host flush."""
         one_step = self._make_one_step()
-        inds_change = self.has_reversible_jump or any(
-            getattr(m, "is_rj", False) for m in self.moves
-        )
+        inds_change = self._inds_change
         if store:
             # snapshots are packed into ONE float buffer + ONE uint8 buffer
             # per step: the tunnel/device->host path moves a single large 2-D
@@ -1245,13 +1279,6 @@ class EnsembleSampler:
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
         self._detect_sharding(state)
-        if store:
-            # non-RJ runs do not snapshot the constant leaf masks; keep a
-            # host copy to rebuild them at flush time
-            self._static_inds = {
-                n: np.asarray(state.branches_inds[n])
-                for n in self.branch_names
-            }
         if self._kernel_states is None:
             self._kernel_states = tuple(
                 m.init_kernel_state(state) for m in self.moves + self.rj_moves
@@ -1368,12 +1395,10 @@ class EnsembleSampler:
         )
         state = self._sync_bulk(carry, snaps, counters, nstored * thin_by, t0)
         if snaps is not None:
+            # host mirrors of swap diagnostics are owned by _save_snaps
             snaps = self._unpack_snaps(
                 jax.tree_util.tree_map(np.asarray, snaps)
             )
-            tc = self.temperature_control
-            if tc is not None and self.ntemps > 1:
-                tc.swaps_accepted = snaps["swaps"][-1]
         return state, snaps
 
     def _save_snaps(self, snaps):
@@ -1527,6 +1552,16 @@ class EnsembleSampler:
             if np.any(np.isnan(lp)) or np.all(np.isinf(lp)):
                 raise ValueError("The initial log_prior was NaN or all -inf.")
 
+        if not self._inds_change:
+            # masks are constant without RJ: one host copy per run rebuilds
+            # the stored-chain inds at flush time (no per-segment snapshot)
+            try:
+                self._static_inds = {n: np.asarray(inds[n]) for n in inds}
+            except Exception:
+                # traced setup (ParaEnsembleSampler vmaps _setup_state);
+                # para rebuilds masks from its own state at flush time
+                self._static_inds = None
+
         return State(
             coords,
             inds=inds,
@@ -1661,7 +1696,7 @@ class EnsembleSampler:
             seg = max(1, min(int(nsteps), self._max_segment))
 
         if store:
-            self.backend.grow(nsteps, state.blobs)
+            self.backend.grow(nsteps, self._blobs_example(state))
 
         def hook_fires(i):
             return (

@@ -54,11 +54,17 @@ class GroupStretchMove(GroupMove, StretchMove):
         table = friends[name]
         nfr = table.shape[1]
         ntemps, ns = s_coords.shape[:2]
-        if nfr > 1 and ns == nfr:
+        if nfr > 1:
             # the default table is an ensemble snapshot in walker order:
-            # draw over the other nfr-1 columns and skip past self
-            rint = jax.random.randint(key, (ntemps, ns), 0, nfr - 1)
-            rint = rint + (rint >= jnp.arange(ns)[None, :])
+            # walkers whose own column exists (w < nfr) draw over the other
+            # nfr-1 columns and skip past self; the rest draw over all nfr
+            widx = jnp.arange(ns)[None, :]
+            has_self = widx < nfr
+            u = jax.random.uniform(key, (ntemps, ns))
+            r_excl = jnp.floor(u * (nfr - 1)).astype(jnp.int32)
+            r_excl = r_excl + (r_excl >= widx)
+            r_full = jnp.floor(u * nfr).astype(jnp.int32)
+            rint = jnp.where(has_self, r_excl, r_full)
         else:
             rint = jax.random.randint(key, (ntemps, ns), 0, nfr)
         return jnp.take_along_axis(table, rint[:, :, None, None], axis=1)

@@ -163,8 +163,14 @@ class ReversibleJumpMove(Move):
             # identity proposals (change == 0, e.g. nleaves_min ==
             # nleaves_max branches) accept with probability ~1 and would
             # inflate rj acceptance diagnostics; mask them out like
-            # MTDistGenMoveRJ does (chain distribution is unaffected)
-            acc = acc & (new_nleaves != old_nleaves)
+            # MTDistGenMoveRJ does (chain distribution is unaffected).
+            # a proposal only counts as identity when BOTH the leaf count
+            # and the coordinates are unchanged, so custom kernels that
+            # swap/replace leaves at constant k are not silently discarded
+            coords_changed = jnp.any(
+                q_branch != coords[name], axis=(-2, -1)
+            )
+            acc = acc & ((new_nleaves != old_nleaves) | coords_changed)
 
             acc4 = acc[:, :, None, None]
             coords[name] = jnp.where(acc4, q_branch, coords[name])

@@ -237,7 +237,16 @@ class PlotContainer:
         """Ridgeline ("joy") plot: per-parameter KDEs stacked by temperature,
         showing the posterior broadening up the ladder
         (ref ``plot.py:409-566``; plain-matplotlib KDE instead of seaborn)."""
-        from scipy.stats import gaussian_kde
+        try:
+            from scipy.stats import gaussian_kde
+        except ImportError:  # scipy is an optional extra
+            import warnings
+
+            warnings.warn(
+                "scipy not available; skipping the tempering ridgeline plot.",
+                stacklevel=2,
+            )
+            return
 
         plt = _get_plt()
         backend = self.backend
@@ -490,7 +499,13 @@ class PlotContainer:
         for key in which:
             try:
                 groups[key](burn=burn, thin=thin)
-            except AttributeError:
+            except Exception as e:  # noqa: BLE001
+                # runtime plotting must never abort a sampling run
+                import warnings
+
+                warnings.warn(
+                    f"plot group '{key}' failed: {e!r}", stacklevel=2
+                )
                 continue
 
     # reference-compatible alias

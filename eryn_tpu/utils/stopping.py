@@ -84,8 +84,15 @@ class AutoCorrelationStop(Stopping):
             iteration = sampler.backend.iteration
             finish = []
             for name in tau:
-                t = np.atleast_1d(tau[name])
-                old = np.atleast_1d(self.old_tau[name])
+                t = np.atleast_1d(tau[name]).astype(float).ravel()
+                old = np.atleast_1d(self.old_tau[name]).astype(float).ravel()
+                # NaN taus (e.g. an RJ leaf slot that never activated) carry
+                # no information — judge convergence on the finite entries
+                good = np.isfinite(t) & np.isfinite(old)
+                if not np.any(good):
+                    finish.append(False)
+                    continue
+                t, old = t[good], old[good]
                 converged = np.all(t * self.autocorr_multiplier < iteration)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     converged &= np.all(np.abs(old - t) / t < self.rel_tol)

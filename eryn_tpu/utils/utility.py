@@ -135,7 +135,11 @@ def get_integrated_act(
     else:
         tau = 1.0 + 2.0 * np.sum(f[1:window], axis=0)
         if average and tau.ndim >= 2:
-            tau = np.average(tau, axis=1)
+            # nan-aware: an RJ leaf that never activates in SOME walker
+            # yields a NaN column tau; the other walkers' estimates must
+            # survive the average (all-walker-NaN stays NaN)
+            with np.errstate(invalid="ignore"):
+                tau = np.nanmean(tau, axis=1)
 
     if tol > 0:
         tau_max = np.nanmax(np.atleast_1d(tau))

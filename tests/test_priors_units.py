@@ -141,3 +141,20 @@ def test_walkers_independent():
     nan = good.copy()
     nan[0, 0] = np.nan
     assert not walkers_independent(nan)
+
+
+def test_integrated_act_nan_leaf_columns():
+    """An RJ leaf that never activates in SOME walker must not NaN the
+    walker-averaged tau for that parameter (all-walker-NaN stays NaN)."""
+    rng = np.random.default_rng(3)
+    nsteps, nwalkers = 200, 4
+    x = rng.standard_normal((nsteps, 1, nwalkers, 2, 1))
+    x[:, :, 3, 1, :] = np.nan  # leaf 1 never active in walker 3
+    tau = get_integrated_act({"m": x})["m"]
+    assert tau.shape == (1, 2, 1)
+    assert np.isfinite(tau).all()
+
+    x[:, :, :, 1, :] = np.nan  # leaf 1 never active anywhere
+    tau = get_integrated_act({"m": x})["m"]
+    assert np.isfinite(tau[0, 0, 0])
+    assert np.isnan(tau[0, 1, 0])

@@ -114,3 +114,44 @@ def test_callback_supplementals_and_pool():
     assert pool.calls > 0
     assert np.isfinite(ens.get_log_like()).all()
     assert ens._like_eval.mode == "callback"
+
+
+def test_callback_vectorized_supplementals():
+    """vectorize=True on the host bridge passes active-leaf branch
+    supplementals as a branch_supps kwarg (ref ensemble.py:1387-1399)."""
+    from eryn_tpu import BranchSupplemental, State
+
+    ndim, nwalkers = 2, 16
+    seen = {"n": 0}
+
+    def np_ll(x, groups, branch_supps=None):
+        assert branch_supps is not None and "tag" in branch_supps
+        assert branch_supps["tag"].shape[0] == x.shape[0]
+        seen["n"] += 1
+        _ = np.polyfit(np.arange(ndim), np.asarray(x[0], dtype=float), 1)
+        amp = np.zeros(int(groups.max()) + 1)
+        np.add.at(amp, groups, -0.5 * np.sum(np.asarray(x) ** 2, axis=-1))
+        return amp
+
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nwalkers,
+        ndim,
+        np_ll,
+        priors,
+        vectorize=True,
+        provide_groups=True,
+        provide_supplemental=True,
+        seed=32,
+    )
+    coords = priors.rvs(size=(1, nwalkers, 1))
+    supp = BranchSupplemental(
+        {"tag": np.arange(nwalkers, dtype=float).reshape(1, nwalkers, 1)},
+        base_shape=(1, nwalkers, 1),
+    )
+    ens.run_mcmc(
+        State({"model_0": coords}, branch_supplemental={"model_0": supp}), 10
+    )
+    assert seen["n"] > 0
+    assert ens._like_eval.mode == "callback"
+    assert np.isfinite(ens.get_log_like()).all()
