@@ -665,3 +665,24 @@ def test_config_d_group_stretch_parity():
         frac_our = float(np.mean(np.abs(our_b - b_true) < 0.15))
         assert frac_our > 0.1, (b_true, frac_our)
         assert abs(frac_ref - frac_our) < 0.25, (b_true, frac_ref, frac_our)
+
+
+def test_config_a_marginals_ks():
+    """Distribution-level parity: two-sample Kolmogorov-Smirnov comparison of
+    every cold-chain marginal between ours and the reference on config A.
+    Walkers are thinned to roughly independent samples so the KS statistic
+    has its nominal scale."""
+    from scipy.stats import ks_2samp
+
+    ref = _run_reference(ntemps=1)
+    ours = _run_ours(ntemps=1)
+
+    # thin aggressively: stretch tau ~ 30 on this config
+    thin = 30
+    c_ref = ref.get_chain(thin=thin)["model_0"].reshape(-1, NDIM)
+    c_ours = np.asarray(ours.get_chain(thin=thin)["model_0"]).reshape(-1, NDIM)
+    for d in range(NDIM):
+        stat, p = ks_2samp(c_ref[:, d], c_ours[:, d])
+        # with ~1300 samples/side, a true distribution difference of a few
+        # percent would drive p to ~0; demand no strong evidence of mismatch
+        assert p > 1e-3, (d, stat, p)
