@@ -67,3 +67,10 @@ try:  # pragma: no cover - staged build
     __all__ += ["DelayedRejection"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .mala import MALAMove
+
+    __all__ += ["MALAMove"]
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,139 @@
+"""Metropolis-adjusted Langevin (MALA) move — a TPU-native extension.
+
+No reference equivalent: the reference's NumPy likelihoods are opaque, so
+gradient-guided proposals are impossible there.  Here the likelihood and the
+priors are traced JAX functions, so ``jax.grad`` differentiates the tempered
+log-posterior through the *user's own model* for free, and the whole
+drift-propose-accept step stays inside the compiled sampler step.
+
+Proposal (per walker, per active leaf):
+
+    q = x + (eps^2 / 2) * M * grad logP(x) + eps * sqrt(M) * xi,  xi ~ N(0, I)
+
+with the exact MH correction using the reverse drift at ``q``.  ``logP`` is
+the tempered posterior ``beta * logl + logp``, so hot chains take
+proportionally smaller likelihood drifts.  Gradients of inactive RJ leaves
+are identically zero (the masked likelihood/prior contract guarantees it),
+so the move is reversible-jump compatible: it updates active leaves only.
+
+Requires a traceable likelihood (the host-callback bridge is not
+differentiable).  Costs two likelihood+gradient evaluations per step, repaid
+by far higher ESS per step on smooth targets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .move import Move, mh_accept, state_branch_supps
+from .tempering import tempered_log_likelihood
+
+__all__ = ["MALAMove"]
+
+
+class MALAMove(Move):
+    """Langevin proposal with exact MH correction.
+
+    Args:
+        eps: step size — scalar (all branches) or ``{branch: scalar or
+            (ndim,) array}`` for per-parameter preconditioning (the diagonal
+            mass matrix ``M = eps_vec^2 / eps_scalar^2`` absorbed into eps).
+        temper_drift: scale the likelihood part of the drift by ``beta``
+            (recommended; matches the tempered target each rung samples).
+    """
+
+    def __init__(self, eps=0.1, **kwargs):
+        super().__init__(**kwargs)
+        self.eps = eps
+
+    def _eps_for(self, name, ndim, dtype):
+        eps = self.eps
+        if isinstance(eps, dict):
+            eps = eps[name]
+        eps = jnp.asarray(eps, dtype=dtype)
+        return jnp.broadcast_to(eps, (ndim,))
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        names = self.run_branches(state)
+        coords = {n: state.branches_coords[n] for n in names}
+        inds = dict(state.branches_inds)
+        other = {
+            n: state.branches_coords[n]
+            for n in state.branches_coords
+            if n not in names
+        }
+        ntemps, nwalkers = state.log_like.shape
+        dtype = state.log_like.dtype
+        betas = (
+            state.betas
+            if state.betas is not None
+            else jnp.ones((ntemps,), dtype=dtype)
+        )
+        supps = state_branch_supps(state)
+
+        def logP_sum(active_coords):
+            full = {**other, **active_coords}
+            lp = ctx.compute_log_prior(full, inds)
+            ll, _ = ctx.compute_log_like(full, inds, lp, supps)
+            logP = tempered_log_likelihood(ll, betas) + lp
+            # sum over walkers: logP is separable, so the gradient of the
+            # sum IS the per-walker gradient
+            return jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)), (ll, lp)
+
+        (_, (ll0, lp0)), grad_x = jax.value_and_grad(logP_sum, has_aux=True)(
+            coords
+        )
+
+        key, k_xi, k_acc = jax.random.split(key, 3)
+        xi_keys = jax.random.split(k_xi, len(names))
+
+        def drift_step(c, g, m, eps_vec, xi):
+            e2 = eps_vec**2
+            step = 0.5 * e2 * g + eps_vec * xi
+            q = c + jnp.where(m[..., None], step, 0.0)
+            return q
+
+        q = {}
+        xis = {}
+        for n, kx in zip(names, xi_keys):
+            c = coords[n]
+            eps_vec = self._eps_for(n, c.shape[-1], dtype)
+            xi = jax.random.normal(kx, c.shape, dtype=dtype)
+            xis[n] = xi
+            q[n] = drift_step(c, grad_x[n], inds[n], eps_vec, xi)
+
+        (_, (ll1, lp1)), grad_q = jax.value_and_grad(logP_sum, has_aux=True)(q)
+
+        # log q(a -> b) = -||b - a - (eps^2/2) grad(a)||^2 / (2 eps^2)
+        # summed over active coordinates; factors = log q(q -> x) - log q(x -> q)
+        factors = jnp.zeros((ntemps, nwalkers), dtype=dtype)
+        for n in names:
+            c, qq = coords[n], q[n]
+            eps_vec = self._eps_for(n, c.shape[-1], dtype)
+            e2 = eps_vec**2
+            m = inds[n][..., None]
+            fwd = qq - c - 0.5 * e2 * grad_x[n]
+            rev = c - qq - 0.5 * e2 * grad_q[n]
+            contrib = (rev**2 - fwd**2) / (2.0 * e2)
+            factors = factors - jnp.where(m, contrib, 0.0).sum(axis=(-2, -1))
+
+        logP_new = tempered_log_likelihood(ll1, betas) + lp1
+        logP_old = tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        acc = mh_accept(k_acc, factors, logP_new, logP_old)
+
+        new_coords = dict(state.branches_coords)
+        for n in names:
+            new_coords[n] = jnp.where(acc[:, :, None, None], q[n], coords[n])
+        logl = jnp.where(acc, ll1, state.log_like)
+        logp = jnp.where(acc, lp1, state.log_prior)
+
+        new_state = state.replace(
+            coords=new_coords,
+            inds=dict(state.branches_inds),
+            log_like=logl,
+            log_prior=logp,
+        )
+        return new_state, acc, kernel_state

@@ -1,0 +1,99 @@
+"""MALA move (TPU-native extension: jax.grad through the traced model)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.moves import MALAMove, StretchMove
+
+NDIM = 5
+NWALKERS = 32
+
+
+def log_like(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+@pytest.fixture
+def priors():
+    return ProbDistContainer({i: uniform_dist(-6, 6) for i in range(NDIM)})
+
+
+def test_mala_posterior_and_efficiency(priors):
+    """MALA samples the correct posterior and decorrelates faster per stored
+    step than the stretch move on a smooth unit Gaussian."""
+    nsteps, burn = 600, 200
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=[MALAMove(eps=0.6)], seed=61
+    )
+    coords = 0.5 * np.random.randn(NWALKERS, NDIM)
+    ens.run_mcmc(coords, nsteps, burn=burn)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.15
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.15
+    acc = float(ens.acceptance_fraction.mean())
+    assert 0.3 < acc <= 1.0, acc  # near-exact AR(1) kernel on a Gaussian target
+
+    base = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=[StretchMove()], seed=61
+    )
+    base.run_mcmc(0.5 * np.random.randn(NWALKERS, NDIM), nsteps, burn=burn)
+    tau_mala = np.nanmax(ens.get_autocorr_time()["model_0"])
+    tau_stretch = np.nanmax(base.get_autocorr_time()["model_0"])
+    assert tau_mala < tau_stretch, (tau_mala, tau_stretch)
+
+
+def test_mala_tempered(priors):
+    """Under PT the drift follows the tempered target per rung."""
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        moves=[MALAMove(eps=0.6)],
+        tempering_kwargs=dict(ntemps=4),
+        seed=62,
+    )
+    coords = priors.rvs(size=(4, NWALKERS))
+    ens.run_mcmc(coords, 300, burn=150)
+    ll = ens.get_log_like()
+    assert ll[:, 0].mean() > ll[:, -1].mean()
+    chain = ens.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.2
+
+
+def test_mala_rj_masked_updates(priors):
+    """Under RJ leaf masks, MALA only moves active leaves; the k-posterior
+    machinery (driven by a separate RJ move) keeps working."""
+
+    def ll(c, m):
+        contrib = -0.5 * jnp.sum(c**2, axis=-1)
+        return jnp.sum(jnp.where(m, contrib, 0.0))
+
+    nlmax = 2
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        ll,
+        priors,
+        nleaves_max=nlmax,
+        nleaves_min=1,
+        moves=[MALAMove(eps=0.5)],
+        rj_moves=True,
+        fill_zero_leaves_val=-1e4,
+        seed=63,
+    )
+    coords = priors.rvs(size=(1, NWALKERS, nlmax))
+    inds = np.zeros((1, NWALKERS, nlmax), dtype=bool)
+    inds[..., 0] = True
+    inds[:, ::2, 1] = True
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 200, burn=100)
+    k = ens.get_nleaves()["model_0"]
+    assert k.min() >= 1 and k.max() <= nlmax
+    chain = ens.get_chain()["model_0"]
+    m = ens.get_inds()["model_0"]
+    active = chain[m]
+    assert np.abs(active.std(axis=0) - 1.0).max() < 0.25
+    assert np.isfinite(ens.get_log_like()).all()
