@@ -74,3 +74,10 @@ try:
     __all__ += ["MALAMove"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .hmc import HMCMove
+
+    __all__ += ["HMCMove"]
+except ImportError:  # pragma: no cover
+    pass
