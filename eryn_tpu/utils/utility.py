@@ -75,7 +75,12 @@ def _fill_nonfinite_columns(x):
     bad = ~np.isfinite(x)
     if not bad.any():
         return x
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # all-NaN columns legitimately produce an empty-slice mean here;
+        # they become zeros -> tau = NaN downstream, which is the contract
+        warnings.simplefilter("ignore", RuntimeWarning)
         col_mean = np.nanmean(np.where(bad, np.nan, x), axis=0, keepdims=True)
     x = np.where(bad, np.broadcast_to(col_mean, x.shape), x)
     return np.nan_to_num(x)

@@ -1,0 +1,54 @@
+"""Gradient-guided sampling: MALA and HMC through a traced likelihood.
+
+These moves have no reference-Eryn equivalent — they differentiate the
+tempered log-posterior through the user's own jax.numpy likelihood with
+``jax.grad``, entirely inside the compiled sampler step.  The stretch move's
+mixing degrades roughly linearly with dimension while HMC's cost grows only
+as d^(1/4): on the 24-D correlated target below, HMC decorrelates several
+times faster per stored step.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+from eryn_tpu.moves import HMCMove, MALAMove, StretchMove
+
+NDIM = 24
+NWALKERS = 96
+RHO = 0.5
+
+cov = RHO * np.ones((NDIM, NDIM)) + (1 - RHO) * np.eye(NDIM)
+invcov = jnp.asarray(np.linalg.inv(cov))
+
+
+def log_like(x):
+    return -0.5 * x @ (invcov @ x)
+
+
+priors = ProbDistContainer({i: uniform_dist(-10, 10) for i in range(NDIM)})
+start = np.random.default_rng(0).standard_normal((NWALKERS, NDIM)) @ (
+    np.linalg.cholesky(cov).T
+)
+
+for label, move in [
+    ("stretch", StretchMove()),
+    ("MALA", MALAMove(eps=0.35)),
+    ("HMC", HMCMove(eps=0.25, num_leapfrog=12)),
+]:
+    ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=3)
+    ens.run_mcmc(start, 600, burn=200)
+    tau = float(np.nanmax(ens.get_autocorr_time()["model_0"]))
+    acc = float(ens.acceptance_fraction.mean())
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    err = np.abs(np.cov(chain.T) - cov).max()
+    print(
+        f"{label:8s} acceptance {acc:5.2f}  max tau {tau:7.1f}  "
+        f"max |cov err| {err:.2f}"
+    )
