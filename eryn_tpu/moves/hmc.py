@@ -20,32 +20,40 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .move import Move, mh_accept, state_branch_supps
+from .mala import MALAMove
+from .move import mh_accept, state_branch_supps
 from .tempering import tempered_log_likelihood
 
 __all__ = ["HMCMove"]
 
 
-class HMCMove(Move):
+class HMCMove(MALAMove):
     """Leapfrog HMC proposal.
 
     Args:
         eps: leapfrog step size — scalar or ``{branch: scalar or (ndim,)
             array}`` (per-parameter mass preconditioning).
         num_leapfrog: number of leapfrog steps per proposal.
+        target_acceptance / tune_steps: dual-averaging step-size adaptation
+            (inherited from :class:`~eryn_tpu.moves.mala.MALAMove`; 0.65 is
+            the HMC-optimal acceptance).
     """
 
-    def __init__(self, eps=0.1, num_leapfrog=5, **kwargs):
-        super().__init__(**kwargs)
-        self.eps = eps
+    def __init__(
+        self,
+        eps=0.1,
+        num_leapfrog=5,
+        target_acceptance=0.65,
+        tune_steps=0,
+        **kwargs,
+    ):
+        super().__init__(
+            eps=eps,
+            target_acceptance=target_acceptance,
+            tune_steps=tune_steps,
+            **kwargs,
+        )
         self.num_leapfrog = int(num_leapfrog)
-
-    def _eps_for(self, name, ndim, dtype):
-        eps = self.eps
-        if isinstance(eps, dict):
-            eps = eps[name]
-        eps = jnp.asarray(eps, dtype=dtype)
-        return jnp.broadcast_to(eps, (ndim,))
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         names = self.run_branches(state)
@@ -64,8 +72,10 @@ class HMCMove(Move):
             else jnp.ones((ntemps,), dtype=dtype)
         )
         supps = state_branch_supps(state)
+        scale = self._current_scale(kernel_state, dtype)
         eps_vecs = {
-            n: self._eps_for(n, coords[n].shape[-1], dtype) for n in names
+            n: scale * self._eps_for(n, coords[n].shape[-1], dtype)
+            for n in names
         }
         masks = {n: inds[n][..., None] for n in names}
 
@@ -137,6 +147,11 @@ class HMCMove(Move):
             )
         logl = jnp.where(acc, ll1, state.log_like)
         logp = jnp.where(acc, lp1, state.log_prior)
+
+        if self.tune_steps > 0 and kernel_state:
+            kernel_state, _ = self._adapt_scale(
+                kernel_state, acc.astype(dtype)
+            )
 
         new_state = state.replace(
             coords=new_coords,

@@ -41,13 +41,24 @@ class MALAMove(Move):
         eps: step size — scalar (all branches) or ``{branch: scalar or
             (ndim,) array}`` for per-parameter preconditioning (the diagonal
             mass matrix ``M = eps_vec^2 / eps_scalar^2`` absorbed into eps).
-        temper_drift: scale the likelihood part of the drift by ``beta``
-            (recommended; matches the tempered target each rung samples).
+        target_acceptance: when ``tune_steps > 0``, dual-averaging adapts a
+            global log-step-size multiplier toward this cold-chain
+            acceptance (0.574 is MALA-optimal) for the first ``tune_steps``
+            proposals, then freezes (the adaptation state lives in the
+            traced kernel state, so it works inside compiled segments).
+        tune_steps: number of adapting proposals (0 disables adaptation).
     """
 
-    def __init__(self, eps=0.1, **kwargs):
+    #: dual-averaging constants (Hoffman & Gelman 2014, NUTS sec. 3.2)
+    _DA_GAMMA = 0.05
+    _DA_T0 = 10.0
+    _DA_KAPPA = 0.75
+
+    def __init__(self, eps=0.1, target_acceptance=0.574, tune_steps=0, **kwargs):
         super().__init__(**kwargs)
         self.eps = eps
+        self.target_acceptance = float(target_acceptance)
+        self.tune_steps = int(tune_steps)
 
     def _eps_for(self, name, ndim, dtype):
         eps = self.eps
@@ -55,6 +66,62 @@ class MALAMove(Move):
             eps = eps[name]
         eps = jnp.asarray(eps, dtype=dtype)
         return jnp.broadcast_to(eps, (ndim,))
+
+    # -- dual-averaging step-size adaptation --------------------------------
+    def init_kernel_state(self, state):
+        dtype = state.log_like.dtype
+        return {
+            "log_scale": jnp.zeros((), dtype),      # current log multiplier
+            "log_scale_avg": jnp.zeros((), dtype),  # averaged iterate
+            "h_avg": jnp.zeros((), dtype),          # averaged error
+            "t": jnp.zeros((), jnp.int32),
+        }
+
+    def _adapt_scale(self, kernel_state, acc):
+        """One dual-averaging update from the cold-chain mean acceptance.
+        Frozen (identity) once ``t >= tune_steps``."""
+        if self.tune_steps <= 0:
+            return kernel_state, jnp.zeros((), acc.dtype)
+        ks = kernel_state
+        tuning = ks["t"] < self.tune_steps
+        t = ks["t"] + 1
+        tf = t.astype(acc.dtype)
+        a_mean = acc[0].mean()  # cold chain
+        err = self.target_acceptance - a_mean
+        h_avg = jnp.where(
+            tuning,
+            (1.0 - 1.0 / (tf + self._DA_T0)) * ks["h_avg"]
+            + err / (tf + self._DA_T0),
+            ks["h_avg"],
+        )
+        log_scale = jnp.where(
+            tuning,
+            -jnp.sqrt(tf) / self._DA_GAMMA * h_avg,
+            ks["log_scale"],
+        )
+        w = tf ** (-self._DA_KAPPA)
+        log_scale_avg = jnp.where(
+            tuning,
+            w * log_scale + (1.0 - w) * ks["log_scale_avg"],
+            ks["log_scale_avg"],
+        )
+        new_ks = {
+            "log_scale": log_scale,
+            "log_scale_avg": log_scale_avg,
+            "h_avg": h_avg,
+            "t": t,
+        }
+        use = jnp.where(tuning, ks["log_scale"], ks["log_scale_avg"])
+        return new_ks, use
+
+    def _current_scale(self, kernel_state, dtype):
+        if self.tune_steps <= 0 or not kernel_state:
+            return jnp.ones((), dtype)
+        tuning = kernel_state["t"] < self.tune_steps
+        ls = jnp.where(
+            tuning, kernel_state["log_scale"], kernel_state["log_scale_avg"]
+        )
+        return jnp.exp(ls).astype(dtype)
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         names = self.run_branches(state)
@@ -89,6 +156,7 @@ class MALAMove(Move):
 
         key, k_xi, k_acc = jax.random.split(key, 3)
         xi_keys = jax.random.split(k_xi, len(names))
+        scale = self._current_scale(kernel_state, dtype)
 
         def drift_step(c, g, m, eps_vec, xi):
             e2 = eps_vec**2
@@ -100,7 +168,7 @@ class MALAMove(Move):
         xis = {}
         for n, kx in zip(names, xi_keys):
             c = coords[n]
-            eps_vec = self._eps_for(n, c.shape[-1], dtype)
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
             xi = jax.random.normal(kx, c.shape, dtype=dtype)
             xis[n] = xi
             q[n] = drift_step(c, grad_x[n], inds[n], eps_vec, xi)
@@ -112,7 +180,7 @@ class MALAMove(Move):
         factors = jnp.zeros((ntemps, nwalkers), dtype=dtype)
         for n in names:
             c, qq = coords[n], q[n]
-            eps_vec = self._eps_for(n, c.shape[-1], dtype)
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
             e2 = eps_vec**2
             m = inds[n][..., None]
             fwd = qq - c - 0.5 * e2 * grad_x[n]
@@ -129,6 +197,11 @@ class MALAMove(Move):
             new_coords[n] = jnp.where(acc[:, :, None, None], q[n], coords[n])
         logl = jnp.where(acc, ll1, state.log_like)
         logp = jnp.where(acc, lp1, state.log_prior)
+
+        if self.tune_steps > 0 and kernel_state:
+            kernel_state, _ = self._adapt_scale(
+                kernel_state, acc.astype(dtype)
+            )
 
         new_state = state.replace(
             coords=new_coords,

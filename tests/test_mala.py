@@ -97,3 +97,24 @@ def test_mala_rj_masked_updates(priors):
     active = chain[m]
     assert np.abs(active.std(axis=0) - 1.0).max() < 0.25
     assert np.isfinite(ens.get_log_like()).all()
+
+
+def test_mala_step_size_adaptation(priors):
+    """Dual averaging drives a badly initialized step size to the target
+    acceptance during the tuning window, then freezes."""
+    move = MALAMove(eps=5.0, tune_steps=400, target_acceptance=0.574)
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=[move], seed=64
+    )
+    coords = 0.5 * np.random.randn(NWALKERS, NDIM)
+    ens.run_mcmc(coords, 800, burn=400)  # tuning happens inside the burn
+    # post-tuning acceptance near the target (eps=5.0 alone would be ~0)
+    acc = float(ens.acceptance_fraction.mean())
+    assert 0.35 < acc < 0.8, acc
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.2
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.2
+    # the adapted multiplier shrank the absurd step size
+    ks = ens._kernel_states[0]
+    assert float(ks["log_scale_avg"]) < -1.0
+    assert int(ks["t"]) >= 400
