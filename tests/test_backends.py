@@ -211,3 +211,67 @@ def test_resume_validation_mismatch(priors, tmp_path):
         NWALKERS, NDIM, log_like, named, backend=HDFBackend(fn2), seed=6
     )
     assert ens3.backend.iteration == 10
+
+
+def test_read_reference_written_file(priors, tmp_path):
+    """A chain file written by the REFERENCE implementation opens with our
+    HDFBackend: getters, get_last_sample, and resuming a run all work
+    (the schemas match by construction)."""
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/reference/src")
+    sys.modules.setdefault("corner", types.ModuleType("corner"))
+    try:
+        from eryn.backends import HDFBackend as RefHDFBackend
+        from eryn.ensemble import EnsembleSampler as RefSampler
+        from eryn.prior import ProbDistContainer as RefContainer
+        from eryn.prior import uniform_dist as ref_uniform
+    except Exception:
+        pytest.skip("reference Eryn not importable")
+
+    fn = str(tmp_path / "ref_written.h5")
+    np.random.seed(42)
+
+    def ref_ll(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    ref_priors = RefContainer({i: ref_uniform(-8, 8) for i in range(NDIM)})
+    ref = RefSampler(
+        NWALKERS,
+        NDIM,
+        ref_ll,
+        ref_priors,
+        backend=RefHDFBackend(fn, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+    )
+    coords = ref_priors.rvs(size=(3, NWALKERS))
+    ref.run_mcmc(coords, 12, progress=False)
+
+    # --- open with OUR backend -----------------------------------------
+    ours = HDFBackend(fn, name="mcmc")
+    assert ours.initialized
+    assert ours.iteration == 12
+    chain = ours.get_chain()["model_0"]
+    assert chain.shape == (12, 3, NWALKERS, 1, NDIM)
+    np.testing.assert_allclose(
+        chain, ref.get_chain()["model_0"], rtol=1e-12
+    )
+    last = ours.get_last_sample()
+    assert np.isfinite(np.asarray(last.log_like)).all()
+
+    # resume the reference's chain with OUR sampler (fresh key: the
+    # reference stores a Mersenne state we deliberately ignore)
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=ours,
+        tempering_kwargs=dict(ntemps=3),
+        track_moves=False,  # the reference's move-key naming differs
+        seed=9,
+    )
+    ens.run_mcmc(None, 8)
+    assert ours.iteration == 20
+    assert np.isfinite(ens.get_log_like()).all()
