@@ -21,8 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from .mala import MALAMove
-from .move import mh_accept, state_branch_supps
-from .tempering import tempered_log_likelihood
 
 __all__ = ["HMCMove"]
 
@@ -56,37 +54,15 @@ class HMCMove(MALAMove):
         self.num_leapfrog = int(num_leapfrog)
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
-        names = self.run_branches(state)
-        coords = {n: state.branches_coords[n] for n in names}
-        inds = dict(state.branches_inds)
-        other = {
-            n: state.branches_coords[n]
-            for n in state.branches_coords
-            if n not in names
-        }
-        ntemps, nwalkers = state.log_like.shape
-        dtype = state.log_like.dtype
-        betas = (
-            state.betas
-            if state.betas is not None
-            else jnp.ones((ntemps,), dtype=dtype)
+        names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
+            state, ctx
         )
-        supps = state_branch_supps(state)
         scale = self._current_scale(kernel_state, dtype)
         eps_vecs = {
             n: scale * self._eps_for(n, coords[n].shape[-1], dtype)
             for n in names
         }
         masks = {n: inds[n][..., None] for n in names}
-
-        def logP_sum(active_coords):
-            full = {**other, **active_coords}
-            lp = ctx.compute_log_prior(full, inds)
-            ll, _ = ctx.compute_log_like(full, inds, lp, supps)
-            logP = tempered_log_likelihood(ll, betas) + lp
-            return jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)), (ll, lp)
-
-        grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
 
         key, k_p, k_acc = jax.random.split(key, 3)
         p_keys = jax.random.split(k_p, len(names))
@@ -98,7 +74,7 @@ class HMCMove(MALAMove):
         }
 
         def kinetic(p):
-            total = jnp.zeros((ntemps, nwalkers), dtype=dtype)
+            total = jnp.zeros(state.log_like.shape, dtype=dtype)
             for n in names:
                 total = total + 0.5 * jnp.where(masks[n], p[n] ** 2, 0.0).sum(
                     axis=(-2, -1)
@@ -114,49 +90,32 @@ class HMCMove(MALAMove):
             }
 
         def drift(x, p):
+            # periodic wrap keeps the trajectory on the torus; the gradient
+            # field is periodic, so wrapped leapfrog stays reversible and
+            # volume-preserving (the acceptance remains exact)
             return {
-                n: x[n] + eps_vecs[n] * jnp.where(masks[n], p[n], 0.0)
+                n: self._wrap_periodic(
+                    n, x[n] + eps_vecs[n] * jnp.where(masks[n], p[n], 0.0)
+                )
                 for n in names
             }
 
         def leapfrog(carry, _):
-            x, p, g = carry
+            x, p, g, _aux = carry
             p = half_kick(p, g)
             x = drift(x, p)
-            (_, _aux), g = grad_fn(x)
+            (_, aux), g = grad_fn(x)
             p = half_kick(p, g)
-            return (x, p, g), None
+            return (x, p, g, aux), None
 
-        (x1, p1, _g1), _ = jax.lax.scan(
-            leapfrog, (coords, p0, g), None, length=self.num_leapfrog
+        # aux carries (ll, lp, blobs) of the latest position: the final
+        # carry IS the evaluation at x1 — no post-scan re-evaluation
+        (x1, p1, _g1, (ll1, lp1, blobs1)), _ = jax.lax.scan(
+            leapfrog, (coords, p0, g, _aux0), None, length=self.num_leapfrog
         )
 
-        (_, (ll1, lp1)), _ = grad_fn(x1)
         factors = kinetic(p0) - kinetic(p1)
-
-        logP_new = tempered_log_likelihood(ll1, betas) + lp1
-        logP_old = (
-            tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        return self._accept_and_merge(
+            k_acc, state, names, coords, x1, factors, ll1, lp1, blobs1,
+            betas, dtype, kernel_state,
         )
-        acc = mh_accept(k_acc, factors, logP_new, logP_old)
-
-        new_coords = dict(state.branches_coords)
-        for n in names:
-            new_coords[n] = jnp.where(
-                acc[:, :, None, None], x1[n], coords[n]
-            )
-        logl = jnp.where(acc, ll1, state.log_like)
-        logp = jnp.where(acc, lp1, state.log_prior)
-
-        if self.tune_steps > 0 and kernel_state:
-            kernel_state, _ = self._adapt_scale(
-                kernel_state, acc.astype(dtype)
-            )
-
-        new_state = state.replace(
-            coords=new_coords,
-            inds=dict(state.branches_inds),
-            log_like=logl,
-            log_prior=logp,
-        )
-        return new_state, acc, kernel_state

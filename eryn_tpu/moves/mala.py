@@ -123,7 +123,17 @@ class MALAMove(Move):
         )
         return jnp.exp(ls).astype(dtype)
 
-    def _propose_impl(self, key, state, ctx, kernel_state=()):
+    # -- shared setup / epilogue for gradient moves (HMC subclasses) --------
+    def _grad_setup(self, state, ctx):
+        """Common pieces of a gradient proposal: branch selection, the
+        tempered-log-posterior closure (separable over walkers, so the
+        gradient of the sum IS the per-walker gradient), and its grad fn."""
+        if self.gibbs_sampling_setup_input is not None:
+            raise ValueError(
+                "gibbs_sampling_setup is not supported by gradient moves "
+                "(MALA/HMC update all selected branches jointly); use "
+                "proposal_branch_names to restrict branches."
+            )
         names = self.run_branches(state)
         coords = {n: state.branches_coords[n] for n in names}
         inds = dict(state.branches_inds)
@@ -132,8 +142,8 @@ class MALAMove(Move):
             for n in state.branches_coords
             if n not in names
         }
-        ntemps, nwalkers = state.log_like.shape
         dtype = state.log_like.dtype
+        ntemps = state.log_like.shape[0]
         betas = (
             state.betas
             if state.betas is not None
@@ -144,69 +154,104 @@ class MALAMove(Move):
         def logP_sum(active_coords):
             full = {**other, **active_coords}
             lp = ctx.compute_log_prior(full, inds)
-            ll, _ = ctx.compute_log_like(full, inds, lp, supps)
+            ll, blobs = ctx.compute_log_like(full, inds, lp, supps)
             logP = tempered_log_likelihood(ll, betas) + lp
-            # sum over walkers: logP is separable, so the gradient of the
-            # sum IS the per-walker gradient
-            return jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)), (ll, lp)
+            return (
+                jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)),
+                (ll, lp, blobs),
+            )
 
-        (_, (ll0, lp0)), grad_x = jax.value_and_grad(logP_sum, has_aux=True)(
-            coords
-        )
+        grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+        return names, coords, inds, betas, dtype, grad_fn
 
-        key, k_xi, k_acc = jax.random.split(key, 3)
-        xi_keys = jax.random.split(k_xi, len(names))
-        scale = self._current_scale(kernel_state, dtype)
+    def _wrap_periodic(self, name, q):
+        if self.periodic is not None:
+            return self.periodic.wrap({name: q})[name]
+        return q
 
-        def drift_step(c, g, m, eps_vec, xi):
-            e2 = eps_vec**2
-            step = 0.5 * e2 * g + eps_vec * xi
-            q = c + jnp.where(m[..., None], step, 0.0)
-            return q
+    def _displacement(self, name, a, b):
+        """Signed displacement ``b - a`` using the nearest periodic image
+        when the branch has periodic parameters (same treatment as the rest
+        of the move suite; exact in the small-step limit)."""
+        if self.periodic is not None:
+            # PeriodicContainer.distance(p1, p2) = p2 - p1, nearest image
+            return self.periodic.distance({name: a}, {name: b})[name]
+        return b - a
 
-        q = {}
-        xis = {}
-        for n, kx in zip(names, xi_keys):
-            c = coords[n]
-            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
-            xi = jax.random.normal(kx, c.shape, dtype=dtype)
-            xis[n] = xi
-            q[n] = drift_step(c, grad_x[n], inds[n], eps_vec, xi)
-
-        (_, (ll1, lp1)), grad_q = jax.value_and_grad(logP_sum, has_aux=True)(q)
-
-        # log q(a -> b) = -||b - a - (eps^2/2) grad(a)||^2 / (2 eps^2)
-        # summed over active coordinates; factors = log q(q -> x) - log q(x -> q)
-        factors = jnp.zeros((ntemps, nwalkers), dtype=dtype)
-        for n in names:
-            c, qq = coords[n], q[n]
-            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
-            e2 = eps_vec**2
-            m = inds[n][..., None]
-            fwd = qq - c - 0.5 * e2 * grad_x[n]
-            rev = c - qq - 0.5 * e2 * grad_q[n]
-            contrib = (rev**2 - fwd**2) / (2.0 * e2)
-            factors = factors - jnp.where(m, contrib, 0.0).sum(axis=(-2, -1))
-
+    def _accept_and_merge(
+        self, key, state, names, coords, q, factors, ll1, lp1, blobs1,
+        betas, dtype, kernel_state,
+    ):
         logP_new = tempered_log_likelihood(ll1, betas) + lp1
-        logP_old = tempered_log_likelihood(state.log_like, betas) + state.log_prior
-        acc = mh_accept(k_acc, factors, logP_new, logP_old)
+        logP_old = (
+            tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        )
+        acc = mh_accept(key, factors, logP_new, logP_old)
 
         new_coords = dict(state.branches_coords)
         for n in names:
             new_coords[n] = jnp.where(acc[:, :, None, None], q[n], coords[n])
         logl = jnp.where(acc, ll1, state.log_like)
         logp = jnp.where(acc, lp1, state.log_prior)
+        blobs = state.blobs
+        if blobs is not None and blobs1 is not None:
+            acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+            blobs = jnp.where(acc_b, blobs1, blobs)
 
         if self.tune_steps > 0 and kernel_state:
-            kernel_state, _ = self._adapt_scale(
-                kernel_state, acc.astype(dtype)
-            )
+            # dual averaging uses the acceptance PROBABILITY (Hoffman &
+            # Gelman 2014), lower-variance than the 0/1 accept outcomes
+            lnpdiff = factors + logP_new - logP_old
+            alpha = jnp.exp(jnp.minimum(lnpdiff, 0.0))
+            alpha = jnp.nan_to_num(alpha)
+            kernel_state, _ = self._adapt_scale(kernel_state, alpha)
 
         new_state = state.replace(
             coords=new_coords,
             inds=dict(state.branches_inds),
             log_like=logl,
             log_prior=logp,
+            blobs=blobs,
         )
         return new_state, acc, kernel_state
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
+            state, ctx
+        )
+        (_, _aux0), grad_x = grad_fn(coords)
+
+        key, k_xi, k_acc = jax.random.split(key, 3)
+        xi_keys = jax.random.split(k_xi, len(names))
+        scale = self._current_scale(kernel_state, dtype)
+
+        q = {}
+        for n, kx in zip(names, xi_keys):
+            c = coords[n]
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
+            xi = jax.random.normal(kx, c.shape, dtype=dtype)
+            step = 0.5 * eps_vec**2 * grad_x[n] + eps_vec * xi
+            q[n] = self._wrap_periodic(
+                n, c + jnp.where(inds[n][..., None], step, 0.0)
+            )
+
+        (_, (ll1, lp1, blobs1)), grad_q = grad_fn(q)
+
+        # log q(a -> b) = -||d(a, b) - (eps^2/2) grad(a)||^2 / (2 eps^2)
+        # over active coordinates (d = nearest-image displacement);
+        # factors = log q(q -> x) - log q(x -> q)
+        factors = jnp.zeros(state.log_like.shape, dtype=dtype)
+        for n in names:
+            c, qq = coords[n], q[n]
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
+            e2 = eps_vec**2
+            m = inds[n][..., None]
+            fwd = self._displacement(n, c, qq) - 0.5 * e2 * grad_x[n]
+            rev = self._displacement(n, qq, c) - 0.5 * e2 * grad_q[n]
+            contrib = (rev**2 - fwd**2) / (2.0 * e2)
+            factors = factors - jnp.where(m, contrib, 0.0).sum(axis=(-2, -1))
+
+        return self._accept_and_merge(
+            k_acc, state, names, coords, q, factors, ll1, lp1, blobs1,
+            betas, dtype, kernel_state,
+        )

@@ -223,12 +223,17 @@ def test_read_reference_written_file(priors, tmp_path):
     sys.path.insert(0, "/root/reference/src")
     sys.modules.setdefault("corner", types.ModuleType("corner"))
     try:
-        from eryn.backends import HDFBackend as RefHDFBackend
-        from eryn.ensemble import EnsembleSampler as RefSampler
-        from eryn.prior import ProbDistContainer as RefContainer
-        from eryn.prior import uniform_dist as ref_uniform
-    except Exception:
-        pytest.skip("reference Eryn not importable")
+        try:
+            from eryn.backends import HDFBackend as RefHDFBackend
+            from eryn.ensemble import EnsembleSampler as RefSampler
+            from eryn.prior import ProbDistContainer as RefContainer
+            from eryn.prior import uniform_dist as ref_uniform
+        except Exception:
+            pytest.skip("reference Eryn not importable")
+    finally:
+        # do not leave the reference tree shadowing site-packages for the
+        # rest of the session
+        sys.path.remove("/root/reference/src")
 
     fn = str(tmp_path / "ref_written.h5")
     np.random.seed(42)

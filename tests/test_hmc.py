@@ -74,3 +74,99 @@ def test_hmc_tempered(priors):
     assert llv[:, 0].mean() > llv[:, -1].mean()
     chain = ens.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
     assert np.abs(chain.std(axis=0) - 1.0).max() < 0.2
+
+
+def test_hmc_rj_masked_updates(priors):
+    """HMC under RJ leaf masks: momenta/kicks/drifts exist only on active
+    leaves; inactive leaves stay frozen and the k-machinery keeps working."""
+    from eryn_tpu import State
+
+    def ll(c, m):
+        contrib = -0.5 * jnp.sum(c**2, axis=-1)
+        return jnp.sum(jnp.where(m, contrib, 0.0))
+
+    nlmax = 2
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        ll,
+        priors,
+        nleaves_max=nlmax,
+        nleaves_min=1,
+        moves=[HMCMove(eps=0.3, num_leapfrog=4)],
+        rj_moves=True,
+        fill_zero_leaves_val=-1e4,
+        seed=73,
+    )
+    coords = priors.rvs(size=(1, NWALKERS, nlmax))
+    inds = np.zeros((1, NWALKERS, nlmax), dtype=bool)
+    inds[..., 0] = True
+    inds[:, ::2, 1] = True
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 200, burn=100)
+    k = ens.get_nleaves()["model_0"]
+    assert k.min() >= 1 and k.max() <= nlmax
+    chain = ens.get_chain()["model_0"]
+    active = chain[ens.get_inds()["model_0"]]
+    assert np.abs(active.std(axis=0) - 1.0).max() < 0.25
+    assert np.isfinite(ens.get_log_like()).all()
+
+
+def test_gradient_moves_carry_blobs(priors):
+    """Accepted MALA/HMC proposals update the blobs alongside the coords
+    (blob = first coordinate, so they must stay equal)."""
+    from eryn_tpu.moves import MALAMove
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2), x[0]
+
+    for move in (MALAMove(eps=0.6), HMCMove(eps=0.3, num_leapfrog=3)):
+        ens = EnsembleSampler(
+            NWALKERS, NDIM, ll, priors, moves=[move], seed=74
+        )
+        coords = 0.5 * np.random.randn(NWALKERS, NDIM)
+        ens.run_mcmc(coords, 50)
+        blobs = np.asarray(ens.get_blobs())
+        chain = np.asarray(ens.get_chain()["model_0"][:, :, :, 0, 0])
+        np.testing.assert_allclose(
+            blobs, chain.reshape(blobs.shape), rtol=1e-6
+        )
+
+
+def test_gradient_moves_periodic_wrap(priors):
+    """Proposals on a periodic parameter stay wrapped and mix across the
+    boundary (a von-Mises-like target centered at the seam)."""
+    from eryn_tpu.moves import MALAMove
+
+    two_pi = 2 * np.pi
+
+    def ll(x):
+        # concentration at angle 0 == 2pi (the seam)
+        return 4.0 * jnp.cos(x[0]) - 0.5 * x[1] ** 2
+
+    pr = ProbDistContainer(
+        {0: uniform_dist(0.0, two_pi), 1: uniform_dist(-8.0, 8.0)}
+    )
+    for move in (MALAMove(eps=0.3), HMCMove(eps=0.25, num_leapfrog=4)):
+        ens = EnsembleSampler(
+            NWALKERS,
+            2,
+            ll,
+            pr,
+            moves=[move],
+            periodic={"model_0": {0: two_pi}},
+            seed=75,
+        )
+        start = np.column_stack(
+            [
+                np.random.uniform(0, two_pi, NWALKERS),
+                np.random.randn(NWALKERS),
+            ]
+        )
+        ens.run_mcmc(start, 400, burn=200)
+        chain = np.asarray(ens.get_chain()["model_0"][..., 0]).reshape(-1)
+        assert chain.min() >= 0.0 and chain.max() <= two_pi
+        # posterior mass concentrates at the seam: both edges populated
+        assert (chain < 0.5).mean() > 0.1
+        assert (chain > two_pi - 0.5).mean() > 0.1
+        acc = float(ens.acceptance_fraction.mean())
+        assert acc > 0.3, (type(move).__name__, acc)

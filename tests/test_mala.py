@@ -118,3 +118,12 @@ def test_mala_step_size_adaptation(priors):
     ks = ens._kernel_states[0]
     assert float(ks["log_scale_avg"]) < -1.0
     assert int(ks["t"]) >= 400
+
+
+def test_gradient_moves_reject_gibbs_setup(priors):
+    """Gradient moves update selected branches jointly; a Gibbs setup would
+    be silently ignored, so it raises."""
+    move = MALAMove(eps=0.3, gibbs_sampling_setup=["model_0"])
+    ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=65)
+    with pytest.raises(ValueError, match="gibbs_sampling_setup"):
+        ens.run_mcmc(0.1 * np.random.randn(NWALKERS, NDIM), 2)
