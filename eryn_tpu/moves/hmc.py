@@ -51,6 +51,11 @@ class HMCMove(MALAMove):
             tune_steps=tune_steps,
             **kwargs,
         )
+        if self.ensemble_precondition:
+            raise NotImplementedError(
+                "ensemble_precondition is implemented for MALAMove only; "
+                "pass a per-parameter eps array to precondition HMC."
+            )
         self.num_leapfrog = int(num_leapfrog)
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):

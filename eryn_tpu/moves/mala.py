@@ -47,6 +47,12 @@ class MALAMove(Move):
             proposals, then freezes (the adaptation state lives in the
             traced kernel state, so it works inside compiled segments).
         tune_steps: number of adapting proposals (0 disables adaptation).
+        ensemble_precondition: emcee-style diagonal preconditioning from the
+            ensemble itself — walkers update in two halves, each using the
+            *complement half's* per-parameter standard deviation as the mass
+            matrix. The scale is independent of the walkers being moved, so
+            detailed balance holds exactly (the same argument as the stretch
+            move), and the proposal adapts to anisotropic targets for free.
     """
 
     #: dual-averaging constants (Hoffman & Gelman 2014, NUTS sec. 3.2)
@@ -54,9 +60,17 @@ class MALAMove(Move):
     _DA_T0 = 10.0
     _DA_KAPPA = 0.75
 
-    def __init__(self, eps=0.1, target_acceptance=0.574, tune_steps=0, **kwargs):
+    def __init__(
+        self,
+        eps=0.1,
+        target_acceptance=0.574,
+        tune_steps=0,
+        ensemble_precondition=False,
+        **kwargs,
+    ):
         super().__init__(**kwargs)
         self.eps = eps
+        self.ensemble_precondition = bool(ensemble_precondition)
         self.target_acceptance = float(target_acceptance)
         self.tune_steps = int(tune_steps)
 
@@ -215,7 +229,162 @@ class MALAMove(Move):
         )
         return new_state, acc, kernel_state
 
+    def _complement_sigma(self, coords_c, inds_c):
+        """Per-parameter std of the complement half, masked to active
+        leaves: shape ``(ntemps, 1, nleaves_max, ndim)`` (1.0 where fewer
+        than two active samples exist)."""
+        mm = inds_c[..., None].astype(coords_c.dtype)
+        cnt = mm.sum(axis=1, keepdims=True)
+        mean = (coords_c * mm).sum(axis=1, keepdims=True) / jnp.maximum(
+            cnt, 1.0
+        )
+        var = ((coords_c - mean) ** 2 * mm).sum(
+            axis=1, keepdims=True
+        ) / jnp.maximum(cnt - 1.0, 1.0)
+        sig = jnp.sqrt(var)
+        return jnp.where((cnt > 1.0) & (sig > 0.0), sig, 1.0)
+
+    def _propose_impl_precond(self, key, state, ctx, kernel_state=()):
+        """Two sequential permuted halves, each preconditioned by the other
+        half's per-parameter scales (red/blue structure, so the mass matrix
+        never depends on the walkers being moved)."""
+        if self.gibbs_sampling_setup_input is not None:
+            raise ValueError(
+                "gibbs_sampling_setup is not supported by gradient moves."
+            )
+        names = self.run_branches(state)
+        all_names = list(state.branches_coords.keys())
+        ntemps, nwalkers = state.log_like.shape
+        dtype = state.log_like.dtype
+        betas = (
+            state.betas
+            if state.betas is not None
+            else jnp.ones((ntemps,), dtype=dtype)
+        )
+        scale = self._current_scale(kernel_state, dtype)
+
+        key, kperm = jax.random.split(key)
+        perm = jax.random.permutation(kperm, nwalkers)
+        inv_perm = jnp.argsort(perm)
+        coords_p = {n: state.branches_coords[n][:, perm] for n in all_names}
+        inds_p = {n: state.branches_inds[n][:, perm] for n in all_names}
+        logl_p = state.log_like[:, perm]
+        logp_p = state.log_prior[:, perm]
+        blobs_p = state.blobs[:, perm] if state.blobs is not None else None
+        acc_p = jnp.zeros((ntemps, nwalkers), dtype=bool)
+
+        n0 = nwalkers - nwalkers // 2
+        alpha_sum = jnp.zeros((), dtype)
+        for off, ns in ((0, n0), (n0, nwalkers - n0)):
+            key, k_xi, k_acc = jax.random.split(key, 3)
+            xi_keys = jax.random.split(k_xi, len(names))
+
+            def blk(x, off=off, ns=ns):
+                return x[:, off : off + ns]
+
+            def comp(x, off=off, ns=ns):
+                return jnp.concatenate([x[:, :off], x[:, off + ns :]], axis=1)
+
+            eps_tree = {}
+            for n in names:
+                sigma = self._complement_sigma(
+                    comp(coords_p[n]), comp(inds_p[n])
+                )
+                base = self._eps_for(n, coords_p[n].shape[-1], dtype)
+                eps_tree[n] = scale * base * sigma  # (nt, 1, nl, nd)
+
+            inds_blk = {n: blk(inds_p[n]) for n in all_names}
+            supps_blk = state_branch_supps(state, perm=perm, block=(off, ns))
+            fixed = {
+                n: blk(coords_p[n]) for n in all_names if n not in names
+            }
+
+            def logP_sum(active, inds_blk=inds_blk, supps_blk=supps_blk, fixed=fixed):
+                full = {**fixed, **active}
+                lp = ctx.compute_log_prior(full, inds_blk)
+                ll, blobs = ctx.compute_log_like(full, inds_blk, lp, supps_blk)
+                logP = tempered_log_likelihood(ll, betas) + lp
+                return (
+                    jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)),
+                    (ll, lp, blobs),
+                )
+
+            grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+            x = {n: blk(coords_p[n]) for n in names}
+            (_, _aux0), grad_x = grad_fn(x)
+
+            q = {}
+            for n, kx in zip(names, xi_keys):
+                c = x[n]
+                eps_vec = eps_tree[n]
+                xi = jax.random.normal(kx, c.shape, dtype=dtype)
+                step = 0.5 * eps_vec**2 * grad_x[n] + eps_vec * xi
+                q[n] = self._wrap_periodic(
+                    n, c + jnp.where(inds_blk[n][..., None], step, 0.0)
+                )
+
+            (_, (ll1, lp1, blobs1)), grad_q = grad_fn(q)
+
+            factors = jnp.zeros((ntemps, ns), dtype=dtype)
+            for n in names:
+                c, qq = x[n], q[n]
+                e2 = eps_tree[n] ** 2
+                m = inds_blk[n][..., None]
+                fwd = self._displacement(n, c, qq) - 0.5 * e2 * grad_x[n]
+                rev = self._displacement(n, qq, c) - 0.5 * e2 * grad_q[n]
+                contrib = (rev**2 - fwd**2) / (2.0 * e2)
+                factors = factors - jnp.where(m, contrib, 0.0).sum(
+                    axis=(-2, -1)
+                )
+
+            prev_logl = blk(logl_p)
+            prev_logp = blk(logp_p)
+            logP_new = tempered_log_likelihood(ll1, betas) + lp1
+            logP_old = tempered_log_likelihood(prev_logl, betas) + prev_logp
+            acc = mh_accept(k_acc, factors, logP_new, logP_old)
+            lnpdiff = factors + logP_new - logP_old
+            alpha_sum = alpha_sum + jnp.nan_to_num(
+                jnp.exp(jnp.minimum(lnpdiff[0], 0.0))
+            ).mean()
+
+            upd = jax.lax.dynamic_update_slice_in_dim
+            for n in names:
+                coords_p[n] = upd(
+                    coords_p[n],
+                    jnp.where(acc[:, :, None, None], q[n], x[n]),
+                    off,
+                    axis=1,
+                )
+            logl_p = upd(logl_p, jnp.where(acc, ll1, prev_logl), off, axis=1)
+            logp_p = upd(logp_p, jnp.where(acc, lp1, prev_logp), off, axis=1)
+            if blobs_p is not None and blobs1 is not None:
+                acc_b = acc.reshape(acc.shape + (1,) * (blobs_p.ndim - 2))
+                blobs_p = upd(
+                    blobs_p,
+                    jnp.where(acc_b, blobs1, blk(blobs_p)),
+                    off,
+                    axis=1,
+                )
+            acc_p = upd(acc_p, acc, off, axis=1)
+
+        if self.tune_steps > 0 and kernel_state:
+            kernel_state, _ = self._adapt_scale(
+                kernel_state, (0.5 * alpha_sum)[None, None]
+            )
+
+        new_coords = {n: coords_p[n][:, inv_perm] for n in all_names}
+        new_state = state.replace(
+            coords=new_coords,
+            inds=dict(state.branches_inds),
+            log_like=logl_p[:, inv_perm],
+            log_prior=logp_p[:, inv_perm],
+            blobs=blobs_p[:, inv_perm] if blobs_p is not None else state.blobs,
+        )
+        return new_state, acc_p[:, inv_perm], kernel_state
+
     def _propose_impl(self, key, state, ctx, kernel_state=()):
+        if self.ensemble_precondition:
+            return self._propose_impl_precond(key, state, ctx, kernel_state)
         names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
             state, ctx
         )

@@ -127,3 +127,48 @@ def test_gradient_moves_reject_gibbs_setup(priors):
     ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=65)
     with pytest.raises(ValueError, match="gibbs_sampling_setup"):
         ens.run_mcmc(0.1 * np.random.randn(NWALKERS, NDIM), 2)
+
+
+def test_mala_ensemble_preconditioning():
+    """On a Gaussian with scales spanning 50x, complement-half
+    preconditioning samples every marginal correctly and decorrelates far
+    faster than isotropic MALA tuned to the smallest scale."""
+    ndim = 4
+    sigmas = np.array([1.0, 5.0, 15.0, 50.0])
+    inv_var = jnp.asarray(1.0 / sigmas**2)
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2 * inv_var)
+
+    pr = ProbDistContainer(
+        {i: uniform_dist(-6 * sigmas[i], 6 * sigmas[i]) for i in range(ndim)}
+    )
+    start = np.random.randn(NWALKERS, ndim) * sigmas
+    nsteps, burn = 600, 300
+
+    pre = EnsembleSampler(
+        NWALKERS,
+        ndim,
+        ll,
+        pr,
+        moves=[MALAMove(eps=0.9, ensemble_precondition=True)],
+        seed=66,
+    )
+    pre.run_mcmc(start, nsteps, burn=burn)
+    chain = pre.get_chain()["model_0"].reshape(-1, ndim)
+    # every marginal correct despite the 50x scale spread
+    assert np.abs(chain.std(axis=0) / sigmas - 1.0).max() < 0.2
+    assert np.abs(chain.mean(axis=0) / sigmas).max() < 0.2
+
+    plain = EnsembleSampler(
+        NWALKERS,
+        ndim,
+        ll,
+        pr,
+        moves=[MALAMove(eps=0.9)],  # isotropic: limited by the sigma=1 axis
+        seed=66,
+    )
+    plain.run_mcmc(start, nsteps, burn=burn)
+    tau_pre = np.nanmax(pre.get_autocorr_time()["model_0"])
+    tau_plain = np.nanmax(plain.get_autocorr_time()["model_0"])
+    assert tau_pre * 2 < tau_plain, (tau_pre, tau_plain)
