@@ -47,13 +47,17 @@ def _finite_min(dtype):
 
 
 def _segment_plan(nsteps, seg):
-    """Plan segment sizes: full segments of ``seg`` plus one remainder.
-    Each distinct length costs one jit compile, so a run compiles at most
-    two segment programs."""
+    """Plan segment sizes: full segments of ``seg`` plus the remainder
+    decomposed into powers of two.  Each distinct length costs one jit
+    compile (~10-40 s on TPU), so power-of-two remainders bound the compile
+    cache at ~log2(seg) programs across ALL runs instead of one fresh
+    compile per distinct remainder."""
     plan = [seg] * (nsteps // seg)
     rem = nsteps % seg
-    if rem:
-        plan.append(rem)
+    while rem:
+        b = 1 << (rem.bit_length() - 1)
+        plan.append(b)
+        rem -= b
     return plan
 
 
@@ -820,8 +824,10 @@ class EnsembleSampler:
         #: mesh the ensemble state is sharded over (None = single device);
         #: detected from the concrete state at dispatch time
         self._sharding_mesh = None
-        # max stored iterations buffered on device per dispatch
-        self._max_segment = 256
+        # max stored iterations buffered on device per dispatch (a 512-step
+        # north-star segment is ~15 MB of packed snapshot in HBM; larger
+        # segments amortize per-dispatch and per-transfer fixed costs)
+        self._max_segment = 512
         from .utils.profiling import SegmentTimer
 
         #: per-segment wall-time / throughput instrumentation
