@@ -116,6 +116,42 @@ class Backend:
 
     # ------------------------------------------------------------------
     @property
+    def move_info(self):
+        """Per-move info dict keyed by move name (ref ``backend.py:243-257``,
+        ``1005-1012``): each entry carries its latest per-walker
+        ``acceptance_fraction``."""
+        if self.moves_accepted_fraction is None:
+            return None
+        return {
+            key: {"acceptance_fraction": np.asarray(val)}
+            for key, val in self.moves_accepted_fraction.items()
+        }
+
+    def get_move_info(self):
+        """Get move information (ref ``backend.py:1005-1012``)."""
+        return self.move_info
+
+    @property
+    def reset_args(self):
+        """Positional args that reproduce :meth:`reset` (ref
+        ``backend.py:118``)."""
+        return (self.nwalkers, self.ndims)
+
+    @property
+    def reset_kwargs(self):
+        """Keyword args that reproduce :meth:`reset` (ref
+        ``backend.py:119-127``)."""
+        return dict(
+            nleaves_max=self.nleaves_max,
+            ntemps=self.ntemps,
+            branch_names=self.branch_names,
+            rj=self.rj,
+            moves=self.move_keys,
+            key_order=self.key_order,
+        )
+
+    # ------------------------------------------------------------------
+    @property
     def shape(self):
         """Dict of per-branch shapes (ref ``backend.py:330-352``)."""
         return {

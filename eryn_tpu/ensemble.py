@@ -1341,12 +1341,15 @@ class EnsembleSampler:
         self._move_nprop = b.reshape(self._move_nprop.shape)
         self._rj_move_accepted = c.reshape(self._rj_move_accepted.shape)
         self._rj_move_nprop = d.reshape(self._rj_move_nprop.shape)
+        nmoves = len(self.moves)
         for i, move in enumerate(self.moves):
             move.accepted = self._move_accepted[i]
             move.num_proposals = int(self._move_nprop[i])
+            move._host_kernel_state = self._kernel_states[i]
         for i, move in enumerate(self.rj_moves):
             move.accepted = self._rj_move_accepted[i]
             move.num_proposals = int(self._rj_move_nprop[i])
+            move._host_kernel_state = self._kernel_states[nmoves + i]
         if tc is not None:
             tc.time = int(time)
             tc.betas = np.asarray(state.betas)

@@ -251,6 +251,10 @@ class ProbDistContainer:
       ``traceable == False`` and the sampler falls back to a host callback.
     """
 
+    #: array-module compat attribute (the reference exposes ``xp`` as its
+    #: NumPy/CuPy switch, ``prior.py:324-335``; here host paths are NumPy)
+    xp = np
+
     def __init__(self, priors_in: dict, use_cupy=False, return_gpu=False):
         self.priors_in = dict(priors_in)
         self.priors = []

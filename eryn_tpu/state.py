@@ -170,6 +170,79 @@ class BranchSupplemental:
     def __contains__(self, name):
         return name in self.holder
 
+    # --- holder management (ref ``state.py:63-170``) ---------------------
+    def add_objects(self, obj_info: dict, copy=False):
+        """Add array entries to the holder (ref ``state.py:63-141``).
+
+        Values must lead with ``base_shape``; trailing dims are free.
+        """
+        for name, value in obj_info.items():
+            arr = jnp.asarray(value)
+            if self.base_shape and arr.shape[: len(self.base_shape)] != tuple(
+                self.base_shape
+            ):
+                raise ValueError(
+                    f"Supplemental entry '{name}' with shape {arr.shape} does "
+                    f"not lead with base_shape {tuple(self.base_shape)}."
+                )
+            self.holder[name] = arr
+
+    def remove_objects(self, names):
+        """Remove entries from the holder (ref ``state.py:143-166``)."""
+        if isinstance(names, str):
+            names = [names]
+        if not isinstance(names, list):
+            raise ValueError("names must be a string or list of strings.")
+        for name in names:
+            del self.holder[name]
+
+    @property
+    def contained_objects(self):
+        """Keys of contained entries (ref ``state.py:168-170``)."""
+        return list(self.holder.keys())
+
+    def take_along_axis(self, indices, axis: int, skip_names=()):
+        """Gather each entry along ``axis`` (ref ``state.py:210-257``).
+
+        ``indices`` must match the dimension of ``base_shape``; trailing
+        entry dims broadcast.
+        """
+        out = {}
+        indices = jnp.asarray(indices)
+        for name, values in self.holder.items():
+            if name in skip_names:
+                continue
+            idx = indices
+            for _ in range(values.ndim - idx.ndim):
+                idx = idx[..., None]
+            out[name] = jnp.take_along_axis(values, idx, axis=axis)
+        return out
+
+    def put_along_axis(self, indices, values_in: dict, axis: int):
+        """Scatter values into entries along ``axis`` (ref
+        ``state.py:259-310``; functional ``.at[].set`` here since leaves are
+        immutable ``jax.Array``\\ s)."""
+        indices = jnp.asarray(indices)
+        for name, values in self.holder.items():
+            if name not in values_in:
+                continue
+            idx = indices
+            target = self.holder[name]
+            for _ in range(target.ndim - idx.ndim):
+                idx = idx[..., None]
+            new_vals = jnp.broadcast_to(
+                jnp.asarray(values_in[name]),
+                jnp.take_along_axis(target, idx, axis=axis).shape,
+            )
+            dim_idx = [
+                jnp.arange(n).reshape(
+                    (1,) * d + (-1,) + (1,) * (target.ndim - d - 1)
+                )
+                for d, n in enumerate(target.shape)
+            ]
+            dim_idx[axis] = idx
+            self.holder[name] = target.at[tuple(dim_idx)].set(new_vals)
+
     @property
     def flat(self):
         """Flatten the ensemble dims (``state.py:310-327``)."""
@@ -300,6 +373,17 @@ class State:
     @property
     def nwalkers(self):
         return next(iter(self.branches.values())).nwalkers
+
+    def copy_into_self(self, state_to_copy: "State"):
+        """Overwrite this state's fields with another's (ref
+        ``state.py:541-543``)."""
+        self.branches = dict(state_to_copy.branches)
+        self.log_like = state_to_copy.log_like
+        self.log_prior = state_to_copy.log_prior
+        self.blobs = state_to_copy.blobs
+        self.betas = state_to_copy.betas
+        self.supplemental = state_to_copy.supplemental
+        self.random_state = state_to_copy.random_state
 
     def get_log_posterior(self, temper: bool = False):
         """Tempered or untempered log posterior (``state.py:545-585``)."""

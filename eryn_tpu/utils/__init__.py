@@ -10,12 +10,15 @@ from .utility import (
     thermodynamic_integration_log_evidence,
 )
 
+from scipy.special import logsumexp  # noqa: F401  (re-exported like the ref)
+
 from .profiling import SegmentTimer, trace_profile
 
 __all__ = [
     "PeriodicContainer",
     "SegmentTimer",
     "trace_profile",
+    "logsumexp",
     "groups_from_inds",
     "get_acf",
     "get_integrated_act",

@@ -146,6 +146,36 @@ def test_memory_backend_diagnostics(priors):
     assert np.all(rhat["model_0"] < 1.3)
 
 
+def test_backend_move_info_and_reset_mirrors(priors, tmp_path):
+    """get_move_info / reset_args / reset_kwargs surface
+    (ref backend.py:118-127,1005-1012; hdfbackend.py:460-479)."""
+    fn = str(tmp_path / "mi.h5")
+    for backend in (None, HDFBackend(fn)):
+        ens = EnsembleSampler(
+            NWALKERS,
+            NDIM,
+            log_like,
+            priors,
+            backend=backend,
+            tempering_kwargs=dict(ntemps=NTEMPS),
+            seed=11,
+        )
+        coords = priors.rvs(size=(NTEMPS, NWALKERS))
+        ens.run_mcmc(coords, 20)
+        mi = ens.backend.get_move_info()
+        assert mi is not None and len(mi) == len(ens.moves)
+        for info in mi.values():
+            af = np.asarray(info["acceptance_fraction"])
+            assert af.shape == (NTEMPS, NWALKERS)
+            assert 0.0 <= af.mean() <= 1.0
+        args = ens.backend.reset_args
+        assert int(args[0]) == NWALKERS
+        kwargs = ens.backend.reset_kwargs
+        assert int(kwargs["ntemps"]) == NTEMPS
+        assert list(kwargs["branch_names"]) == ["model_0"]
+        assert list(kwargs["moves"]) == list(mi.keys())
+
+
 def test_resume_validation_mismatch(priors, tmp_path):
     """Resuming with a changed move set or prior key order raises
     (ref ensemble.py:605-652)."""

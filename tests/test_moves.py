@@ -76,6 +76,14 @@ def test_combine_move(priors):
     )
     ens = _run([move], priors)
     _check_posterior(ens)
+    # per-child acceptance fractions (ref combine.py:59-62) accumulate in the
+    # traced kernel state and surface on the host after the run
+    afs = move.acceptance_fraction_separate
+    assert afs is not None and len(afs) == 2
+    for af in afs:
+        assert af.shape == (1, NWALKERS)
+        assert 0.0 < af.mean() < 1.0
+    assert move.moves is move.moves_list
 
 
 def test_weighted_schedule(priors):

@@ -22,6 +22,42 @@ def test_branch_supplemental_container():
         BranchSupplemental({"bad": np.zeros((2, 2))}, base_shape=(3, 4))
 
 
+def test_branch_supplemental_object_management():
+    """add/remove/take/put along-axis surface (ref state.py:63-310)."""
+    base = np.arange(24, dtype=float).reshape(2, 3, 4)
+    supp = BranchSupplemental({"a": base.copy()}, base_shape=(2, 3))
+    supp.add_objects({"b": np.ones((2, 3))})
+    assert supp.contained_objects == ["a", "b"]
+    with pytest.raises(ValueError):
+        supp.add_objects({"bad": np.zeros((5, 5))})
+
+    idx = np.array([[1, 0, 2], [2, 1, 0]])
+    out = supp.take_along_axis(idx, axis=1, skip_names=("b",))
+    assert list(out) == ["a"]
+    np.testing.assert_array_equal(
+        np.asarray(out["a"]),
+        np.take_along_axis(base, idx[..., None], axis=1),
+    )
+
+    # put(take(x)) along a permutation is the identity
+    vals = supp.take_along_axis(idx, axis=1)
+    supp.put_along_axis(idx, vals, axis=1)
+    np.testing.assert_array_equal(np.asarray(supp["a"]), base)
+
+    supp.remove_objects("b")
+    assert supp.contained_objects == ["a"]
+    with pytest.raises(ValueError):
+        supp.remove_objects(3.14)
+
+
+def test_state_copy_into_self():
+    s1 = State({"m": np.zeros((1, 4, 1, 2))}, log_like=np.zeros((1, 4)))
+    s2 = State({"m": np.ones((1, 4, 1, 2))}, log_like=np.ones((1, 4)))
+    s1.copy_into_self(s2)
+    assert float(np.asarray(s1.log_like).sum()) == 4.0
+    assert float(np.asarray(s1.branches["m"].coords).sum()) == 8.0
+
+
 def test_supplemental_swaps_with_coords():
     """After the swap cascade, per-branch supplemental entries must have
     moved together with their coordinates."""
