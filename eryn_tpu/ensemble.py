@@ -761,6 +761,7 @@ class EnsembleSampler:
             self.backend = backend
 
         self._previous_state = None
+        self._host_supps = {}
         if not self.backend.initialized:
             self._reset_backend()
         else:
@@ -1277,6 +1278,57 @@ class EnsembleSampler:
             if self.temperature_control is not None:
                 self.temperature_control.sharding_active = active
 
+    def _inject_prov(self, state):
+        """Add an identity ``__prov__`` index to the state supplemental: the
+        swap cascade permutes it with everything else, so at segment end it
+        holds the composed (temp, walker) source index of every slot —
+        exactly what host-side object supplementals need to follow their
+        walkers."""
+        from .state import BranchSupplemental
+
+        nt, nw = self.ntemps, self.nwalkers
+        prov = jnp.arange(nt * nw, dtype=jnp.int32).reshape(nt, nw)
+        supp = state.supplemental
+        holder = dict(supp.holder) if supp is not None else {}
+        holder["__prov__"] = prov
+        return state.replace(
+            supplemental=BranchSupplemental(holder, base_shape=(nt, nw))
+        )
+
+    def _apply_prov(self, state):
+        """Reorder host-side object supplementals by the segment's composed
+        swap permutation and re-attach them to the live state containers."""
+        from .state import BranchSupplemental
+
+        nt, nw = self.ntemps, self.nwalkers
+        supp = state.supplemental
+        prov = None
+        if supp is not None and "__prov__" in getattr(supp, "holder", {}):
+            prov = np.asarray(supp.holder.pop("__prov__")).ravel()
+            if np.array_equal(prov, np.arange(nt * nw)):
+                prov = None
+        if prov is not None:
+            for holder in self._host_supps.values():
+                for key, arr in list(holder.items()):
+                    flat = arr.reshape((nt * nw,) + arr.shape[2:])
+                    holder[key] = flat[prov].reshape(arr.shape)
+        host_state = self._host_supps.get("__state__")
+        if host_state is not None:
+            if supp is None:
+                supp = BranchSupplemental({}, base_shape=(nt, nw))
+                state.supplemental = supp
+            supp.host_holder = host_state
+        elif supp is not None and not supp.holder:
+            state.supplemental = None
+        for name, holder in self._host_supps.items():
+            if name == "__state__":
+                continue
+            b = state.branches[name]
+            if b.supplemental is None:
+                b.supplemental = BranchSupplemental({}, base_shape=(nt, nw))
+            b.supplemental.host_holder = holder
+        return state
+
     def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
 
@@ -1284,6 +1336,8 @@ class EnsembleSampler:
         call :meth:`_sync_bulk` on the carry to commit host mirrors."""
         tc = self.temperature_control
         time = jnp.asarray(tc.time if tc is not None else 0, dtype=jnp.int32)
+        if self._host_supps and self.ntemps > 1:
+            state = self._inject_prov(state)
         self._detect_sharding(state)
         if self._kernel_states is None:
             self._kernel_states = tuple(
@@ -1353,6 +1407,9 @@ class EnsembleSampler:
         if tc is not None:
             tc.time = int(time)
             tc.betas = np.asarray(state.betas)
+
+        if self._host_supps:
+            state = self._apply_prov(state)
 
         if snaps is not None:
             for leaf in jax.tree_util.tree_leaves(snaps):
@@ -1570,6 +1627,19 @@ class EnsembleSampler:
                 # traced setup (ParaEnsembleSampler vmaps _setup_state);
                 # para rebuilds masks from its own state at flush time
                 self._static_inds = None
+
+        # host-side object supplementals (ref state.py:84-96): registered
+        # here, then reordered by the composed temperature-swap permutation
+        # at every segment boundary (_sync_bulk) so they follow their walkers
+        try:
+            supp = state.supplemental
+            if supp is not None and getattr(supp, "host_holder", None):
+                self._host_supps["__state__"] = supp.host_holder
+            for name, bsup in state.branches_supplemental.items():
+                if bsup is not None and getattr(bsup, "host_holder", None):
+                    self._host_supps[name] = bsup.host_holder
+        except Exception:
+            pass  # traced setup (ParaEnsembleSampler) has no host entries
 
         return State(
             coords,

@@ -81,3 +81,10 @@ try:
     __all__ += ["HMCMove"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .de import DEMove, DESnookerMove
+
+    __all__ += ["DEMove", "DESnookerMove"]
+except ImportError:  # pragma: no cover
+    pass

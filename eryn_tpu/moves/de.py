@@ -1,0 +1,220 @@
+"""Differential-evolution ensemble proposals.
+
+The reference advertises ``DEMove`` / ``DESnookerMove`` only as commented-out
+imports (``/root/reference/src/eryn/moves/__init__.py:3-23``) — the classes do
+not exist there.  These are TPU-native implementations of the classic
+ensemble proposals (ter Braak 2006; ter Braak & Vrugt 2008; the same moves
+emcee ships), built on the red/blue half-ensemble machinery
+(:class:`eryn_tpu.moves.red_blue.RedBlueMove`) so they compose with parallel
+tempering, Gibbs splits, periodic parameters, and reversible-jump leaf masks.
+
+Both kernels are fully vectorized over ``(ntemps, nwalkers)``: distinct
+complement picks are drawn with shifted-randint exclusion sampling (no
+rejection loops), and the active-parameter counts that enter ``gamma0`` and
+the snooker Jacobian come from the leaf-activation masks, so the moves stay
+correct under reversible jump.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .red_blue import RedBlueMove
+
+__all__ = ["DEMove", "DESnookerMove"]
+
+
+def _distinct2(key, shape, n):
+    """Two distinct indices in ``[0, n)`` per slot, vectorized."""
+    ki, kj = jax.random.split(key)
+    i = jax.random.randint(ki, shape, 0, n)
+    j = jax.random.randint(kj, shape, 0, n - 1)
+    j = j + (j >= i)
+    return i, j
+
+
+def _distinct3(key, shape, n):
+    """Three distinct indices in ``[0, n)`` per slot, vectorized."""
+    ki, kjk = jax.random.split(key)
+    i, j = _distinct2(ki, shape, n)
+    k = jax.random.randint(kjk, shape, 0, n - 2)
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    k = k + (k >= lo)
+    k = k + (k >= hi)
+    return i, j, k
+
+
+def _pick(c, idx):
+    """Gather complement walkers ``(ntemps, ns, nleaves_max, ndim)`` by
+    per-(temp, walker) index."""
+    return jnp.take_along_axis(c, idx[:, :, None, None], axis=1)
+
+
+def _active_ndim(s_coords, s_inds, param_masks, names, dtype):
+    """Per-walker count of proposed parameters: active leaves x selected
+    params (the RJ/Gibbs-aware dimensionality, as in
+    :meth:`StretchMove.get_proposal_kernel`)."""
+    first = s_coords[names[0]]
+    ndim_active = jnp.zeros(first.shape[:2], dtype=dtype)
+    for name in names:
+        s = s_coords[name]
+        mask = None if param_masks is None else param_masks.get(name)
+        if mask is None:
+            ndim_active = ndim_active + s_inds[name].sum(axis=-1) * s.shape[-1]
+        else:
+            per_leaf = jnp.asarray(mask).sum(axis=-1).astype(dtype)
+            ndim_active = ndim_active + (
+                s_inds[name] * per_leaf[None, None, :]
+            ).sum(axis=-1)
+    return ndim_active
+
+
+class DEMove(RedBlueMove):
+    """Differential-evolution proposal (ter Braak 2006).
+
+    ``q = s + gamma (c_a - c_b)`` with ``c_a != c_b`` drawn from the
+    complement half and ``gamma = gamma0 (1 + sigma * N(0, 1))`` jittered per
+    walker.  ``gamma0`` defaults to the optimal ``2.38 / sqrt(2 d)`` with
+    ``d`` the per-walker count of *active* proposed parameters, so the scale
+    adapts under reversible jump and Gibbs splits.  The proposal is
+    symmetric: detailed-balance factors are zero.
+
+    Occasional ``gamma = 1`` draws ("mode hops", probability ``hop_prob``)
+    let the ensemble jump between modes separated by exactly the
+    inter-walker difference vectors.
+
+    Args:
+        sigma: relative jitter of ``gamma`` (default 1e-5).
+        gamma0: fixed scale override; ``None`` selects ``2.38/sqrt(2 d)``.
+        hop_prob: probability of proposing with ``gamma = 1`` (default 0.1;
+            set 0 to disable mode hopping).
+    """
+
+    def __init__(self, sigma=1e-5, gamma0=None, hop_prob=0.1, **kwargs):
+        super().__init__(**kwargs)
+        self.sigma = float(sigma)
+        self.gamma0 = gamma0
+        self.hop_prob = float(hop_prob)
+
+    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
+        names = list(s_coords.keys())
+        first = s_coords[names[0]]
+        ntemps, ns = first.shape[:2]
+        dtype = first.dtype
+
+        key_g, key_h, *branch_keys = jax.random.split(key, 2 + len(names))
+
+        if self.gamma0 is None:
+            d = jnp.maximum(
+                _active_ndim(s_coords, s_inds, param_masks, names, dtype), 1.0
+            )
+            g0 = 2.38 / jnp.sqrt(2.0 * d)
+        else:
+            g0 = jnp.full((ntemps, ns), float(self.gamma0), dtype=dtype)
+        gamma = g0 * (
+            1.0 + self.sigma * jax.random.normal(key_g, (ntemps, ns), dtype=dtype)
+        )
+        if self.hop_prob > 0.0:
+            hop = (
+                jax.random.uniform(key_h, (ntemps, ns), dtype=dtype)
+                < self.hop_prob
+            )
+            gamma = jnp.where(hop, jnp.ones_like(gamma), gamma)
+
+        newpos = {}
+        for name, kb in zip(names, branch_keys):
+            s = s_coords[name]
+            c = c_coords[name]
+            ia, ib = _distinct2(kb, (ntemps, ns), c.shape[1])
+            ca, cb = _pick(c, ia), _pick(c, ib)
+
+            if self.periodic is not None:
+                diff = self.periodic.distance({name: cb}, {name: ca})[name]
+            else:
+                diff = ca - cb
+
+            q = s + gamma[:, :, None, None] * diff
+            if self.periodic is not None:
+                q = self.periodic.wrap({name: q})[name]
+            newpos[name] = q
+
+        factors = jnp.zeros((ntemps, ns), dtype=dtype)
+        return newpos, factors
+
+
+class DESnookerMove(RedBlueMove):
+    """Snooker differential-evolution proposal (ter Braak & Vrugt 2008).
+
+    Per branch, with three distinct complement walkers ``z, z1, z2``:
+    project the difference ``z1 - z2`` onto the line ``e = (s - z)/|s - z|``
+    and step along it, ``q = s + gammas ((z1 - z2) . e) e``.  The move is
+    scale-free along the snooker line; detailed balance requires the
+    Jacobian factor ``(d - 1) log(|q - z| / |s - z|)`` with ``d`` the active
+    proposed dimension count (ter Braak & Vrugt 2008, eq. 4), accumulated
+    over branches.
+
+    Args:
+        gammas: step scale along the snooker line (default 1.7).
+    """
+
+    def __init__(self, gammas=1.7, **kwargs):
+        super().__init__(**kwargs)
+        self.gammas = float(gammas)
+
+    def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
+        names = list(s_coords.keys())
+        first = s_coords[names[0]]
+        ntemps, ns = first.shape[:2]
+        dtype = first.dtype
+        tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+        branch_keys = jax.random.split(key, len(names))
+        newpos = {}
+        factors = jnp.zeros((ntemps, ns), dtype=dtype)
+        for name, kb in zip(names, branch_keys):
+            s = s_coords[name]
+            c = c_coords[name]
+            iz, i1, i2 = _distinct3(kb, (ntemps, ns), c.shape[1])
+            z, z1, z2 = _pick(c, iz), _pick(c, i1), _pick(c, i2)
+
+            # only active leaves x selected params participate in the
+            # geometry; inactive entries are carried unchanged
+            mask = s_inds[name][:, :, :, None].astype(dtype)
+            pm = None if param_masks is None else param_masks.get(name)
+            if pm is not None:
+                pm_arr = jnp.asarray(pm, dtype=dtype)[None, None, :, :]
+                mask = mask * pm_arr
+                per_leaf = pm_arr.sum(axis=-1)  # (1, 1, nleaves_max)
+            else:
+                per_leaf = jnp.full((1, 1, 1), s.shape[-1], dtype=dtype)
+            # active-parameter count per walker (mask broadcasts over ndim,
+            # so sum the per-leaf param counts over active leaves instead)
+            d_active = (
+                s_inds[name].astype(dtype) * per_leaf
+            ).sum(axis=-1)
+
+            delta = (s - z) * mask
+            norm = jnp.sqrt(jnp.sum(delta**2, axis=(2, 3)))
+            e = delta / jnp.maximum(norm, tiny)[:, :, None, None]
+            proj = jnp.sum((z1 - z2) * mask * e, axis=(2, 3))
+            step = self.gammas * proj[:, :, None, None] * e
+            q = jnp.where(mask > 0, s + step, s)
+            newpos[name] = q
+
+            # |q - z| over the same active subspace, for the Jacobian
+            norm_new = jnp.sqrt(jnp.sum(((q - z) * mask) ** 2, axis=(2, 3)))
+            ok = (norm > 0) & (norm_new > 0)
+            branch_factor = jnp.where(
+                ok,
+                (jnp.maximum(d_active, 1.0) - 1.0)
+                * (
+                    jnp.log(jnp.maximum(norm_new, tiny))
+                    - jnp.log(jnp.maximum(norm, tiny))
+                ),
+                jnp.zeros_like(norm),
+            )
+            factors = factors + branch_factor
+
+        return newpos, factors

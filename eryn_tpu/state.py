@@ -116,19 +116,51 @@ class Branch:
         return f"Branch(shape={tuple(self.coords.shape)})"
 
 
+def _as_object_array(value):
+    """Return ``value`` as a NumPy object array if it is object-like
+    (object dtype, or not coercible to a numeric array), else ``None``."""
+    if isinstance(value, np.ndarray) and value.dtype == object:
+        return value
+    if isinstance(value, (list, tuple)):
+        try:
+            probe = np.asarray(value)
+        except Exception:
+            probe = np.empty(len(value), dtype=object)
+            probe[:] = value
+        if probe.dtype == object:
+            return probe
+    return None
+
+
 @tree_util.register_pytree_node_class
 class BranchSupplemental:
     """Dict-of-arrays side-car indexed like the ensemble.
 
-    Mirrors ``/root/reference/src/eryn/state.py:16-327`` with one deliberate
-    restriction for the TPU build: every value must be an array leaf with
-    leading dims equal to ``base_shape`` (object-dtype holders are a
-    host-only concept and are not supported on device).
+    Mirrors ``/root/reference/src/eryn/state.py:16-327``.  Numeric entries
+    are device arrays (pytree leaves) that ride the compiled step — the swap
+    cascade permutes them with the coordinates.  Object-dtype entries (ref
+    ``state.py:84-96``) are held host-side in ``host_holder``: they never
+    enter traced computation, but the sampler tracks the composed
+    temperature-swap permutation per segment and reorders them exactly at
+    segment boundaries (see ``EnsembleSampler._sync_bulk``), so they follow
+    their walkers like the reference's object holders do.
     """
 
     def __init__(self, obj_info: dict, base_shape=None, copy=False):
         holder = {}
+        host_holder = {}
         for name, value in obj_info.items():
+            obj = _as_object_array(value)
+            if obj is not None:
+                if base_shape is not None and obj.shape[
+                    : len(base_shape)
+                ] != tuple(base_shape):
+                    raise ValueError(
+                        f"Supplemental entry '{name}' with shape {obj.shape} "
+                        f"does not lead with base_shape {tuple(base_shape)}."
+                    )
+                host_holder[name] = obj.copy() if copy else obj
+                continue
             arr = jnp.asarray(value)
             if base_shape is not None and arr.shape[: len(base_shape)] != tuple(
                 base_shape
@@ -139,21 +171,29 @@ class BranchSupplemental:
                 )
             holder[name] = arr
         self.holder = holder
+        self.host_holder = host_holder
         self.base_shape = (
             tuple(base_shape) if base_shape is not None else self._infer_base_shape()
         )
 
     def _infer_base_shape(self):
-        if not self.holder:
-            return ()
-        first = next(iter(self.holder.values()))
-        return tuple(first.shape[:2])
+        for source in (self.holder, self.host_holder):
+            if source:
+                first = next(iter(source.values()))
+                return tuple(first.shape[:2])
+        return ()
 
     def __getitem__(self, key):
         if isinstance(key, str):
-            return self.holder[key]
+            if key in self.holder:
+                return self.holder[key]
+            return self.host_holder[key]
         # array-style indexing applies to every entry
-        return {name: value[key] for name, value in self.holder.items()}
+        out = {name: value[key] for name, value in self.holder.items()}
+        out.update(
+            {name: value[key] for name, value in self.host_holder.items()}
+        )
+        return out
 
     def __setitem__(self, key, value):
         # functional update: mutate the python dict (host-side API only)
@@ -168,15 +208,28 @@ class BranchSupplemental:
                 self.holder[name] = self.holder[name].at[key].set(val)
 
     def __contains__(self, name):
-        return name in self.holder
+        return name in self.holder or name in self.host_holder
 
     # --- holder management (ref ``state.py:63-170``) ---------------------
     def add_objects(self, obj_info: dict, copy=False):
-        """Add array entries to the holder (ref ``state.py:63-141``).
+        """Add entries to the holder (ref ``state.py:63-141``).
 
         Values must lead with ``base_shape``; trailing dims are free.
+        Object-dtype values go to the host-side holder.
         """
         for name, value in obj_info.items():
+            obj = _as_object_array(value)
+            if obj is not None:
+                if self.base_shape and obj.shape[
+                    : len(self.base_shape)
+                ] != tuple(self.base_shape):
+                    raise ValueError(
+                        f"Supplemental entry '{name}' with shape {obj.shape} "
+                        f"does not lead with base_shape "
+                        f"{tuple(self.base_shape)}."
+                    )
+                self.host_holder[name] = obj.copy() if copy else obj
+                continue
             arr = jnp.asarray(value)
             if self.base_shape and arr.shape[: len(self.base_shape)] != tuple(
                 self.base_shape
@@ -194,12 +247,15 @@ class BranchSupplemental:
         if not isinstance(names, list):
             raise ValueError("names must be a string or list of strings.")
         for name in names:
-            del self.holder[name]
+            if name in self.host_holder:
+                del self.host_holder[name]
+            else:
+                del self.holder[name]
 
     @property
     def contained_objects(self):
         """Keys of contained entries (ref ``state.py:168-170``)."""
-        return list(self.holder.keys())
+        return list(self.holder.keys()) + list(self.host_holder.keys())
 
     def take_along_axis(self, indices, axis: int, skip_names=()):
         """Gather each entry along ``axis`` (ref ``state.py:210-257``).
@@ -216,6 +272,14 @@ class BranchSupplemental:
             for _ in range(values.ndim - idx.ndim):
                 idx = idx[..., None]
             out[name] = jnp.take_along_axis(values, idx, axis=axis)
+        idx_np = np.asarray(indices)
+        for name, values in self.host_holder.items():
+            if name in skip_names:
+                continue
+            idx = idx_np
+            for _ in range(values.ndim - idx.ndim):
+                idx = idx[..., None]
+            out[name] = np.take_along_axis(values, idx, axis=axis)
         return out
 
     def put_along_axis(self, indices, values_in: dict, axis: int):
@@ -242,17 +306,39 @@ class BranchSupplemental:
             ]
             dim_idx[axis] = idx
             self.holder[name] = target.at[tuple(dim_idx)].set(new_vals)
+        idx_np = np.asarray(indices)
+        for name, target in self.host_holder.items():
+            if name not in values_in:
+                continue
+            idx = idx_np
+            for _ in range(target.ndim - idx.ndim):
+                idx = idx[..., None]
+            np.put_along_axis(
+                target,
+                np.broadcast_to(idx, np.take_along_axis(target, idx, axis=axis).shape),
+                values_in[name],
+                axis=axis,
+            )
 
     @property
     def flat(self):
         """Flatten the ensemble dims (``state.py:310-327``)."""
         nbase = len(self.base_shape)
-        return {
+        out = {
             name: value.reshape((-1,) + value.shape[nbase:])
             for name, value in self.holder.items()
         }
+        out.update(
+            {
+                name: value.reshape((-1,) + value.shape[nbase:])
+                for name, value in self.host_holder.items()
+            }
+        )
+        return out
 
     def tree_flatten(self):
+        # host (object-dtype) entries are NOT leaves: they never enter traced
+        # computation; the sampler re-attaches them at segment boundaries
         names = tuple(sorted(self.holder))
         children = tuple(self.holder[n] for n in names)
         return children, (names, self.base_shape)
@@ -262,11 +348,16 @@ class BranchSupplemental:
         names, base_shape = aux
         obj = cls.__new__(cls)
         obj.holder = dict(zip(names, children))
+        obj.host_holder = {}
         obj.base_shape = base_shape
         return obj
 
     def __repr__(self):
-        return f"BranchSupplemental({list(self.holder)})"
+        return (
+            f"BranchSupplemental({list(self.holder)}"
+            + (f", host={list(self.host_holder)}" if self.host_holder else "")
+            + ")"
+        )
 
 
 @tree_util.register_pytree_node_class

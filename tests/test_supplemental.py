@@ -50,6 +50,73 @@ def test_branch_supplemental_object_management():
         supp.remove_objects(3.14)
 
 
+def test_host_object_supplementals_follow_swaps():
+    """Object-dtype supplemental entries (ref state.py:84-96) live host-side
+    and are reordered by the composed temperature-swap permutation at
+    segment boundaries: after a PT run, each walker's host object must agree
+    with a traced int tag that rode the compiled swap cascade."""
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    ntemps, nw, ndim = 6, 32, 2
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nw, ndim, ll, pr, tempering_kwargs=dict(ntemps=ntemps), seed=3
+    )
+    coords = pr.rvs(size=(ntemps, nw))
+
+    flat_ids = np.arange(ntemps * nw).reshape(ntemps, nw)
+    objs = np.empty((ntemps, nw), dtype=object)
+    bobjs = np.empty((ntemps, nw), dtype=object)
+    for t in range(ntemps):
+        for w in range(nw):
+            objs[t, w] = ("state", t * nw + w)
+            bobjs[t, w] = {"branch_id": t * nw + w}
+
+    state = State(
+        {"model_0": coords},
+        supplemental=BranchSupplemental(
+            {"tag": flat_ids.copy(), "obj": objs},
+            base_shape=(ntemps, nw),
+        ),
+        branch_supplemental={
+            "model_0": BranchSupplemental(
+                {"btag": flat_ids.copy(), "bobj": bobjs},
+                base_shape=(ntemps, nw),
+            )
+        },
+    )
+    ens.run_mcmc(state, 60, burn=40)
+    final = ens.get_last_sample() if False else ens._previous_state
+
+    tag = np.asarray(final.supplemental["tag"])
+    # swaps actually happened
+    assert not np.array_equal(tag, flat_ids)
+    obj = final.supplemental["obj"]
+    for t in range(ntemps):
+        for w in range(nw):
+            assert obj[t, w] == ("state", int(tag[t, w])), (t, w)
+
+    btag = np.asarray(final.branches["model_0"].supplemental["btag"])
+    bobj = final.branches["model_0"].supplemental["bobj"]
+    assert np.array_equal(btag, tag)  # one common swap permutation
+    for t in range(ntemps):
+        for w in range(nw):
+            assert bobj[t, w]["branch_id"] == int(btag[t, w])
+
+    # a second run continues tracking from the permuted registry
+    ens.run_mcmc(None, 40)
+    final2 = ens._previous_state
+    tag2 = np.asarray(final2.supplemental["tag"])
+    obj2 = final2.supplemental["obj"]
+    for t in range(ntemps):
+        for w in range(nw):
+            assert obj2[t, w] == ("state", int(tag2[t, w]))
+
+
 def test_state_copy_into_self():
     s1 = State({"m": np.zeros((1, 4, 1, 2))}, log_like=np.zeros((1, 4)))
     s2 = State({"m": np.ones((1, 4, 1, 2))}, log_like=np.ones((1, 4)))
