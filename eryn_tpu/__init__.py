@@ -35,10 +35,14 @@ if _os.environ.get("ERYN_TPU_DISABLE_CACHE") != "1":
 from .ensemble import EnsembleSampler, walkers_independent
 from .state import Branch, BranchSupplemental, ParaState, State
 from .prior import ProbDistContainer, uniform_dist, log_uniform
+from .backends import Backend, DeviceBackend, HDFBackend
 
 __all__ = [
     "EnsembleSampler",
     "walkers_independent",
+    "Backend",
+    "DeviceBackend",
+    "HDFBackend",
     "State",
     "Branch",
     "BranchSupplemental",

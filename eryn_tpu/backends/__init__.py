@@ -1,14 +1,15 @@
 """Chain storage backends (re-design of ``/root/reference/src/eryn/backends/``)."""
 
 from .backend import Backend
+from .devicebackend import DeviceBackend
 
 try:  # pragma: no cover - staged build
     from .hdfbackend import HDFBackend, TempHDFBackend
 
-    __all__ = ["Backend", "HDFBackend", "TempHDFBackend"]
+    __all__ = ["Backend", "DeviceBackend", "HDFBackend", "TempHDFBackend"]
 except ImportError:  # pragma: no cover
     class HDFBackend:  # type: ignore
         def __init__(self, *args, **kwargs):
             raise NotImplementedError("HDFBackend requires h5py.")
 
-    __all__ = ["Backend", "HDFBackend"]
+    __all__ = ["Backend", "DeviceBackend", "HDFBackend"]

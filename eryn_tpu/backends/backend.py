@@ -148,6 +148,7 @@ class Backend:
             rj=self.rj,
             moves=self.move_keys,
             key_order=self.key_order,
+            info=self.info,
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,337 @@
+"""Device-resident (HBM) chain storage backend.
+
+The reference's default in-memory backend keeps the chain in host RAM
+(``/root/reference/src/eryn/backends/backend.py:196-257``) because its
+compute is host-side.  The TPU-native analogue keeps the chain in TPU HBM:
+stored segments are appended on device (an HBM-to-HBM copy at memory
+bandwidth), and device-to-host transfer happens **lazily, per getter
+request** — a user reading the cold chain of a 10-temperature run moves a
+tenth of the bytes, and a run on a bandwidth-constrained host link (e.g. a
+tunneled TPU) samples at the compute rate instead of the wire rate.
+
+Semantics match :class:`eryn_tpu.backends.backend.Backend`: same getter /
+diagnostic surface, NaN-masked dead leaves, cumulative acceptance counters.
+Differences:
+
+* Chain data lives in HBM until read; every getter returns NumPy arrays of
+  exactly the requested slice.
+* Memory budget is HBM (~16 GB/chip): at S bytes per stored step a run can
+  hold ``~16e9 / S`` steps before host offload is needed.  Call
+  :meth:`offload` to move everything accumulated so far into host RAM and
+  keep sampling (subsequent segments stay on device until the next
+  offload / read).
+* Not persistent: use :class:`HDFBackend` for checkpoint/restart files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .backend import Backend
+
+__all__ = ["DeviceBackend"]
+
+
+class DeviceBackend(Backend):
+    """In-memory backend whose chain buffers live in TPU HBM (see module
+    docstring).  The sampler detects ``device_resident`` and hands stored
+    segments over as device arrays without materializing them."""
+
+    device_resident = True
+
+    def reset(self, *args, **kwargs):
+        super().reset(*args, **kwargs)
+        # replace the host buffers with per-segment device lists
+        self.chain = None
+        self.inds = None
+        self.log_like = None
+        self.log_prior = None
+        self.betas = None
+        self.blobs = None
+        self._segs = []  # device segments: {"n", "chain", "inds", ...}
+        self._host = None  # offloaded prefix (dict of concatenated np arrays)
+        self._cache = {}
+        self._has_blobs = False
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+    def grow(self, ngrow, blobs=None):
+        if blobs is not None:
+            self._has_blobs = True
+
+    def has_blobs(self):
+        return self._has_blobs
+
+    def save_segment(
+        self,
+        coords,
+        inds,
+        log_like,
+        log_prior,
+        betas=None,
+        blobs=None,
+        accepted=None,
+        rj_accepted=None,
+        swaps_accepted=None,
+        moves_accepted_fraction=None,
+        random_state=None,
+    ):
+        """Append a segment of stored steps as *device* arrays.
+
+        ``inds`` entries whose leading axis is 1 (or absent) are static
+        masks shared by every step of the segment; they are stored once and
+        broadcast at read time.
+        """
+        import jax.numpy as jnp
+
+        log_like = jnp.asarray(log_like)
+        n = int(log_like.shape[0])
+        seg = {"n": n, "chain": {}, "inds": {}}
+        missing = jnp.asarray(self.store_missing_leaves, dtype=log_like.dtype)
+        for name in self.branch_names:
+            c = jnp.asarray(coords[name])
+            m = jnp.asarray(inds[name]).astype(bool)
+            if m.ndim == c.ndim - 2:  # no leading step axis: static mask
+                mask = m[None]
+            else:
+                mask = m
+            # NaN-mask dead leaves at ingestion (ref backend.py:1049-1059)
+            c = jnp.where(mask[..., None], c, missing)
+            seg["chain"][name] = c
+            seg["inds"][name] = m
+        seg["log_like"] = log_like
+        seg["log_prior"] = jnp.asarray(log_prior)
+        seg["betas"] = None if betas is None else jnp.asarray(betas)
+        seg["blobs"] = None if blobs is None else jnp.asarray(blobs)
+        if seg["blobs"] is not None:
+            self._has_blobs = True
+        self._segs.append(seg)
+        self._cache = {}
+
+        # cumulative counters are tiny: sum on device, fetch once
+        if accepted is not None:
+            self.accepted += np.asarray(
+                jnp.sum(jnp.asarray(accepted), axis=0), dtype=self.dtype
+            )
+        if self.rj_accepted is not None and rj_accepted is not None:
+            self.rj_accepted += np.asarray(
+                jnp.sum(jnp.asarray(rj_accepted), axis=0), dtype=self.dtype
+            )
+        if self.swaps_accepted is not None and swaps_accepted is not None:
+            self.swaps_accepted += np.asarray(
+                jnp.sum(jnp.asarray(swaps_accepted), axis=0), dtype=self.dtype
+            )
+        if (
+            self.moves_accepted_fraction is not None
+            and moves_accepted_fraction is not None
+        ):
+            for key, val in moves_accepted_fraction.items():
+                if val is not None:
+                    self.moves_accepted_fraction[key] = np.asarray(val)
+        if random_state is not None:
+            self.random_state = np.asarray(random_state)
+        self.iteration += n
+
+    def save_snapshot(self, coords, inds, log_like, log_prior, **kwargs):
+        """Single-step append: a segment of length 1."""
+        import jax.numpy as jnp
+
+        def lead(x):
+            return None if x is None else jnp.asarray(x)[None]
+
+        self.save_segment(
+            coords={n: lead(c) for n, c in coords.items()},
+            inds={n: jnp.asarray(m) for n, m in inds.items()},
+            log_like=lead(log_like),
+            log_prior=lead(log_prior),
+            betas=lead(kwargs.get("betas")),
+            blobs=lead(kwargs.get("blobs")),
+            accepted=lead(kwargs.get("accepted")),
+            rj_accepted=lead(kwargs.get("rj_accepted")),
+            swaps_accepted=lead(kwargs.get("swaps_accepted")),
+            moves_accepted_fraction=kwargs.get("moves_accepted_fraction"),
+            random_state=kwargs.get("random_state"),
+        )
+
+    # ------------------------------------------------------------------
+    # lazy reads
+    # ------------------------------------------------------------------
+    def _device_field(self, field, branch=None):
+        """Concatenated device array for one field (cached until the next
+        ingestion)."""
+        import jax.numpy as jnp
+
+        key = (field, branch)
+        if key in self._cache:
+            return self._cache[key]
+        parts = []
+        for seg in self._segs:
+            arr = seg[field][branch] if branch is not None else seg[field]
+            if arr is None:
+                return None
+            if field == "inds" and arr.ndim == len(self.shape[branch]) - 1:
+                arr = jnp.broadcast_to(arr[None], (seg["n"],) + arr.shape)
+            parts.append(arr)
+        if not parts:
+            return None
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        self._cache[key] = out
+        return out
+
+    def _read(self, field, branch, slice_vals, temp_index):
+        """Slice a field device-side and materialize ONLY the result."""
+        host = None
+        if self._host is not None:
+            host = (
+                self._host[field][branch]
+                if branch is not None
+                else self._host[field]
+            )
+            if host is None:
+                return None
+        dev = self._device_field(field, branch)
+        if dev is None and host is None:
+            return None
+
+        def cut(arr, offset=0):
+            # arr covers iterations [offset, offset + len(arr))
+            return arr
+
+        if host is not None and dev is not None:
+            # offloaded prefix + live device suffix: slice each in its own
+            # index space, transfer only the device part
+            n_host = host.shape[0]
+            idx = np.arange(self.iteration)[slice_vals]
+            h_idx = idx[idx < n_host]
+            d_idx = idx[idx >= n_host] - n_host
+            parts = []
+            if h_idx.size:
+                parts.append(host[h_idx])
+            if d_idx.size:
+                d = dev[np.asarray(d_idx)]
+                if temp_index is None:
+                    parts.append(np.asarray(d))
+                else:
+                    parts.append(np.asarray(d[:, temp_index]))
+            if temp_index is not None and h_idx.size:
+                parts[0] = parts[0][:, temp_index]
+            return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+        if host is not None:
+            out = host[slice_vals]
+            return out if temp_index is None else out[:, temp_index]
+
+        out = dev[slice_vals]
+        if temp_index is not None:
+            out = out[:, temp_index]
+        return np.asarray(out)
+
+    def get_value(
+        self,
+        name,
+        thin=1,
+        discard=0,
+        temp_index=None,
+        branch_names=None,
+        slice_vals=None,
+    ):
+        if not self.initialized or self.iteration <= 0:
+            raise AttributeError(
+                "You must run the sampler with 'store == True' before "
+                "accessing the results."
+            )
+        if slice_vals is None:
+            slice_vals = slice(discard + thin - 1, self.iteration, thin)
+        if branch_names is None:
+            keep = self.branch_names
+        elif isinstance(branch_names, str):
+            keep = [branch_names]
+        else:
+            keep = list(branch_names)
+
+        if name == "chain":
+            return {n: self._read("chain", n, slice_vals, temp_index) for n in keep}
+        if name == "inds":
+            return {n: self._read("inds", n, slice_vals, temp_index) for n in keep}
+        if name in ("log_like", "log_prior", "betas", "blobs"):
+            out = self._read(name, None, slice_vals, temp_index)
+            if out is None:
+                raise AttributeError(f"No {name} stored.")
+            return out
+        raise ValueError(f"Unknown value name: {name}")
+
+    def get_a_sample(self, it):
+        """Reconstruct the State at iteration ``it`` — transfers one step."""
+        from ..state import State
+
+        if not self.initialized or self.iteration <= 0:
+            raise AttributeError(
+                "You must run the sampler with 'store == True' before "
+                "accessing the results."
+            )
+        sl = slice(it, it + 1)
+        coords = {}
+        inds = {}
+        for name in self.branch_names:
+            c = self._read("chain", name, sl, None)[0].copy()
+            m = self._read("inds", name, sl, None)[0]
+            c[~m] = 0.0  # dead leaves were NaN-masked at ingestion
+            coords[name] = c
+            inds[name] = m
+        betas = self._read("betas", None, sl, None)
+        blobs = self._read("blobs", None, sl, None)
+        return State(
+            coords,
+            inds=inds,
+            log_like=self._read("log_like", None, sl, None)[0],
+            log_prior=self._read("log_prior", None, sl, None)[0],
+            betas=None if betas is None else betas[0],
+            blobs=None if blobs is None else blobs[0],
+            random_state=self.random_state,
+        )
+
+    # ------------------------------------------------------------------
+    # memory management
+    # ------------------------------------------------------------------
+    def device_bytes(self):
+        """Approximate HBM footprint of the stored segments."""
+        total = 0
+        for seg in self._segs:
+            for holder in (seg["chain"], seg["inds"]):
+                for arr in holder.values():
+                    total += arr.size * arr.dtype.itemsize
+            for field in ("log_like", "log_prior", "betas", "blobs"):
+                if seg[field] is not None:
+                    total += seg[field].size * seg[field].dtype.itemsize
+        return total
+
+    def offload(self):
+        """Move everything accumulated on device into host RAM (one bulk
+        transfer); subsequent segments keep landing on device."""
+        if not self._segs:
+            return
+        fields = {}
+        for field in ("log_like", "log_prior", "betas", "blobs"):
+            dev = self._device_field(field)
+            new = None if dev is None else np.asarray(dev)
+            if self._host is not None and self._host[field] is not None:
+                new = (
+                    self._host[field]
+                    if new is None
+                    else np.concatenate([self._host[field], new], axis=0)
+                )
+            fields[field] = new
+        for field in ("chain", "inds"):
+            out = {}
+            for name in self.branch_names:
+                new = np.asarray(self._device_field(field, name))
+                if self._host is not None:
+                    new = np.concatenate(
+                        [self._host[field][name], new], axis=0
+                    )
+                out[name] = new
+            fields[field] = out
+        self._host = fields
+        self._segs = []
+        self._cache = {}

@@ -1411,15 +1411,20 @@ class EnsembleSampler:
         if self._host_supps:
             state = self._apply_prov(state)
 
-        if snaps is not None:
+        if snaps is not None and not getattr(
+            self.backend, "device_resident", False
+        ):
             for leaf in jax.tree_util.tree_leaves(snaps):
                 if hasattr(leaf, "copy_to_host_async"):
                     leaf.copy_to_host_async()
         return state
 
-    def _unpack_snaps(self, snaps):
+    def _unpack_snaps(self, snaps, xp=np):
         """Expand packed ``{"fp", "u8"[, "blobs"]}`` snapshot buffers back
-        into the named per-field dict (any number of leading batch axes)."""
+        into the named per-field dict (any number of leading batch axes).
+
+        ``xp=np`` materializes on the host; ``xp=jnp`` keeps every field on
+        device (zero-copy slicing views) for device-resident backends."""
         if snaps is None or "fp" not in snaps:
             return snaps
         fp_layout, u8_layout = self._snap_layout
@@ -1439,16 +1444,16 @@ class EnsembleSampler:
                 else:
                     out[kind] = arr
 
-        split(np.asarray(snaps["fp"]), fp_layout)
+        split(xp.asarray(snaps["fp"]), fp_layout)
         split(
-            np.asarray(snaps["u8"]),
+            xp.asarray(snaps["u8"]),
             u8_layout,
             post=lambda kind, a: a.astype(bool) if kind == "inds" else a,
         )
         if not out["inds"]:
             del out["inds"]
         if "blobs" in snaps:
-            out["blobs"] = np.asarray(snaps["blobs"])
+            out["blobs"] = xp.asarray(snaps["blobs"])
         return out
 
     def _run_bulk(self, state, nstored, thin_by=1, store=True):
@@ -1462,9 +1467,12 @@ class EnsembleSampler:
         state = self._sync_bulk(carry, snaps, counters, nstored * thin_by, t0)
         if snaps is not None:
             # host mirrors of swap diagnostics are owned by _save_snaps
-            snaps = self._unpack_snaps(
-                jax.tree_util.tree_map(np.asarray, snaps)
-            )
+            if getattr(self.backend, "device_resident", False):
+                snaps = self._unpack_snaps(snaps, xp=jnp)
+            else:
+                snaps = self._unpack_snaps(
+                    jax.tree_util.tree_map(np.asarray, snaps)
+                )
         return state, snaps
 
     def _save_snaps(self, snaps):
@@ -1476,9 +1484,18 @@ class EnsembleSampler:
         reference, which overwrites them every save).  ``snaps`` may hold
         device arrays; they are materialized here (transfers were started by
         ``_sync_bulk``, so this overlaps the next segment's device compute)."""
-        snaps = self._unpack_snaps(jax.tree_util.tree_map(np.asarray, snaps))
+        device_resident = getattr(self.backend, "device_resident", False)
+        if device_resident:
+            snaps = self._unpack_snaps(snaps, xp=jnp)
+        else:
+            snaps = self._unpack_snaps(
+                jax.tree_util.tree_map(np.asarray, snaps)
+            )
         if "inds" in snaps:
             inds = snaps["inds"]
+        elif device_resident:
+            # static masks: stored once per segment, broadcast at read time
+            inds = dict(self._static_inds)
         else:
             nstored = snaps["log_like"].shape[0]
             inds = {
@@ -1514,7 +1531,7 @@ class EnsembleSampler:
         )
         tc = self.temperature_control
         if tc is not None and self.ntemps > 1:
-            tc.swaps_accepted = snaps["swaps"][-1]
+            tc.swaps_accepted = np.asarray(snaps["swaps"][-1])
 
     def _blobs_example(self, state):
         """Blob exemplar for backend allocation: honor a user ``blobs_dtype``
@@ -1630,16 +1647,16 @@ class EnsembleSampler:
 
         # host-side object supplementals (ref state.py:84-96): registered
         # here, then reordered by the composed temperature-swap permutation
-        # at every segment boundary (_sync_bulk) so they follow their walkers
-        try:
-            supp = state.supplemental
-            if supp is not None and getattr(supp, "host_holder", None):
-                self._host_supps["__state__"] = supp.host_holder
-            for name, bsup in state.branches_supplemental.items():
-                if bsup is not None and getattr(bsup, "host_holder", None):
-                    self._host_supps[name] = bsup.host_holder
-        except Exception:
-            pass  # traced setup (ParaEnsembleSampler) has no host entries
+        # at every segment boundary (_sync_bulk) so they follow their walkers.
+        # the registry is rebuilt per setup so a later run with a clean state
+        # does not inherit a previous run's objects
+        self._host_supps = {}
+        supp = state.supplemental
+        if supp is not None and getattr(supp, "host_holder", None):
+            self._host_supps["__state__"] = supp.host_holder
+        for name, bsup in state.branches_supplemental.items():
+            if bsup is not None and getattr(bsup, "host_holder", None):
+                self._host_supps[name] = bsup.host_holder
 
         return State(
             coords,

@@ -127,6 +127,11 @@ class DEMove(RedBlueMove):
         for name, kb in zip(names, branch_keys):
             s = s_coords[name]
             c = c_coords[name]
+            if c.shape[1] < 2:
+                raise ValueError(
+                    "DEMove needs at least 2 complement walkers per half "
+                    f"(got {c.shape[1]}); increase nwalkers."
+                )
             ia, ib = _distinct2(kb, (ntemps, ns), c.shape[1])
             ca, cb = _pick(c, ia), _pick(c, ib)
 
@@ -176,6 +181,11 @@ class DESnookerMove(RedBlueMove):
         for name, kb in zip(names, branch_keys):
             s = s_coords[name]
             c = c_coords[name]
+            if c.shape[1] < 3:
+                raise ValueError(
+                    "DESnookerMove needs at least 3 complement walkers per "
+                    f"half (got {c.shape[1]}); increase nwalkers."
+                )
             iz, i1, i2 = _distinct3(kb, (ntemps, ns), c.shape[1])
             z, z1, z2 = _pick(c, iz), _pick(c, i1), _pick(c, i2)
 
@@ -195,16 +205,33 @@ class DESnookerMove(RedBlueMove):
                 s_inds[name].astype(dtype) * per_leaf
             ).sum(axis=-1)
 
-            delta = (s - z) * mask
+            # minimum-image differences for periodic parameters
+            # (periodic.distance(a, b) returns b - a wrapped, as in stretch)
+            if self.periodic is not None:
+                s_minus_z = -self.periodic.distance({name: s}, {name: z})[name]
+                z1_minus_z2 = self.periodic.distance(
+                    {name: z2}, {name: z1}
+                )[name]
+            else:
+                s_minus_z = s - z
+                z1_minus_z2 = z1 - z2
+
+            delta = s_minus_z * mask
             norm = jnp.sqrt(jnp.sum(delta**2, axis=(2, 3)))
             e = delta / jnp.maximum(norm, tiny)[:, :, None, None]
-            proj = jnp.sum((z1 - z2) * mask * e, axis=(2, 3))
+            proj = jnp.sum(z1_minus_z2 * mask * e, axis=(2, 3))
             step = self.gammas * proj[:, :, None, None] * e
             q = jnp.where(mask > 0, s + step, s)
+            if self.periodic is not None:
+                q = self.periodic.wrap({name: q})[name]
             newpos[name] = q
 
             # |q - z| over the same active subspace, for the Jacobian
-            norm_new = jnp.sqrt(jnp.sum(((q - z) * mask) ** 2, axis=(2, 3)))
+            if self.periodic is not None:
+                q_minus_z = -self.periodic.distance({name: q}, {name: z})[name]
+            else:
+                q_minus_z = q - z
+            norm_new = jnp.sqrt(jnp.sum((q_minus_z * mask) ** 2, axis=(2, 3)))
             ok = (norm > 0) & (norm_new > 0)
             branch_factor = jnp.where(
                 ok,

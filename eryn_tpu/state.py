@@ -198,14 +198,23 @@ class BranchSupplemental:
     def __setitem__(self, key, value):
         # functional update: mutate the python dict (host-side API only)
         if isinstance(key, str):
-            self.holder[key] = jnp.asarray(value)
+            obj = _as_object_array(value)
+            if obj is not None:
+                self.holder.pop(key, None)
+                self.host_holder[key] = obj
+            else:
+                self.host_holder.pop(key, None)
+                self.holder[key] = jnp.asarray(value)
         else:
             if not isinstance(value, dict):
                 raise ValueError(
                     "Setting with an index requires a dict of per-name values."
                 )
             for name, val in value.items():
-                self.holder[name] = self.holder[name].at[key].set(val)
+                if name in self.host_holder:
+                    self.host_holder[name][key] = val
+                else:
+                    self.holder[name] = self.holder[name].at[key].set(val)
 
     def __contains__(self, name):
         return name in self.holder or name in self.host_holder

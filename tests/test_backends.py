@@ -174,6 +174,7 @@ def test_backend_move_info_and_reset_mirrors(priors, tmp_path):
         assert int(kwargs["ntemps"]) == NTEMPS
         assert list(kwargs["branch_names"]) == ["model_0"]
         assert list(kwargs["moves"]) == list(mi.keys())
+        assert "info" in kwargs  # ref backend.py:119-127 round-trips info
 
 
 def test_resume_validation_mismatch(priors, tmp_path):

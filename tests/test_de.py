@@ -125,6 +125,57 @@ def test_de_rj_masks():
     assert frac_k1 > 0.6, frac_k1
 
 
+def test_snooker_small_complement_raises():
+    """A complement half with fewer than 3 walkers must fail loudly, not
+    silently duplicate picks after index clamping."""
+    pr = ProbDistContainer({0: uniform_dist(-5, 5)})
+    ens = EnsembleSampler(
+        4,
+        1,
+        lambda x: -0.5 * jnp.sum(x**2),
+        pr,
+        moves=DESnookerMove(live_dangerously=True),
+        seed=2,
+    )
+    with pytest.raises(ValueError, match="at least 3 complement"):
+        ens.run_mcmc(pr.rvs(size=(4,)), 2)
+
+
+def test_snooker_periodic_wrap(priors):
+    """Snooker geometry uses minimum-image differences and wraps proposals
+    for periodic parameters."""
+    from eryn_tpu.utils import PeriodicContainer
+
+    periodic = PeriodicContainer({"model_0": {0: 2 * np.pi}})
+
+    def ll_per(x):
+        d0 = jnp.angle(jnp.exp(1j * (x[0] - jnp.pi / 2)))
+        return -0.5 * (d0**2 / 0.3**2) - 0.5 * jnp.sum(x[1:] ** 2)
+
+    pr = ProbDistContainer(
+        {
+            0: uniform_dist(0.0, 2 * np.pi),
+            1: uniform_dist(-10, 10),
+            2: uniform_dist(-10, 10),
+        }
+    )
+    ens = EnsembleSampler(
+        NWALKERS,
+        3,
+        ll_per,
+        pr,
+        moves=[(DESnookerMove(), 0.5), (StretchMove(), 0.5)],
+        periodic=periodic,
+        seed=6,
+    )
+    coords = pr.rvs(size=(NWALKERS,))
+    ens.run_mcmc(coords, 400, burn=200)
+    chain = ens.get_chain()["model_0"][:, 0].reshape(-1, 3)
+    assert (chain[:, 0] >= 0).all() and (chain[:, 0] <= 2 * np.pi).all()
+    mean_angle = np.angle(np.exp(1j * chain[:, 0]).mean())
+    assert abs(mean_angle - np.pi / 2) < 0.2
+
+
 def test_de_periodic_wrap(priors):
     """Periodic parameter stays in range through DE differences."""
     from eryn_tpu.utils import PeriodicContainer

@@ -1,0 +1,139 @@
+"""DeviceBackend: HBM-resident chain storage with lazy per-getter
+materialization.  Checks equivalence with the host Backend on an identical
+run (same seed), partial reads, offload, resume, and RJ masks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import (
+    Backend,
+    DeviceBackend,
+    EnsembleSampler,
+    ProbDistContainer,
+    State,
+    uniform_dist,
+)
+
+NDIM = 3
+NWALKERS = 32
+NTEMPS = 4
+
+
+def log_like(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+@pytest.fixture
+def priors():
+    return ProbDistContainer({i: uniform_dist(-8, 8) for i in range(NDIM)})
+
+
+def _run(backend, priors, nsteps=60, seed=7, coords=None):
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=backend,
+        tempering_kwargs=dict(ntemps=NTEMPS),
+        seed=seed,
+    )
+    if coords is None:
+        coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    ens.run_mcmc(coords, nsteps)
+    return ens
+
+
+def test_device_backend_matches_host_backend(priors):
+    """Same seed, same config: the device-resident chain must be identical
+    to the host backend's (the storage layer must not change sampling)."""
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    host = _run(Backend(dtype=np.float32), priors, coords=coords)
+    dev = _run(DeviceBackend(dtype=np.float32), priors, coords=coords)
+
+    np.testing.assert_allclose(
+        dev.get_chain()["model_0"], host.get_chain()["model_0"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        dev.backend.get_log_like(), host.backend.get_log_like(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        dev.backend.get_betas(), host.backend.get_betas(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.backend.accepted), np.asarray(host.backend.accepted)
+    )
+
+
+def test_device_backend_partial_reads(priors):
+    ens = _run(DeviceBackend(), priors)
+    b = ens.backend
+    cold = b.get_chain(temp_index=0)["model_0"]
+    assert cold.shape == (60, NWALKERS, 1, NDIM)
+    thinned = b.get_log_like(discard=20, thin=2)
+    assert thinned.shape == (20, NTEMPS, NWALKERS)
+    full = b.get_chain()["model_0"]
+    np.testing.assert_array_equal(cold, full[:, 0])
+    # get_a_sample transfers one step
+    st = b.get_a_sample(10)
+    np.testing.assert_allclose(
+        np.asarray(st.log_like), b.get_log_like()[10], rtol=1e-6
+    )
+    last = b.get_last_sample()
+    assert np.isfinite(np.asarray(last.log_like)).all()
+
+
+def test_device_backend_offload_and_resume(priors):
+    ens = _run(DeviceBackend(), priors, nsteps=40)
+    b = ens.backend
+    before = b.get_chain()["model_0"]
+    assert b.device_bytes() > 0
+    b.offload()
+    assert b.device_bytes() == 0
+    np.testing.assert_array_equal(before, b.get_chain()["model_0"])
+    # keep sampling: reads span the offloaded prefix + live device suffix
+    ens.run_mcmc(None, 30)
+    assert b.iteration == 70
+    mixed = b.get_log_like(discard=20)
+    assert mixed.shape == (50, NTEMPS, NWALKERS)
+    chain = b.get_chain(temp_index=0)["model_0"]
+    assert chain.shape == (70, NWALKERS, 1, NDIM)
+    np.testing.assert_array_equal(chain[:40], before[:, 0])
+
+
+def test_device_backend_rj_masks(priors):
+    """Reversible jump: per-step masks stored, dead leaves NaN-masked."""
+    nmax = 2
+    ntemps = 2
+
+    def ll(coords, inds):
+        contrib = -0.5 * jnp.sum(coords**2, axis=-1)
+        return jnp.sum(jnp.where(inds, contrib, 0.0))
+
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        ll,
+        priors,
+        backend=DeviceBackend(),
+        nleaves_max=nmax,
+        nleaves_min=0,
+        rj_moves=True,
+        tempering_kwargs=dict(ntemps=ntemps),
+        fill_zero_leaves_val=-1e4,
+        seed=3,
+    )
+    coords = priors.rvs(size=(ntemps, NWALKERS, nmax))
+    inds = np.random.default_rng(1).random((ntemps, NWALKERS, nmax)) < 0.5
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 40)
+    b = ens.backend
+    chain = b.get_chain()["model_0"]
+    minds = b.get_inds()["model_0"]
+    assert minds.shape == (40, ntemps, NWALKERS, nmax)
+    assert minds.any() and not minds.all()
+    assert np.isnan(chain[~minds]).all()
+    assert np.isfinite(chain[minds]).all()
+    nleaves = b.get_nleaves()["model_0"]
+    assert nleaves.max() <= nmax

@@ -90,7 +90,7 @@ def test_host_object_supplementals_follow_swaps():
         },
     )
     ens.run_mcmc(state, 60, burn=40)
-    final = ens.get_last_sample() if False else ens._previous_state
+    final = ens._previous_state
 
     tag = np.asarray(final.supplemental["tag"])
     # swaps actually happened
@@ -115,6 +115,45 @@ def test_host_object_supplementals_follow_swaps():
     for t in range(ntemps):
         for w in range(nw):
             assert obj2[t, w] == ("state", int(tag2[t, w]))
+
+
+def test_host_object_registry_cleared_between_runs():
+    """A later run with a clean state must not inherit a previous run's
+    host objects (the registry is rebuilt per _setup_state)."""
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    ntemps, nw, ndim = 3, 16, 2
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nw, ndim, ll, pr, tempering_kwargs=dict(ntemps=ntemps), seed=5
+    )
+    objs = np.empty((ntemps, nw), dtype=object)
+    objs[...] = [[("run1", i) for i in range(nw)] for _ in range(ntemps)]
+    state = State(
+        {"model_0": pr.rvs(size=(ntemps, nw))},
+        supplemental=BranchSupplemental({"obj": objs}, base_shape=(ntemps, nw)),
+    )
+    ens.run_mcmc(state, 10)
+    clean = State({"model_0": pr.rvs(size=(ntemps, nw))})
+    ens.run_mcmc(clean, 10)
+    final = ens._previous_state
+    assert final.supplemental is None or "obj" not in final.supplemental
+
+
+def test_branch_supplemental_setitem_host_entries():
+    objs = np.empty((2, 3), dtype=object)
+    objs[...] = [[("a", i) for i in range(3)] for _ in range(2)]
+    supp = BranchSupplemental({"obj": objs}, base_shape=(2, 3))
+    new_objs = np.empty((2, 3), dtype=object)
+    new_objs[...] = [[("b", i) for i in range(3)] for _ in range(2)]
+    supp["obj"] = new_objs
+    assert supp["obj"][0, 0] == ("b", 0)
+    supp[(0, 1)] = {"obj": ("c", 9)}
+    assert supp["obj"][0, 1] == ("c", 9)
 
 
 def test_state_copy_into_self():
