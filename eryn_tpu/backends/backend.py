@@ -487,9 +487,13 @@ class Backend:
         """
         from ..utils.utility import get_integrated_act
 
-        chain = self.get_chain(discard=discard, thin=thin)
-        ntemp_keep = self.ntemps if all_temps else 1
-        x = {name: arr[:, :ntemp_keep] for name, arr in chain.items()}
+        if all_temps:
+            x = self.get_chain(discard=discard, thin=thin)
+        else:
+            # fetch only the cold chain (1/ntemps of the bytes on a
+            # device-resident backend), re-inserting the temp axis
+            cold = self.get_chain(discard=discard, thin=thin, temp_index=0)
+            x = {name: arr[:, None] for name, arr in cold.items()}
         out = get_integrated_act(x, **kwargs)
         thin_factor = thin if multiply_thin else 1
         return {name: values * thin_factor for name, values in out.items()}
@@ -527,13 +531,14 @@ class Backend:
         """Gelman-Rubin R-hat per branch (ref ``backend.py:735-817``)."""
         from ..utils.utility import psrf
 
-        chain = self.get_chain(discard=discard, thin=thin)
-        inds = self.get_inds(discard=discard, thin=thin)
+        # cold chain only: fetch just that temperature
+        chain = self.get_chain(discard=discard, thin=thin, temp_index=0)
+        inds = self.get_inds(discard=discard, thin=thin, temp_index=0)
         out = {}
         for name, arr in chain.items():
-            # cold chain only, active leaves flattened
-            x = arr[:, 0]
-            m = inds[name][:, 0]
+            # active leaves flattened
+            x = arr
+            m = inds[name]
             nsteps, nwalkers, nleaves_max, ndim = x.shape
             vals = np.where(m[..., None], x, np.nan).reshape(
                 nsteps, nwalkers, nleaves_max * ndim
