@@ -551,25 +551,23 @@ class HDFBackend(Backend):
             else:
                 keep_branches = list(branch_names)
 
-            def sel_temp(arr):
-                return arr if temp_index is None else arr[:, temp_index]
+            def read(dset):
+                # slice the temperature at the file level too, so a
+                # cold-chain read of a big file moves 1/ntemps of the bytes
+                if temp_index is None:
+                    return dset[slice_vals]
+                return dset[slice_vals, temp_index]
 
             if name == "chain":
-                return {
-                    n: sel_temp(g["chain"][n][slice_vals])
-                    for n in keep_branches
-                }
+                return {n: read(g["chain"][n]) for n in keep_branches}
             if name == "inds":
-                return {
-                    n: sel_temp(g["inds"][n][slice_vals])
-                    for n in keep_branches
-                }
+                return {n: read(g["inds"][n]) for n in keep_branches}
             if name == "blobs":
                 if not g.attrs["has_blobs"]:
                     raise AttributeError("No blobs stored.")
-                return sel_temp(g["blobs"][slice_vals])
+                return read(g["blobs"])
             if name in ("log_like", "log_prior", "betas"):
-                return sel_temp(g[name][slice_vals])
+                return read(g[name])
             raise ValueError(f"Unknown value name: {name}")
 
     @property

@@ -88,3 +88,11 @@ try:
     __all__ += ["DEMove", "DESnookerMove"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .walk import WalkMove
+    from .kde import KDEMove
+
+    __all__ += ["WalkMove", "KDEMove"]
+except ImportError:  # pragma: no cover
+    pass
