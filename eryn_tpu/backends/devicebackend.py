@@ -39,6 +39,21 @@ class DeviceBackend(Backend):
 
     device_resident = True
 
+    def __init__(
+        self,
+        store_missing_leaves=np.nan,
+        dtype=None,
+        max_device_bytes=None,
+    ):
+        """``max_device_bytes`` caps the HBM footprint: when an ingested
+        segment pushes the stored chain past the cap, everything accumulated
+        so far is offloaded to host RAM automatically (one bulk transfer)
+        and sampling continues with a fresh device buffer."""
+        super().__init__(
+            store_missing_leaves=store_missing_leaves, dtype=dtype
+        )
+        self.max_device_bytes = max_device_bytes
+
     def reset(self, *args, **kwargs):
         super().reset(*args, **kwargs)
         # replace the host buffers with per-segment device lists
@@ -132,6 +147,11 @@ class DeviceBackend(Backend):
         if random_state is not None:
             self.random_state = np.asarray(random_state)
         self.iteration += n
+        if (
+            self.max_device_bytes is not None
+            and self.device_bytes() > self.max_device_bytes
+        ):
+            self.offload()
 
     def save_snapshot(self, coords, inds, log_like, log_prior, **kwargs):
         """Single-step append: a segment of length 1."""

@@ -103,6 +103,17 @@ def test_device_backend_offload_and_resume(priors):
     np.testing.assert_array_equal(chain[:40], before[:, 0])
 
 
+def test_device_backend_auto_offload(priors):
+    """max_device_bytes triggers automatic offload during ingestion."""
+    ens = _run(DeviceBackend(max_device_bytes=1), priors, nsteps=40)
+    b = ens.backend
+    assert b._host is not None  # everything spilled
+    assert b.get_chain()["model_0"].shape[0] == 40
+    ens.run_mcmc(None, 20)
+    assert b.iteration == 60
+    assert b.get_log_like().shape == (60, NTEMPS, NWALKERS)
+
+
 def test_device_backend_rj_masks(priors):
     """Reversible jump: per-step masks stored, dead leaves NaN-masked."""
     nmax = 2

@@ -118,6 +118,66 @@ def test_sharded_statistical_equivalence():
     assert abs(a["logl"] - b["logl"]) < 0.5
 
 
+def test_sharded_new_move_family(sampler):
+    """DE / snooker / walk / KDE kernels compile and run on a sharded
+    ensemble: their complement gathers and einsums lower to collectives
+    over the walker axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from eryn_tpu.moves import DEMove, DESnookerMove, KDEMove, WalkMove
+
+    ndim = 3
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        64,
+        ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors,
+        moves=[
+            (DEMove(), 0.25),
+            (DESnookerMove(), 0.25),
+            (WalkMove(), 0.25),
+            (KDEMove(), 0.25),
+        ],
+        tempering_kwargs=dict(ntemps=4),
+        seed=44,
+    )
+    mesh = make_mesh(8)
+    state = ens._setup_state(priors.rvs(size=(4, 64)))
+    state = shard_state(state, mesh)
+    state, _ = ens._run_bulk(state, 1, 20, store=False)
+    jax.block_until_ready(state.log_like)
+    assert len(state.log_like.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(state.log_like)).all()
+
+
+def test_sharded_device_backend(sampler):
+    """DeviceBackend ingests sharded segment buffers and getters
+    materialize them correctly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from eryn_tpu import DeviceBackend
+
+    ndim = 3
+    priors = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        64,
+        ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors,
+        backend=DeviceBackend(),
+        tempering_kwargs=dict(ntemps=4),
+        seed=45,
+    )
+    mesh = make_mesh(8)
+    state = ens._setup_state(priors.rvs(size=(4, 64)))
+    state = shard_state(state, mesh)
+    ens.run_mcmc(state, 30)
+    chain = ens.get_chain(temp_index=0)["model_0"]
+    assert chain.shape == (30, 64, 1, ndim)
+    assert np.isfinite(chain).all()
+
+
 def test_sharded_rj_group_run():
     """RJ + group-stretch configuration on a sharded ensemble: compiles,
     runs, stays sharded, and keeps finding the single pulse."""
