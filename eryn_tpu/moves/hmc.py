@@ -31,7 +31,14 @@ class HMCMove(MALAMove):
     Args:
         eps: leapfrog step size — scalar or ``{branch: scalar or (ndim,)
             array}`` (per-parameter mass preconditioning).
-        num_leapfrog: number of leapfrog steps per proposal.
+        num_leapfrog: number of leapfrog steps per proposal.  A tuple
+            ``(lo, hi)`` jitters the trajectory length uniformly per
+            proposal — the TPU-native answer to NUTS's resonance problem:
+            on a lockstep ensemble every walker waits for the deepest tree
+            anyway, so randomizing the (shared) length gives NUTS's
+            robustness to periodic orbits at a fixed, fully-batched cost
+            (Neal 2011 §3.2 "jittering"; exactness is untouched because the
+            length is drawn independently of the state).
         target_acceptance / tune_steps: dual-averaging step-size adaptation
             (inherited from :class:`~eryn_tpu.moves.mala.MALAMove`; 0.65 is
             the HMC-optimal acceptance).
@@ -56,7 +63,18 @@ class HMCMove(MALAMove):
                 "ensemble_precondition is implemented for MALAMove only; "
                 "pass a per-parameter eps array to precondition HMC."
             )
-        self.num_leapfrog = int(num_leapfrog)
+        if isinstance(num_leapfrog, (tuple, list)):
+            lo, hi = int(num_leapfrog[0]), int(num_leapfrog[1])
+            if not 1 <= lo <= hi:
+                raise ValueError(
+                    f"num_leapfrog range must satisfy 1 <= lo <= hi, got "
+                    f"({lo}, {hi})."
+                )
+            self.num_leapfrog = hi
+            self.num_leapfrog_min = lo
+        else:
+            self.num_leapfrog = int(num_leapfrog)
+            self.num_leapfrog_min = None
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
@@ -105,18 +123,50 @@ class HMCMove(MALAMove):
                 for n in names
             }
 
-        def leapfrog(carry, _):
-            x, p, g, _aux = carry
-            p = half_kick(p, g)
-            x = drift(x, p)
-            (_, aux), g = grad_fn(x)
-            p = half_kick(p, g)
-            return (x, p, g, aux), None
+        if self.num_leapfrog_min is not None:
+            key, k_len = jax.random.split(key)
+            # per-walker trajectory length in [lo, hi]: walkers past their
+            # length freeze in place (the batch runs hi steps regardless —
+            # on a lockstep ensemble that cost is paid either way)
+            lengths = jax.random.randint(
+                k_len,
+                state.log_like.shape,
+                self.num_leapfrog_min,
+                self.num_leapfrog + 1,
+            )
+        else:
+            lengths = None
+
+        def leapfrog(carry, i):
+            x, p, g, aux = carry
+            p_new = half_kick(p, g)
+            x_new = drift(x, p_new)
+            (_, aux_new), g_new = grad_fn(x_new)
+            p_new = half_kick(p_new, g_new)
+            if lengths is None:
+                return (x_new, p_new, g_new, aux_new), None
+            act = i < lengths
+            a4 = act[:, :, None, None]
+            x = {n: jnp.where(a4, x_new[n], x[n]) for n in names}
+            p = {n: jnp.where(a4, p_new[n], p[n]) for n in names}
+            g = {n: jnp.where(a4, g_new[n], g[n]) for n in names}
+            ll_c, lp_c, blobs_c = aux
+            ll_n, lp_n, blobs_n = aux_new
+            ll = jnp.where(act, ll_n, ll_c)
+            lp = jnp.where(act, lp_n, lp_c)
+            if blobs_c is not None and blobs_n is not None:
+                a_b = act.reshape(act.shape + (1,) * (blobs_c.ndim - 2))
+                blobs = jnp.where(a_b, blobs_n, blobs_c)
+            else:
+                blobs = blobs_c
+            return (x, p, g, (ll, lp, blobs)), None
 
         # aux carries (ll, lp, blobs) of the latest position: the final
         # carry IS the evaluation at x1 — no post-scan re-evaluation
         (x1, p1, _g1, (ll1, lp1, blobs1)), _ = jax.lax.scan(
-            leapfrog, (coords, p0, g, _aux0), None, length=self.num_leapfrog
+            leapfrog,
+            (coords, p0, g, _aux0),
+            jnp.arange(self.num_leapfrog),
         )
 
         factors = kinetic(p0) - kinetic(p1)

@@ -128,6 +128,51 @@ def test_periodic_gibbs_group_stretch_rj():
     assert np.isfinite(ens.get_log_like()).all()
 
 
+def test_full_move_zoo_schedule():
+    """Every concrete in-model move family in ONE weighted schedule with PT,
+    blobs off, multibranch off — the maximal-coverage smoke cell."""
+    from eryn_tpu.moves import (
+        DEMove,
+        DESnookerMove,
+        HMCMove,
+        KDEMove,
+        MALAMove,
+        WalkMove,
+    )
+
+    ndim = 3
+    priors = _gauss_priors(ndim)
+    moves = [
+        (StretchMove(), 0.2),
+        (DEMove(), 0.15),
+        (DESnookerMove(), 0.1),
+        (WalkMove(), 0.1),
+        (KDEMove(), 0.1),
+        (GaussianMove({"model_0": 0.1 * np.ones(ndim)}), 0.1),
+        (MALAMove(eps=0.2), 0.15),
+        (HMCMove(eps=0.2, num_leapfrog=(2, 5)), 0.1),
+    ]
+    ens = EnsembleSampler(
+        64,
+        ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors,
+        moves=moves,
+        tempering_kwargs=dict(ntemps=4),
+        seed=54,
+    )
+    coords = 0.5 * np.random.default_rng(54).standard_normal((4, 64, ndim))
+    ens.run_mcmc(coords, 300, burn=100)
+    chain = ens.get_chain()["model_0"][:, 0].reshape(-1, ndim)
+    assert np.abs(chain.mean(axis=0)).max() < 0.3
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.3
+    # every move family actually proposed and has sane acceptance
+    for m in ens.moves:
+        assert m.num_proposals > 0
+        af = m.acceptance_fraction.mean()
+        assert 0.01 < af < 0.99, (type(m).__name__, af)
+
+
 def test_single_walker_temp_edge():
     """Tiny edge shapes: ntemps=2, minimum walkers for red/blue."""
     ndim = 2

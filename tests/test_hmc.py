@@ -55,6 +55,36 @@ def test_hmc_correlated_gaussian(priors):
     assert tau_hmc < tau_stretch, (tau_hmc, tau_stretch)
 
 
+def test_hmc_jittered_length(priors):
+    """num_leapfrog=(lo, hi) jitters the per-walker trajectory length
+    (Neal 2011 resonance breaking) and stays exact on a correlated
+    Gaussian."""
+    rho = 0.9
+    cov = rho * np.ones((NDIM, NDIM)) + (1 - rho) * np.eye(NDIM)
+    invcov = jnp.asarray(np.linalg.inv(cov))
+
+    def ll(x):
+        return -0.5 * x @ (invcov @ x)
+
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        ll,
+        priors,
+        moves=[HMCMove(eps=0.25, num_leapfrog=(2, 10))],
+        seed=72,
+    )
+    coords = np.random.randn(NWALKERS, NDIM) @ np.linalg.cholesky(cov).T
+    ens.run_mcmc(coords, 500, burn=200)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.2
+    assert np.abs(np.cov(chain.T) - cov).max() < 0.3
+    acc = float(ens.acceptance_fraction.mean())
+    assert acc > 0.5, acc
+    with pytest.raises(ValueError, match="num_leapfrog"):
+        HMCMove(num_leapfrog=(5, 2))
+
+
 def test_hmc_tempered(priors):
     def ll(x):
         return -0.5 * jnp.sum(x**2)
