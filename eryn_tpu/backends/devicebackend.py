@@ -177,6 +177,30 @@ class DeviceBackend(Backend):
     # ------------------------------------------------------------------
     # lazy reads
     # ------------------------------------------------------------------
+    def _seg_arrays(self, field, branch=None):
+        """Per-segment arrays for one field (static inds broadcast to the
+        segment length).  Mixed presence across segments is an error, not a
+        silent drop."""
+        import jax.numpy as jnp
+
+        parts = []
+        missing = 0
+        for seg in self._segs:
+            arr = seg[field][branch] if branch is not None else seg[field]
+            if arr is None:
+                missing += 1
+                continue
+            if field == "inds" and arr.ndim == len(self.shape[branch]) - 1:
+                arr = jnp.broadcast_to(arr[None], (seg["n"],) + arr.shape)
+            parts.append(arr)
+        if parts and missing:
+            raise ValueError(
+                f"Field '{field}' was stored for only some segments "
+                f"({missing} of {len(self._segs)} missing) — cannot "
+                "reconstruct a contiguous chain."
+            )
+        return parts
+
     def _device_field(self, field, branch=None):
         """Concatenated device array for one field (cached until the next
         ingestion)."""
@@ -185,14 +209,7 @@ class DeviceBackend(Backend):
         key = (field, branch)
         if key in self._cache:
             return self._cache[key]
-        parts = []
-        for seg in self._segs:
-            arr = seg[field][branch] if branch is not None else seg[field]
-            if arr is None:
-                return None
-            if field == "inds" and arr.ndim == len(self.shape[branch]) - 1:
-                arr = jnp.broadcast_to(arr[None], (seg["n"],) + arr.shape)
-            parts.append(arr)
+        parts = self._seg_arrays(field, branch)
         if not parts:
             return None
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
@@ -214,10 +231,6 @@ class DeviceBackend(Backend):
         if dev is None and host is None:
             return None
 
-        def cut(arr, offset=0):
-            # arr covers iterations [offset, offset + len(arr))
-            return arr
-
         if host is not None and dev is not None:
             # offloaded prefix + live device suffix: slice each in its own
             # index space, transfer only the device part
@@ -227,15 +240,16 @@ class DeviceBackend(Backend):
             d_idx = idx[idx >= n_host] - n_host
             parts = []
             if h_idx.size:
-                parts.append(host[h_idx])
+                h = host[h_idx]
+                parts.append(h if temp_index is None else h[:, temp_index])
             if d_idx.size:
                 d = dev[np.asarray(d_idx)]
-                if temp_index is None:
-                    parts.append(np.asarray(d))
-                else:
-                    parts.append(np.asarray(d[:, temp_index]))
-            if temp_index is not None and h_idx.size:
-                parts[0] = parts[0][:, temp_index]
+                if temp_index is not None:
+                    d = d[:, temp_index]
+                parts.append(np.asarray(d))
+            if not parts:  # empty selection: shape-correct empty result
+                h = host[0:0]
+                return h if temp_index is None else h[:, temp_index]
             return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
         if host is not None:
@@ -281,6 +295,11 @@ class DeviceBackend(Backend):
             return out
         raise ValueError(f"Unknown value name: {name}")
 
+    def get_blobs(self, **kwargs):
+        if not self._has_blobs:
+            return None
+        return self.get_value("blobs", **kwargs)
+
     def get_a_sample(self, it):
         """Reconstruct the State at iteration ``it`` — transfers one step."""
         from ..state import State
@@ -290,6 +309,7 @@ class DeviceBackend(Backend):
                 "You must run the sampler with 'store == True' before "
                 "accessing the results."
             )
+        it = int(it) % self.iteration  # support negative indices like a list
         sl = slice(it, it + 1)
         coords = {}
         inds = {}
@@ -327,31 +347,37 @@ class DeviceBackend(Backend):
         return total
 
     def offload(self):
-        """Move everything accumulated on device into host RAM (one bulk
-        transfer); subsequent segments keep landing on device."""
+        """Move everything accumulated on device into host RAM; subsequent
+        segments keep landing on device.  Transfers go segment by segment
+        and concatenate on the HOST, so the device footprint never grows
+        during the offload (this runs exactly when HBM pressure is
+        highest)."""
         if not self._segs:
             return
+
+        def pull(field, branch=None):
+            parts = [np.asarray(a) for a in self._seg_arrays(field, branch)]
+            new = np.concatenate(parts, axis=0) if parts else None
+            old = None
+            if self._host is not None:
+                old = (
+                    self._host[field][branch]
+                    if branch is not None
+                    else self._host[field]
+                )
+            if old is None:
+                return new
+            if new is None:
+                return old
+            return np.concatenate([old, new], axis=0)
+
         fields = {}
         for field in ("log_like", "log_prior", "betas", "blobs"):
-            dev = self._device_field(field)
-            new = None if dev is None else np.asarray(dev)
-            if self._host is not None and self._host[field] is not None:
-                new = (
-                    self._host[field]
-                    if new is None
-                    else np.concatenate([self._host[field], new], axis=0)
-                )
-            fields[field] = new
+            fields[field] = pull(field)
         for field in ("chain", "inds"):
-            out = {}
-            for name in self.branch_names:
-                new = np.asarray(self._device_field(field, name))
-                if self._host is not None:
-                    new = np.concatenate(
-                        [self._host[field][name], new], axis=0
-                    )
-                out[name] = new
-            fields[field] = out
+            fields[field] = {
+                name: pull(field, name) for name in self.branch_names
+            }
         self._host = fields
         self._segs = []
         self._cache = {}

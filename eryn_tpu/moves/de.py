@@ -194,16 +194,10 @@ class DESnookerMove(RedBlueMove):
             mask = s_inds[name][:, :, :, None].astype(dtype)
             pm = None if param_masks is None else param_masks.get(name)
             if pm is not None:
-                pm_arr = jnp.asarray(pm, dtype=dtype)[None, None, :, :]
-                mask = mask * pm_arr
-                per_leaf = pm_arr.sum(axis=-1)  # (1, 1, nleaves_max)
-            else:
-                per_leaf = jnp.full((1, 1, 1), s.shape[-1], dtype=dtype)
-            # active-parameter count per walker (mask broadcasts over ndim,
-            # so sum the per-leaf param counts over active leaves instead)
-            d_active = (
-                s_inds[name].astype(dtype) * per_leaf
-            ).sum(axis=-1)
+                mask = mask * jnp.asarray(pm, dtype=dtype)[None, None, :, :]
+            d_active = _active_ndim(
+                {name: s}, {name: s_inds[name]}, param_masks, [name], dtype
+            )
 
             # minimum-image differences for periodic parameters
             # (periodic.distance(a, b) returns b - a wrapped, as in stretch)

@@ -67,6 +67,17 @@ class KDEMove(RedBlueMove):
         )
 
     def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
+        if param_masks is not None and any(
+            m is not None for m in param_masks.values()
+        ):
+            # a post-hoc Gibbs mask would keep the full-draw Hastings factors
+            # while realizing only the masked coordinates -> biased chain.
+            # The marginal-KDE factors are not implemented; fail loudly.
+            raise ValueError(
+                "KDEMove does not support Gibbs parameter masks: the "
+                "independence factors are computed for the full KDE draw. "
+                "Use DEMove/StretchMove for Gibbs-split updates."
+            )
         names = list(s_coords.keys())
         first = s_coords[names[0]]
         ntemps, ns = first.shape[:2]

@@ -114,6 +114,56 @@ def test_device_backend_auto_offload(priors):
     assert b.get_log_like().shape == (60, NTEMPS, NWALKERS)
 
 
+def test_device_backend_blobs_and_edge_reads(priors):
+    """get_blobs returns stored blobs; empty selections and negative
+    get_a_sample indices behave like the host backend."""
+
+    def ll_b(x):
+        v = -0.5 * jnp.sum(x**2)
+        return v, jnp.stack([v, x[0]])
+
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        ll_b,
+        priors,
+        backend=DeviceBackend(),
+        tempering_kwargs=dict(ntemps=NTEMPS),
+        seed=19,
+    )
+    ens.run_mcmc(priors.rvs(size=(NTEMPS, NWALKERS)), 30)
+    b = ens.backend
+    blobs = b.get_blobs()
+    assert blobs is not None and blobs.shape == (30, NTEMPS, NWALKERS, 2)
+    st = b.get_a_sample(-1)
+    np.testing.assert_allclose(
+        np.asarray(st.log_like), b.get_log_like()[-1], rtol=1e-6
+    )
+    b.offload()
+    ens.run_mcmc(None, 10)
+    # empty selection across the host/device boundary
+    empty = b.get_log_like(discard=b.iteration)
+    assert empty.shape == (0, NTEMPS, NWALKERS)
+    assert b.get_blobs().shape == (40, NTEMPS, NWALKERS, 2)
+
+
+def test_kde_gibbs_masks_raise(priors):
+    from eryn_tpu.moves import KDEMove
+
+    mask = np.zeros((1, NDIM), dtype=bool)
+    mask[0, 0] = True
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        moves=KDEMove(gibbs_sampling_setup=("model_0", mask)),
+        seed=20,
+    )
+    with pytest.raises(ValueError, match="Gibbs parameter masks"):
+        ens.run_mcmc(priors.rvs(size=(NWALKERS,)), 2)
+
+
 def test_device_backend_rj_masks(priors):
     """Reversible jump: per-step masks stored, dead leaves NaN-masked."""
     nmax = 2
