@@ -39,12 +39,23 @@ class MTDistGenMove(MultipleTryMove):
         logq = self.generate_dist.logpdf(tries)
         return tries, logq
 
-    def special_generate_logpdf_kernel(self, state):
-        cur = state.branches[self.key_in].coords[:, :, 0]
-        return self.generate_dist.logpdf(cur)
+    def special_generate_logpdf_kernel(self, state, coords=None):
+        if coords is None:
+            coords = state.branches[self.key_in].coords[:, :, 0]
+        return self.generate_dist.logpdf(coords)
 
     def _current_target_coords(self, state):
         return state.branches[self.key_in].coords[:, :, 0]
+
+    def _with_target_coords(self, state, coords):
+        # the generating distribution ignores the current position, so
+        # anchoring on the chosen point is a coordinate swap with no effect
+        # on the generator; implemented for contract completeness
+        new_coords = dict(state.branches_coords)
+        new_coords[self.key_in] = coords[:, :, None, :]
+        return state.replace(
+            coords=new_coords, inds=dict(state.branches_inds)
+        )
 
     def mt_eval_kernel(self, ctx, state, tries):
         ntemps, nwalkers, num_try, ndim = tries.shape

@@ -37,11 +37,20 @@ class MultipleTryMove(Move):
 
     * ``special_generate_kernel(key, state, num_try) -> (tries, logq)`` with
       ``tries`` shaped ``(ntemps, nwalkers, num_try, ndim)`` and ``logq``
-      ``(ntemps, nwalkers, num_try)``;
-    * ``special_generate_logpdf_kernel(coords) -> (ntemps, nwalkers)`` — the
-      proposal logpdf of existing coordinates (independent case);
+      ``(ntemps, nwalkers, num_try)`` — the proposal is anchored on
+      ``state``'s current coordinates (ignored by state-independent
+      generators);
+    * ``special_generate_logpdf_kernel(state, coords=None) ->
+      (ntemps, nwalkers)`` — the proposal logpdf of ``coords`` (default:
+      ``state``'s current target coords) under the generator anchored on
+      ``state``;
     * ``mt_eval_kernel(ctx, state, tries) -> (ll, lp)`` — likelihood/prior per
-      try, each ``(ntemps, nwalkers, num_try)``.
+      try, each ``(ntemps, nwalkers, num_try)``;
+    * for state-dependent generators with ``independent=False``,
+      ``_with_target_coords(state, coords) -> state`` — a copy of ``state``
+      whose target-branch coordinates are replaced by ``coords``
+      ``(ntemps, nwalkers, ndim)`` (the auxiliary set must be anchored on
+      the *chosen* point for detailed balance).
 
     Args:
         num_try: number of tries.
@@ -66,11 +75,22 @@ class MultipleTryMove(Move):
     def special_generate_kernel(self, key, state, num_try):
         raise NotImplementedError
 
-    def special_generate_logpdf_kernel(self, coords):
+    def special_generate_logpdf_kernel(self, state, coords=None):
         raise NotImplementedError
 
     def mt_eval_kernel(self, ctx, state, tries):
         raise NotImplementedError
+
+    def _with_target_coords(self, state, coords):
+        """Return ``state`` with the target branch's coordinates replaced by
+        ``coords`` (used to anchor the auxiliary set on the chosen point).
+        State-dependent generators with ``independent=False`` must override
+        this; state-independent ones never need it."""
+        raise NotImplementedError(
+            "Non-independent multiple-try with a state-dependent generator "
+            "requires _with_target_coords(state, coords) so the auxiliary "
+            "set can be anchored on the chosen point."
+        )
 
     def mt_select_kernel(self, key, state, ctx):
         """Run the full MT machinery for the in-model case.
@@ -124,20 +144,25 @@ class MultipleTryMove(Move):
                 aux_sub = cur_logP - cur_logq
             aux_logw = jnp.where(one_hot, aux_sub[:, :, None], logw)
         else:
-            # regenerate an auxiliary try set anchored on the chosen point
-            # (ref multipletry.py:432-460)
+            # regenerate an auxiliary try set anchored on the CHOSEN point:
+            # standard MTM draws the reference set from T(y, .) with y the
+            # selected try (Liu, Liang & Wong 2000; ref multipletry.py:432-460)
+            state_y = self._with_target_coords(state, coords_out)
             aux_tries, aux_logq = self.special_generate_kernel(
-                key_aux, state, self.num_try
+                key_aux, state_y, self.num_try
             )
             cur = self._current_target_coords(state)
             aux_tries = jnp.where(one_hot[..., None], cur[:, :, None, :], aux_tries)
             if not self.symmetric:
-                # The chosen slot now holds the *current* point, so its
-                # importance weight must use the proposal logpdf of the
-                # current point, not of the discarded random draw (the
-                # reference computes the generate logpdf after filling the
-                # slot, ref mtdistgen.py special_generate_func).
-                cur_logq = self.special_generate_logpdf_kernel(state)
+                # The chosen slot now holds the *current* point x, so its
+                # importance weight must use T(y -> x) — the proposal logpdf
+                # of the current point under the chosen-point anchor — not
+                # the logpdf of the discarded random draw (the reference
+                # computes the generate logpdf after filling the slot,
+                # ref mtdistgen.py special_generate_func).
+                cur_logq = self.special_generate_logpdf_kernel(
+                    state_y, coords=cur
+                )
                 aux_logq = jnp.where(one_hot, cur_logq[:, :, None], aux_logq)
             aux_ll, aux_lp = self.mt_eval_kernel(ctx, state, aux_tries)
             aux_logP = tempered_log_likelihood(aux_ll, betas[:, None, None]) + aux_lp
@@ -165,3 +190,14 @@ class MultipleTryMoveRJ(MultipleTryMove):
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("rj", True)
         super().__init__(*args, **kwargs)
+
+    def mt_select_kernel(self, key, state, ctx):
+        # the in-model machinery below has no RJ branch (no death-try
+        # inversion, no one-less-leaf auxiliary base); using it for
+        # trans-dimensional proposals would be silently wrong
+        raise NotImplementedError(
+            "MultipleTryMoveRJ's trans-dimensional factor bookkeeping lives "
+            "in MTDistGenMoveRJ (death-try inversion + RJ auxiliary sets); "
+            "subclass MTDistGenMoveRJ or adapt its _propose_impl rather "
+            "than calling the in-model mt_select_kernel."
+        )

@@ -166,10 +166,14 @@ class ReversibleJumpMove(Move):
             # MTDistGenMoveRJ does (chain distribution is unaffected).
             # a proposal only counts as identity when BOTH the leaf count
             # and the coordinates are unchanged, so custom kernels that
-            # swap/replace leaves at constant k are not silently discarded
-            coords_changed = jnp.any(
-                q_branch != coords[name], axis=(-2, -1)
+            # swap/replace leaves at constant k are not silently discarded.
+            # NaN-filled inactive slots (the reference's chain convention)
+            # must compare equal to themselves, else every proposal looks
+            # "changed" and the masking never engages
+            entry_changed = (q_branch != coords[name]) & ~(
+                jnp.isnan(q_branch) & jnp.isnan(coords[name])
             )
+            coords_changed = jnp.any(entry_changed, axis=(-2, -1))
             acc = acc & ((new_nleaves != old_nleaves) | coords_changed)
 
             acc4 = acc[:, :, None, None]

@@ -66,6 +66,12 @@ def make_ladder(ndim, ntemps=None, Tmax=None):
 
     append_inf = False
     if Tmax == np.inf:
+        if ntemps is None:
+            # the reference crashes with TypeError here; raise the intended
+            # error instead (ref tempering.py:90-97)
+            raise ValueError(
+                "Must specify at least one of ntemps and finite Tmax."
+            )
         append_inf = True
         Tmax = None
         ntemps = ntemps - 1
@@ -94,19 +100,6 @@ def tempered_log_likelihood(logl, betas):
         betas = betas[:, None]
     out = logl * betas
     return jnp.where(jnp.isnan(out), -jnp.inf, out)
-
-
-def _swap_rows(x, i, iperm, i1perm, sel):
-    """Exchange entries ``x[i, iperm[w]] <-> x[i-1, i1perm[w]]`` where
-    ``sel[w]``; vectorized compare-and-swap over the walker axis."""
-    sel_b = sel.reshape(sel.shape + (1,) * (x.ndim - 2))
-    xi = x[i][iperm]
-    xi1 = x[i - 1][i1perm]
-    new_i = jnp.where(sel_b, xi1, xi)
-    new_i1 = jnp.where(sel_b, xi, xi1)
-    x = x.at[i, iperm].set(new_i)
-    x = x.at[i - 1, i1perm].set(new_i1)
-    return x
 
 
 class TemperatureControl:
@@ -243,7 +236,12 @@ class TemperatureControl:
         )
 
         # carry (logl, provenance) as one stacked array: provenance indices
-        # stay exact in f32 up to 2^24 entries
+        # stay exact in f32 up to 2^24 entries — enforce it (the pallas
+        # path checks the same bound inside pt_swap)
+        from ..ops.pt_swap import _check_provenance_capacity
+
+        if jnp.dtype(logl.dtype).itemsize <= 4:  # f64 carries exact to 2^53
+            _check_provenance_capacity(ntemps, nwalkers)
         origin0 = jnp.arange(ntemps * nwalkers, dtype=logl.dtype).reshape(
             ntemps, nwalkers
         )
@@ -285,7 +283,7 @@ class TemperatureControl:
         walker axis per cascade composes with per-rung random rotations to
         randomize swap partners (statistically equivalent to the reference's
         per-rung permutations)."""
-        from ..ops.pt_swap import ROLLED_THRESHOLD, pt_swap_cascade
+        from ..ops.pt_swap import proposals_per_rung, pt_swap_cascade
 
         ntemps, nwalkers = logl.shape
         k_pi, k_shift, k_acc = jax.random.split(key, 3)
@@ -308,20 +306,9 @@ class TemperatureControl:
             logl_p, origin0, dbetas, shifts, raccept, interpret=interpret
         )
         swaps_accepted = sel.sum(axis=-1).astype(logl.dtype)
-        if nwalkers > ROLLED_THRESHOLD:
-            # rolled variant: rung-i walker w pairs with (w + s) % nwpad at
-            # rung i-1 and the pair is skipped when the partner is a pad
-            # lane, so the number of proposals per rung depends on the shift
-            nwpad = -(-nwalkers // 128) * 128
-            w = jnp.arange(nwalkers)
-            partner = (w[None, :] + shifts[:, None]) % nwpad
-            swaps_proposed = (partner < nwalkers).sum(axis=-1).astype(
-                logl.dtype
-            )
-        else:
-            swaps_proposed = jnp.full(
-                (ntemps - 1,), nwalkers, dtype=logl.dtype
-            )
+        # the rolled cascade skips pairings whose partner is a pad lane;
+        # the pad/pairing rule lives next to the kernels so it cannot desync
+        swaps_proposed = proposals_per_rung(nwalkers, shifts, logl.dtype)
 
         logl_new = logl_res[:, inv_pi]
         flat = origin_res[:, inv_pi].astype(jnp.int32).reshape(-1)
@@ -388,10 +375,16 @@ class TemperatureControl:
         swap_tree, logl, swaps_accepted, swaps_proposed = self.swap_kernel(
             key, swap_tree, state.log_like, state.betas
         )
+        # every consumer outside this kernel (backend accumulation, the
+        # swap_acceptance_fraction property, plots, host adapt_temps)
+        # normalizes by nwalkers proposals per rung; rescale counts from
+        # cascades that proposed fewer pairings (the rolled pallas variant)
+        # so those ratios stay unbiased
+        ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
+        swaps_accepted = ratios * nwalkers
 
         betas = state.betas
         if adapt and self.adaptive and ntemps > 1:
-            ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
             new_betas = self.ladder_adjustment_kernel(
                 time.astype(betas.dtype), betas, ratios
             )

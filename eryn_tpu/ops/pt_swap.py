@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pt_swap_cascade", "pt_swap_cascade_rolled", "ROLLED_THRESHOLD"]
+__all__ = [
+    "pt_swap_cascade",
+    "pt_swap_cascade_rolled",
+    "proposals_per_rung",
+    "ROLLED_THRESHOLD",
+]
 
 # above this walker count the O(nwalkers^2) one-hot rotation matrices no
 # longer fit comfortably in VMEM and the lane-aligned rolled variant engages
@@ -81,6 +86,25 @@ def _cascade_kernel(ntemps, nwalkers, dbetas_ref, shifts_ref, data_ref,
         out_ref[i] = new_i
         out_ref[i - 1] = new_i1
         sel_ref[i - 1] = sel.astype(out_ref.dtype)
+
+
+def proposals_per_rung(nwalkers, shifts, dtype):
+    """Actual number of proposed pairings per rung for the cascade that
+    :func:`pt_swap_cascade` dispatches to at this ``nwalkers``.
+
+    The rolled variant pads the walker axis to a lane multiple and skips
+    pairs whose rotated partner lands on a pad lane, so the count depends on
+    the per-rung shift; the one-hot variant proposes every walker.  Keeping
+    this rule HERE (next to the kernels) means the dispatch condition and
+    the pad arithmetic cannot silently desync from callers' normalization.
+    """
+    ntemps_m1 = shifts.shape[0]
+    if nwalkers <= ROLLED_THRESHOLD:
+        return jnp.full((ntemps_m1,), nwalkers, dtype=dtype)
+    nwpad = -(-nwalkers // 128) * 128
+    w = jnp.arange(nwalkers)
+    partner = (w[None, :] + shifts[:, None]) % nwpad
+    return (partner < nwalkers).sum(axis=-1).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

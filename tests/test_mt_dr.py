@@ -72,6 +72,73 @@ def test_mt_distgen_nonindependent_unbiased(priors):
     assert np.abs(chain.std(axis=0) - 1.0).max() < 0.15
 
 
+def test_mt_state_dependent_generator(priors):
+    """Regression: with ``independent=False`` and a genuinely state-DEPENDENT
+    asymmetric generator, the auxiliary try set must be anchored on the
+    *chosen* point (standard MTM, Liu/Liang/Wong 2000).  Previously the
+    auxiliary draws came from the OLD point's generator, which breaks
+    detailed balance for any state-dependent proposal."""
+    import jax
+
+    rho, shift, sig = 0.7, 0.5, 1.0
+    log2pi = float(np.log(2 * np.pi))
+
+    class ARGenMT(MTDistGenMove):
+        """Tries ~ N(rho * x + shift, sig^2) — asymmetric, anchored on the
+        current coordinates of the target branch."""
+
+        def _mean(self, state):
+            return rho * state.branches[self.key_in].coords[:, :, 0] + shift
+
+        def special_generate_kernel(self, key, state, num_try):
+            mean = self._mean(state)
+            nt, nw, ndim = mean.shape
+            eps = jax.random.normal(
+                key, (nt, nw, num_try, ndim), dtype=mean.dtype
+            )
+            tries = mean[:, :, None, :] + sig * eps
+            d = (tries - mean[:, :, None, :]) / sig
+            logq = -0.5 * jnp.sum(
+                d**2 + log2pi + 2 * jnp.log(sig), axis=-1
+            )
+            return tries, logq
+
+        def special_generate_logpdf_kernel(self, state, coords=None):
+            mean = self._mean(state)
+            if coords is None:
+                coords = state.branches[self.key_in].coords[:, :, 0]
+            d = (coords - mean) / sig
+            return -0.5 * jnp.sum(d**2 + log2pi + 2 * jnp.log(sig), axis=-1)
+
+    gen = ProbDistContainer({i: normal_dist(0.0, 1.0) for i in range(NDIM)})
+    move = ARGenMT({"model_0": gen}, num_try=6, independent=False)
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        moves=[move],
+        seed=31,
+    )
+    coords = 0.1 * np.random.randn(NWALKERS, NDIM)
+    ens.run_mcmc(coords, 900, burn=300)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.08
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.12
+
+
+def test_mt_rj_mixin_select_raises():
+    """The generic MultipleTryMoveRJ mixin must fail loudly if its in-model
+    selection kernel is invoked: the RJ factor bookkeeping (death-try
+    inversion, one-less-leaf auxiliary base) lives in MTDistGenMoveRJ."""
+    from eryn_tpu.moves.multipletry import MultipleTryMoveRJ
+
+    move = MultipleTryMoveRJ(num_try=2)
+    assert move.mt_rj
+    with pytest.raises(NotImplementedError, match="MTDistGenMoveRJ"):
+        move.mt_select_kernel(None, None, None)
+
+
 def test_mt_rj(priors):
     """MT-RJ on the pulse-count problem: should find the single pulse."""
     rng = np.random.default_rng(5)

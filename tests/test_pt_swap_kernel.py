@@ -141,6 +141,52 @@ def test_rolled_swaps_proposed_counts():
     assert np.all(acc <= prop)
 
 
+def test_temper_kernel_rescales_partial_proposal_counts():
+    """Regression: every consumer outside temper_kernel (backend counters,
+    swap_acceptance_fraction, plots, host adapt_temps) divides the returned
+    swap counts by nwalkers.  When the cascade proposes fewer pairings per
+    rung (the rolled pallas variant skips pad-lane partners), the returned
+    counts must be rescaled so those ratios stay unbiased."""
+    from eryn_tpu.moves.tempering import TemperatureControl
+    from eryn_tpu.state import State
+
+    ntemps, nw = 3, 64
+    tc = TemperatureControl(5, nw, ntemps=ntemps, adaptive=False)
+    state = State(
+        {"m": jnp.zeros((ntemps, nw, 1, 2))},
+        log_like=jnp.zeros((ntemps, nw)),
+        log_prior=jnp.zeros((ntemps, nw)),
+        betas=jnp.asarray(tc.betas),
+    )
+
+    # stub cascade: 20 accepts out of only 50 proposed pairings per rung
+    def fake_swap_kernel(key, swap_tree, logl, betas):
+        acc = jnp.full((ntemps - 1,), 20.0, dtype=logl.dtype)
+        prop = jnp.full((ntemps - 1,), 50.0, dtype=logl.dtype)
+        return swap_tree, logl, acc, prop
+
+    tc.swap_kernel = fake_swap_kernel
+    _, swaps_accepted, _ = tc.temper_kernel(
+        jax.random.PRNGKey(0), state, jnp.zeros((), jnp.int32), adapt=False
+    )
+    # 20/50 acceptance rate reported on the nwalkers scale
+    np.testing.assert_allclose(
+        np.asarray(swaps_accepted), 20.0 / 50.0 * nw, rtol=1e-6
+    )
+
+
+def test_make_ladder_validation():
+    from eryn_tpu.moves.tempering import make_ladder
+
+    # ntemps=None with infinite Tmax must raise the intended ValueError,
+    # not the reference's TypeError(None - 1)
+    with pytest.raises(ValueError, match="ntemps and finite Tmax"):
+        make_ladder(5, ntemps=None, Tmax=np.inf)
+    # the valid inf-Tmax path still appends a beta=0 rung
+    betas = make_ladder(5, ntemps=4, Tmax=np.inf)
+    assert len(betas) == 4 and betas[-1] == 0.0
+
+
 def test_provenance_capacity_guard():
     with pytest.raises(ValueError, match="2\\*\\*24"):
         pt_swap_cascade(

@@ -239,3 +239,46 @@ def test_rj_dr_moves_raises_with_guidance():
             dr_moves=True,
             seed=1,
         )
+
+
+def test_rj_identity_proposals_masked_with_nan_slots():
+    """Regression: identity RJ proposals (change == 0, here a fixed-k branch)
+    must not count as accepts even when inactive leaf slots hold NaN (the
+    reference's chain convention) — NaN != NaN would otherwise defeat the
+    coords-unchanged check and inflate rj acceptance toward ~1."""
+    from eryn_tpu.moves import DistributionGenerateRJ, StretchMove
+
+    t, data, sigma = _pulse_data(with_signal=True)
+    priors = ProbDistContainer(
+        {
+            0: uniform_dist(0.5, 5.0),
+            1: uniform_dist(0.0, 10.0),
+            2: uniform_dist(0.2, 2.0),
+        }
+    )
+    # the rj move holds k fixed at 1 while the array is padded to 2 slots
+    rj_move = DistributionGenerateRJ(
+        {"model_0": priors},
+        nleaves_max={"model_0": 1},
+        nleaves_min={"model_0": 1},
+    )
+    ens = EnsembleSampler(
+        NWALKERS,
+        3,
+        _make_like(t, data, sigma),
+        priors,
+        nleaves_max=2,
+        nleaves_min=1,
+        moves=[StretchMove()],
+        rj_moves=[rj_move],
+        seed=23,
+    )
+    coords = np.asarray(priors.rvs(size=(1, NWALKERS, 2)))
+    coords[:, :, 1, :] = np.nan  # inactive slot: NaN-filled
+    inds = np.zeros((1, NWALKERS, 2), dtype=bool)
+    inds[..., 0] = True
+    ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 50)
+    # every rj proposal is an identity: none may be counted as accepted
+    assert float(np.max(ens.rj_acceptance_fraction)) == 0.0
+    # the in-model move still mixes (NaN slots don't poison the chain)
+    assert float(np.mean(ens.acceptance_fraction)) > 0.05
