@@ -46,6 +46,14 @@ def _finite_min(dtype):
     return float(np.finfo(np.dtype(dtype)).min / 2)
 
 
+def _crossed(prev, now, interval):
+    """True when the count advanced across a multiple of ``interval``
+    between ``prev`` (exclusive) and ``now`` (inclusive).  Segment sizes
+    need not divide the interval: a hook fires on the first boundary at or
+    past each multiple instead of silently never firing."""
+    return now // interval > prev // interval
+
+
 def _segment_plan(nsteps, seg):
     """Plan segment sizes: full segments of ``seg`` plus the remainder
     decomposed into powers of two.  Each distinct length costs one jit
@@ -151,6 +159,7 @@ class LikelihoodEvaluator:
         )
         self.returns_blobs = False
         self.blob_shape = None
+        self._eager = False  # True only inside host_call (blob discovery)
         self.mode = self._detect_mode()
 
     # -- argument building -------------------------------------------------
@@ -271,7 +280,7 @@ class LikelihoodEvaluator:
         out[(nleaves_tot == 0) & finite] = self.fill_zero_leaves_val
         keep = np.where(finite & (nleaves_tot > 0))[0]
         if keep.size == 0:
-            return out
+            return out, self._blob_buffer(N, None)
 
         x_in = []
         groups_in = []
@@ -315,8 +324,15 @@ class LikelihoodEvaluator:
         res = np.asarray(
             self.fn(*args, *self.args, **{**self.kwargs, **kwargs_in})
         )
+        if res.ndim == 2:
+            # (nkeep, 1 + nblobs): second axis carries blobs
+            # (ref ensemble.py:1489-1500)
+            out_blobs = self._blob_buffer(N, res.shape[1] - 1)
+            out[keep] = res[:, 0]
+            out_blobs[keep] = res[:, 1:]
+            return out, out_blobs
         out[keep] = res.reshape(keep.size)
-        return out
+        return out, self._blob_buffer(N, None)
 
     def _host_eval(self, coords_flat, inds_flat, logp_flat, supps_flat=None):
         """Reference per-walker grouping semantics
@@ -375,13 +391,52 @@ class LikelihoodEvaluator:
             items.append((arg, kwargs_i))
             keep.append(i)
 
+        out_blobs = None
         if items:
             worker = _CallbackWorker(self.fn, self.args, self.kwargs)
             map_func = self.pool.map if self.pool is not None else map
             results = list(map_func(worker, items))
             for i, res in zip(keep, results):
-                out[i] = float(np.asarray(res))
-        return out
+                res = np.asarray(res, dtype=np.float64).reshape(-1)
+                if res.size > 1:
+                    # [log_like, *blobs] per walker (ref ensemble.py:1489-1500)
+                    if out_blobs is None:
+                        out_blobs = self._blob_buffer(N, res.size - 1)
+                    out[i] = res[0]
+                    out_blobs[i] = res[1:]
+                else:
+                    out[i] = res[0]
+        if out_blobs is None:
+            out_blobs = self._blob_buffer(N, None)
+        return out, out_blobs
+
+    def _blob_buffer(self, N, nblobs):
+        """Host blob buffer for the callback path.  ``nblobs`` from the
+        observed result width, or ``None`` to fall back to the declared
+        ``blob_shape`` (the traced callback must return static shapes)."""
+        if nblobs is None:
+            if not self.returns_blobs:
+                return None
+            return np.full((N,) + tuple(self.blob_shape), np.nan)
+        shape = (int(nblobs),)
+        if self.returns_blobs and tuple(self.blob_shape) != shape:
+            raise ValueError(
+                f"Callback likelihood returned {nblobs} blob value(s) per "
+                f"walker but {self.blob_shape[0]} were detected at setup."
+            )
+        if not self.returns_blobs:
+            if not self._eager:
+                # the traced pure_callback has already declared its output
+                # shapes; blobs can only be DISCOVERED on an eager host_call
+                raise ValueError(
+                    "Callback likelihood returned blobs, but none were "
+                    "detected at setup. Let the sampler evaluate the initial "
+                    "state (pass coordinates without a precomputed log_like) "
+                    "so the blob shape can be probed before compilation."
+                )
+            self.returns_blobs = True
+            self.blob_shape = shape
+        return np.full((N,) + shape, np.nan)
 
     # -- main traced entry ---------------------------------------------------
     def __call__(self, coords: dict, inds: dict, logp, branch_supps=None):
@@ -446,20 +501,40 @@ class LikelihoodEvaluator:
             out = self._traced_batched(cf_safe, inf, sf)
             ll, blobs = out if isinstance(out, tuple) else (out, None)
         else:
-            ll = jax.pure_callback(
-                lambda c, i, lp, s: self._host_eval(
+            def _cb_host(c, i, lp, s):
+                ll_h, bl_h = self._host_eval(
                     jax.tree_util.tree_map(np.asarray, c),
                     jax.tree_util.tree_map(np.asarray, i),
                     np.asarray(lp),
                     jax.tree_util.tree_map(np.asarray, s),
-                ).astype(self.dtype),
-                jax.ShapeDtypeStruct((N,), self.dtype),
+                )
+                if not self.returns_blobs:
+                    return ll_h.astype(self.dtype)
+                if bl_h is None:
+                    bl_h = np.full(
+                        (ll_h.shape[0],) + tuple(self.blob_shape), np.nan
+                    )
+                return ll_h.astype(self.dtype), bl_h.astype(self.dtype)
+
+            if self.returns_blobs:
+                out_struct = (
+                    jax.ShapeDtypeStruct((N,), self.dtype),
+                    jax.ShapeDtypeStruct(
+                        (N,) + tuple(self.blob_shape), self.dtype
+                    ),
+                )
+            else:
+                out_struct = jax.ShapeDtypeStruct((N,), self.dtype)
+            out = jax.pure_callback(
+                _cb_host,
+                out_struct,
                 cf,
                 inf,
                 logp_flat,
                 sf,
                 vmap_method="sequential",
             )
+            ll, blobs = out if isinstance(out, tuple) else (out, None)
 
         ll = jnp.where(finite, ll, -jnp.inf)
 
@@ -474,6 +549,44 @@ class LikelihoodEvaluator:
         if blobs is not None:
             blobs = blobs.reshape(batch_shape + blobs.shape[1:])
         return ll.reshape(batch_shape).astype(self.dtype), blobs
+
+    def host_call(self, coords, inds, logp, branch_supps=None):
+        """Eager host evaluation for callback mode: the same contract as
+        :meth:`__call__` but on concrete arrays.  Used for the setup-time
+        initial evaluation so blob returns (``[log_like, *blobs]`` per
+        walker, ref ``ensemble.py:1489-1500``) can be *discovered* before
+        the traced path must declare static output shapes."""
+        logp = np.asarray(logp)
+        batch_shape = logp.shape
+        N = int(np.prod(batch_shape))
+
+        def flat(x):
+            x = np.asarray(x)
+            return x.reshape((N,) + x.shape[2:])
+
+        cf = {n: flat(coords[n]) for n in coords}
+        inf = {n: flat(inds[n]) for n in inds}
+        sf = None
+        if branch_supps is not None and self.provide_supplemental:
+            sf = {
+                n: {k: flat(v) for k, v in holder.items()}
+                for n, holder in branch_supps.items()
+                if holder is not None
+            }
+        self._eager = True
+        try:
+            ll, bl = self._host_eval(cf, inf, logp.reshape(N), sf)
+        finally:
+            self._eager = False
+        ll = jnp.asarray(ll.reshape(batch_shape), dtype=self.dtype)
+        blobs = (
+            None
+            if bl is None
+            else jnp.asarray(
+                bl.reshape(batch_shape + bl.shape[1:]), dtype=self.dtype
+            )
+        )
+        return ll, blobs
 
 
 class _CallbackWorker:
@@ -867,10 +980,17 @@ class EnsembleSampler:
                     out[name] = val
                 elif isinstance(val, dict):
                     out[name] = ProbDistContainer(val)
+                elif hasattr(val, "logpdf"):
+                    # a bare distribution over the branch's full parameter
+                    # vector (e.g. scipy multivariate_normal), accepted by
+                    # the reference's priors setter (ref ensemble.py:740-742)
+                    out[name] = ProbDistContainer(
+                        {tuple(range(self.ndims[name])): val}
+                    )
                 else:
                     raise ValueError(
-                        "priors dict values must be ProbDistContainer or dict "
-                        "of distributions."
+                        "priors dict values must be ProbDistContainer, a dict "
+                        "of distributions, or an object with .logpdf."
                     )
             # single flat dict of dists for a single branch
             if set(out.keys()) - set(self.branch_names):
@@ -1599,19 +1719,39 @@ class EnsembleSampler:
             log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
                 self.ntemps, self.nwalkers
             )
+        elif log_prior is None and log_like is not None:
+            # only the prior is missing: don't waste a full-ensemble
+            # likelihood evaluation (+ compile) computing a discarded ll
+            if "init_prior" not in self._step_cache:
+                self._step_cache["init_prior"] = jax.jit(self._prior_eval)
+            log_prior = self._step_cache["init_prior"](coords, inds)
+            log_like = jnp.asarray(log_like, dtype=self.dtype).reshape(
+                self.ntemps, self.nwalkers
+            )
         else:
             from .moves.move import state_branch_supps
 
-            if "init_eval" not in self._step_cache:
-                def _init_eval(c, i, supps):
-                    lp = self._prior_eval(c, i)
-                    ll, bl = self._like_eval(c, i, lp, supps)
-                    return lp, ll, bl
+            if self._like_eval.mode == "callback":
+                # eager host path: runs the legacy likelihood with concrete
+                # arrays, which also discovers blob returns so the traced
+                # path can declare static shapes (host_call docstring)
+                if "init_prior" not in self._step_cache:
+                    self._step_cache["init_prior"] = jax.jit(self._prior_eval)
+                lp_new = self._step_cache["init_prior"](coords, inds)
+                ll_new, blobs_new = self._like_eval.host_call(
+                    coords, inds, lp_new, state_branch_supps(state)
+                )
+            else:
+                if "init_eval" not in self._step_cache:
+                    def _init_eval(c, i, supps):
+                        lp = self._prior_eval(c, i)
+                        ll, bl = self._like_eval(c, i, lp, supps)
+                        return lp, ll, bl
 
-                self._step_cache["init_eval"] = jax.jit(_init_eval)
-            lp_new, ll_new, blobs_new = self._step_cache["init_eval"](
-                coords, inds, state_branch_supps(state)
-            )
+                    self._step_cache["init_eval"] = jax.jit(_init_eval)
+                lp_new, ll_new, blobs_new = self._step_cache["init_eval"](
+                    coords, inds, state_branch_supps(state)
+                )
             if log_prior is None:
                 log_prior = lp_new
             else:
@@ -1688,8 +1828,11 @@ class EnsembleSampler:
         calls it per proposal, ``ensemble.py:983-984``; here proposals run
         inside the compiled segment, so tuning uses the synced per-move
         cumulative accepted counters).  ``update_fn`` fires every
-        ``update_iterations`` yielded iterations, matching the reference's
-        in-``sample()`` hook (``ensemble.py:1033-1038``).
+        ``update_iterations`` *proposal steps* as in the reference's
+        in-``sample()`` hook (``ensemble.py:1033-1038``, which counts thin
+        steps, not yields): with ``thin_by > 1`` each yield advances the
+        proposal counter by ``thin_by`` and the hook fires whenever it
+        crosses a multiple of ``update_iterations``.
         """
         if iterations is None and store:
             raise ValueError("Cannot have iterations be None if store == True.")
@@ -1729,7 +1872,8 @@ class EnsembleSampler:
                 if (
                     self.update_iterations > 0
                     and self.update_fn is not None
-                    and i % self.update_iterations == 0
+                    and _crossed((i - 1) * thin_by, i * thin_by,
+                                 self.update_iterations)
                 ):
                     self.update_fn(i, state, self)
                 pbar.update(thin_by)
@@ -1742,18 +1886,21 @@ class EnsembleSampler:
         nsteps,
         burn=None,
         post_burn_update=False,
+        tune=False,
+        skip_initial_state_check=False,
         thin_by=1,
         store=True,
         progress=False,
         segment_size=None,
-        **kwargs,
     ):
         """Run the chain (ref ``ensemble.py:1047-1125``).
 
         TPU-first execution: iterations are grouped into segments (one device
         dispatch each, chain buffered on device); host hooks (stopping,
         update, plotting) fire at the same iteration counts as the reference
-        — segments are sized to the GCD of the hook intervals.
+        — segments default to the GCD of the hook intervals, and an explicit
+        ``segment_size`` that does not divide them still fires each hook on
+        the first segment boundary at or past its multiple.
         """
         import math
 
@@ -1765,14 +1912,26 @@ class EnsembleSampler:
                 )
             initial_state = self._previous_state
 
-        state = self._setup_state(initial_state)
+        state = self._setup_state(initial_state, skip_initial_state_check)
         thin_by = int(thin_by)
 
-        # burn-in: compiled scans, nothing stored (ref ensemble.py:1082-1095)
+        tuned_moves = (
+            [
+                m
+                for m in self.moves + self.rj_moves
+                if type(m).tune is not Move.tune
+            ]
+            if tune
+            else []
+        )
+
+        # burn-in: compiled scans, nothing stored; thin_by is ignored while
+        # burning, as documented by the reference (ensemble.py:1061,1085-1087)
         if burn is not None and burn > 0:
-            burn_steps = int(burn) * thin_by
-            for n in _segment_plan(burn_steps, 4 * self._max_segment):
+            for n in _segment_plan(int(burn), 4 * self._max_segment):
                 state, _ = self._run_bulk(state, 1, n, store=False)
+                for m in tuned_moves:
+                    m.tune(state, m.accepted)
             if post_burn_update and self.update_fn is not None:
                 self.update_fn(0, state, self)
 
@@ -1794,22 +1953,33 @@ class EnsembleSampler:
         if store:
             self.backend.grow(nsteps, self._blobs_example(state))
 
-        def hook_fires(i):
+        def plot_fires(i0, i):
             return (
-                (
-                    self.plot_iterations > 0
-                    and self.plot_generator is not None
-                    and (i % self.plot_iterations) == 0
-                )
-                or (
-                    self.stopping_iterations > 0
-                    and self.stopping_fn is not None
-                    and (i % self.stopping_iterations) == 0
-                )
-                or (
-                    self.update_iterations > 0
-                    and self.update_fn is not None
-                    and (i % self.update_iterations) == 0
+                self.plot_iterations > 0
+                and self.plot_generator is not None
+                and _crossed(i0, i, self.plot_iterations)
+            )
+
+        def stop_fires(i0, i):
+            return (
+                self.stopping_iterations > 0
+                and self.stopping_fn is not None
+                and _crossed(i0, i, self.stopping_iterations)
+            )
+
+        def update_fires(i0, i):
+            # the reference fires update_fn both inside sample() (every
+            # update_iterations *proposal* steps, ensemble.py:1033-1038) and
+            # in run_mcmc (every update_iterations yields); cover both
+            # cadences
+            return (
+                self.update_iterations > 0
+                and self.update_fn is not None
+                and (
+                    _crossed(i0, i, self.update_iterations)
+                    or _crossed(
+                        i0 * thin_by, i * thin_by, self.update_iterations
+                    )
                 )
             )
 
@@ -1831,9 +2001,14 @@ class EnsembleSampler:
                 state = self._sync_bulk(
                     carry, snaps, counters, n * thin_by, t0
                 )
-                i += n
+                i0, i = i, i + n
                 if store:
-                    if hook_fires(i) or not segment_plan:
+                    if (
+                        plot_fires(i0, i)
+                        or stop_fires(i0, i)
+                        or update_fires(i0, i)
+                        or not segment_plan
+                    ):
                         # hooks read the backend; it must be current
                         self._save_snaps(snaps)
                     else:
@@ -1841,25 +2016,15 @@ class EnsembleSampler:
                 pbar.update(n * thin_by)
                 self._previous_state = state
 
-                if (
-                    self.plot_iterations > 0
-                    and self.plot_generator is not None
-                    and (i % self.plot_iterations) == 0
-                ):
+                for m in tuned_moves:
+                    m.tune(state, m.accepted)
+                if plot_fires(i0, i):
                     self.plot_generator.generate_plot_info(burn=0, thin=1)
-                if (
-                    self.stopping_iterations > 0
-                    and self.stopping_fn is not None
-                    and (i % self.stopping_iterations) == 0
-                ):
+                if stop_fires(i0, i):
                     stop = self.stopping_fn(i, state, self)
                     if stop:
                         break
-                if (
-                    self.update_iterations > 0
-                    and self.update_fn is not None
-                    and (i % self.update_iterations) == 0
-                ):
+                if update_fires(i0, i):
                     self.update_fn(i, state, self)
 
         if pending is not None:

@@ -170,7 +170,11 @@ class RedBlueMove(Move):
                         jnp.where(acc_b, blobs_new, blk(blobs_p, off, ns)),
                         off,
                     )
-                acc_p = unblk(acc_p, acc, off)
+                # OR with earlier Gibbs iterations' flags: the reference
+                # accumulates accepted across iterations
+                # (ref red_blue.py:306-309), so a walker accepted in ANY
+                # iteration counts as accepted for this proposal
+                acc_p = unblk(acc_p, acc | blk(acc_p, off, ns), off)
 
             coords = {n: coords_p[n][:, inv_perm] for n in all_names}
             logl = logl_p[:, inv_perm]

@@ -345,6 +345,19 @@ class BranchSupplemental:
         )
         return out
 
+    def copy(self):
+        """Independent copy: fresh dicts, host object arrays deep-copied.
+        Traced (``jax.Array``) leaves are immutable and safely shared."""
+        import copy as _copy
+
+        new = BranchSupplemental.__new__(BranchSupplemental)
+        new.holder = dict(self.holder)
+        new.host_holder = {
+            k: _copy.deepcopy(v) for k, v in self.host_holder.items()
+        }
+        new.base_shape = self.base_shape
+        return new
+
     def tree_flatten(self):
         # host (object-dtype) entries are NOT leaves: they never enter traced
         # computation; the sampler re-attaches them at segment boundaries
@@ -397,12 +410,35 @@ class State:
     ):
         if isinstance(coords, State):
             other = coords
-            self.branches = dict(other.branches)
+            if copy:
+                # fresh Branch/BranchSupplemental objects so mutating the
+                # copy's supplementals cannot corrupt the original (the
+                # reference deep-copies on copy=True, ref state.py:428-447;
+                # traced arrays are immutable and safely shared)
+                self.branches = {
+                    name: Branch(
+                        b.coords,
+                        inds=b.inds,
+                        branch_supplemental=(
+                            b.supplemental.copy()
+                            if b.supplemental is not None
+                            else None
+                        ),
+                    )
+                    for name, b in other.branches.items()
+                }
+                self.supplemental = (
+                    other.supplemental.copy()
+                    if other.supplemental is not None
+                    else None
+                )
+            else:
+                self.branches = dict(other.branches)
+                self.supplemental = other.supplemental
             self.log_like = other.log_like
             self.log_prior = other.log_prior
             self.blobs = other.blobs
             self.betas = other.betas
-            self.supplemental = other.supplemental
             self.random_state = other.random_state
             return
 
@@ -576,18 +612,24 @@ class ParaState(State):
             if arr.ndim == 5:
                 ngroups = arr.shape[0] if ngroups is None else ngroups
 
-                def fold(x, extra=0):
+                def fold(x):
                     x = jnp.asarray(x)
                     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
                 coords = {n: fold(c) for n, c in coords.items()}
                 if kwargs.get("inds") is not None:
                     kwargs["inds"] = {
-                        n: fold(v) for n, v in kwargs["inds"].items()
+                        # group-batched 4D (ngroups, ntemps, nw, nl) masks
+                        # fold; already-folded 3D input passes through
+                        n: fold(v) if jnp.asarray(v).ndim == 4 else jnp.asarray(v)
+                        for n, v in kwargs["inds"].items()
                     }
                 for field in ("log_like", "log_prior"):
                     if kwargs.get(field) is not None:
-                        kwargs[field] = fold(kwargs[field])
+                        arr = jnp.asarray(kwargs[field])
+                        # only group-batched 3D (ngroups, ntemps, nwalkers)
+                        # input folds; already-folded 2D passes through
+                        kwargs[field] = fold(arr) if arr.ndim == 3 else arr
                 if kwargs.get("betas") is not None:
                     b = jnp.asarray(kwargs["betas"])
                     if b.ndim == 2:

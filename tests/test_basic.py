@@ -183,3 +183,115 @@ def test_sample_hooks_and_tune(gaussian_setup):
         pass
     assert update_calls == [2, 4, 6]
     assert move.tune_calls == 6
+
+
+def test_burn_ignores_thin_by(gaussian_setup):
+    """Regression: thin_by must not multiply burn-in work — the reference
+    documents burn as thin_by=1 (ref ensemble.py:1061,1085-1087).  Verified
+    through the per-move proposal counter."""
+    from eryn_tpu.moves import StretchMove
+
+    means, invcov, priors = gaussian_setup
+    move = StretchMove()
+    ens = EnsembleSampler(
+        32,
+        NDIM,
+        jax_log_like,
+        priors,
+        args=[jnp.asarray(means), invcov],
+        moves=[move],
+        seed=8,
+    )
+    coords = priors.rvs(size=(32,))
+    ens.run_mcmc(coords, 4, burn=3, thin_by=5)
+    # 3 burn proposals + 4 * 5 stored-path proposals
+    assert move.num_proposals == 3 + 4 * 5
+
+
+def test_sample_update_cadence_counts_proposals(gaussian_setup):
+    """Regression: with thin_by > 1 the in-sample update hook fires every
+    update_iterations *proposal steps* (reference counts thin steps inside
+    sample(), ensemble.py:1033-1038), not every update_iterations yields."""
+    means, invcov, priors = gaussian_setup
+    update_calls = []
+    ens = EnsembleSampler(
+        32,
+        NDIM,
+        jax_log_like,
+        priors,
+        args=[jnp.asarray(means), invcov],
+        update_fn=lambda it, state, sampler: update_calls.append(it),
+        update_iterations=10,
+        seed=9,
+    )
+    coords = priors.rvs(size=(32,))
+    for _ in ens.sample(coords, iterations=6, thin_by=5):
+        pass
+    # proposal counts after each yield: 5, 10, 15, ... -> crossings of 10
+    # at yields 2, 4, 6
+    assert update_calls == [2, 4, 6]
+
+
+def test_run_mcmc_hooks_fire_with_unaligned_segments(gaussian_setup):
+    """Regression: an explicit segment_size that does not divide the hook
+    intervals must still fire each hook on the first boundary at or past its
+    multiple (previously hooks silently never fired)."""
+    means, invcov, priors = gaussian_setup
+    update_calls = []
+    stop_calls = []
+
+    def stopping_fn(i, state, sampler):
+        stop_calls.append(i)
+        return False
+
+    ens = EnsembleSampler(
+        32,
+        NDIM,
+        jax_log_like,
+        priors,
+        args=[jnp.asarray(means), invcov],
+        update_fn=lambda it, state, sampler: update_calls.append(it),
+        update_iterations=10,
+        stopping_fn=stopping_fn,
+        stopping_iterations=10,
+        seed=10,
+    )
+    coords = priors.rvs(size=(32,))
+    ens.run_mcmc(coords, 20, segment_size=7)
+    # segments land at i = 7, 14, 18, 20: multiples of 10 are crossed at
+    # i=14 (10) and i=20 (20)
+    assert update_calls == [14, 20]
+    assert stop_calls == [14, 20]
+
+
+def test_run_mcmc_tune_and_state_check_kwargs(gaussian_setup):
+    """run_mcmc forwards tune= to move.tune overrides and honors
+    skip_initial_state_check (both were previously swallowed by **kwargs)."""
+    from eryn_tpu.moves import GaussianMove
+
+    means, invcov, priors = gaussian_setup
+
+    class TunedGaussian(GaussianMove):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.tune_calls = 0
+
+        def tune(self, state, accepted):
+            self.tune_calls += 1
+
+    move = TunedGaussian({"model_0": 0.5 * np.ones(NDIM)})
+    ens = EnsembleSampler(
+        32,
+        NDIM,
+        jax_log_like,
+        priors,
+        args=[jnp.asarray(means), invcov],
+        moves=[move],
+        seed=11,
+    )
+    coords = priors.rvs(size=(32,))
+    ens.run_mcmc(coords, 3, burn=2, tune=True)
+    assert move.tune_calls > 0
+    # unknown kwargs now fail loudly instead of being silently dropped
+    with pytest.raises(TypeError):
+        ens.run_mcmc(coords, 1, not_a_real_kwarg=True)

@@ -60,3 +60,32 @@ def test_para_ensemble_independent_groups():
     # continuing advances all groups
     para.run_mcmc(None, 50)
     assert para.get_log_like().shape[0] == 250
+
+
+def test_para_state_accepts_prefolded_arrays():
+    """Regression: ParaState must not re-fold log_like/log_prior (or inds)
+    that are already in folded 2D/3D form — previously fold() mangled them
+    to 1D and State coerced that to (1, N) silently."""
+    import jax.numpy as jnp
+    from eryn_tpu.state import ParaState
+
+    ngroups, ntemps, nw, nl, nd = 3, 2, 8, 1, 2
+    coords5 = jnp.zeros((ngroups, ntemps, nw, nl, nd))
+    folded_ll = jnp.arange(ngroups * ntemps * nw, dtype=jnp.float32).reshape(
+        ngroups * ntemps, nw
+    )
+    st = ParaState(
+        {"m": coords5},
+        log_like=folded_ll,
+        log_prior=jnp.zeros((ngroups * ntemps, nw)),
+        inds={"m": jnp.ones((ngroups * ntemps, nw, nl), bool)},
+    )
+    assert st.log_like.shape == (ngroups * ntemps, nw)
+    assert st.branches["m"].coords.shape == (ngroups * ntemps, nw, nl, nd)
+    # group-batched input still folds
+    st2 = ParaState(
+        {"m": coords5},
+        log_like=jnp.zeros((ngroups, ntemps, nw)),
+        inds={"m": jnp.ones((ngroups, ntemps, nw, nl), bool)},
+    )
+    assert st2.log_like.shape == (ngroups * ntemps, nw)

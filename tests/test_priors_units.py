@@ -158,3 +158,28 @@ def test_integrated_act_nan_leaf_columns():
     tau = get_integrated_act({"m": x})["m"]
     assert np.isfinite(tau[0, 0, 0])
     assert np.isnan(tau[0, 1, 0])
+
+
+def test_bare_logpdf_prior_accepted():
+    """Regression: priors dict values may be bare distribution objects with
+    .logpdf over the branch's full parameter vector (e.g. a scipy frozen
+    multivariate), as the reference's priors setter allows
+    (ref ensemble.py:740-742)."""
+    from scipy import stats
+
+    from eryn_tpu import EnsembleSampler
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    ens = EnsembleSampler(
+        16,
+        2,
+        ll,
+        {"model_0": stats.multivariate_normal(np.zeros(2), np.eye(2))},
+        seed=17,
+    )
+    coords = 0.5 * np.random.randn(16, 2)
+    ens.run_mcmc(coords, 20)
+    assert ens.backend.iteration == 20
+    assert np.isfinite(np.asarray(ens.get_log_prior())).all()

@@ -237,3 +237,39 @@ def test_provide_supplemental_traced_likelihood():
     chain = ens.get_chain()["model_0"].reshape(-1, ndim)
     # with sigma=2 the posterior std should be ~2, not ~1
     assert abs(chain.std(axis=0).mean() - 2.0) < 0.3
+
+
+def test_state_copy_true_is_independent():
+    """Regression: State(state, copy=True) must not alias mutable holders —
+    mutating the copy's supplemental cannot corrupt the original (the
+    reference deep-copies, ref state.py:428-447)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eryn_tpu.state import BranchSupplemental, State
+
+    coords = jnp.zeros((1, 4, 1, 2))
+    supp = BranchSupplemental(
+        {"tag": np.arange(4.0).reshape(1, 4)}, base_shape=(1, 4)
+    )
+    objs = np.empty((1, 4), dtype=object)
+    objs[:] = [[{"id": i} for i in range(4)]]
+    supp["objs"] = objs
+    st = State(
+        {"m": coords},
+        log_like=jnp.zeros((1, 4)),
+        log_prior=jnp.zeros((1, 4)),
+        branch_supplemental={"m": supp},
+    )
+
+    snap = State(st, copy=True)
+    # mutate the copy's host objects and array entries
+    snap.branches["m"].supplemental["objs"][0, 0]["id"] = 99
+    snap.branches["m"].supplemental["tag"] = np.full((1, 4), -1.0)
+    assert st.branches["m"].supplemental["objs"][0, 0]["id"] == 0
+    np.testing.assert_array_equal(
+        np.asarray(st.branches["m"].supplemental["tag"]),
+        np.arange(4.0).reshape(1, 4),
+    )
+    # copy=False shares (reference semantics)
+    alias = State(st)
+    assert alias.branches["m"] is st.branches["m"]
