@@ -416,7 +416,10 @@ class Backend:
         logp = self.get_value("log_prior", **kwargs)
         if temper:
             betas = self.get_value("betas", **kwargs)
-            return betas[:, :, None] * logl + logp
+            # with temp_index set, betas is (nsteps,) and logl (nsteps, nw);
+            # otherwise (nsteps, ntemps) against (nsteps, ntemps, nw)
+            betas = betas.reshape(betas.shape + (1,) * (logl.ndim - betas.ndim))
+            return betas * logl + logp
         return logl + logp
 
     def get_betas(self, **kwargs):
@@ -434,6 +437,17 @@ class Backend:
             raise AttributeError(
                 "You must run the sampler with 'store == True' before "
                 "accessing the results."
+            )
+        # resolve against the STORED range: the chain is preallocated to the
+        # full run length, so raw indexing could silently return unwritten
+        # (NaN) rows after an interrupted run
+        it = int(it)
+        if it < 0:
+            it += self.iteration
+        if not 0 <= it < self.iteration:
+            raise IndexError(
+                f"Sample index {int(it)} out of range for {self.iteration} "
+                "stored iterations."
             )
         coords = {}
         inds = {}
@@ -460,11 +474,13 @@ class Backend:
     # ------------------------------------------------------------------
     # diagnostics (filled in by eryn_tpu.utils.utility; ref backend.py:616-817)
     # ------------------------------------------------------------------
-    def get_autocorr_thin_burn(self):
+    def get_autocorr_thin_burn(self, tau=None):
         """Suggested ``(discard, thin)`` from the per-parameter integrated
         autocorrelation times (ref ``backend.py:354-384``): discard = 2x the
-        maximum tau, thin = 0.5x the minimum tau."""
-        tau = self.get_autocorr_time()
+        maximum tau, thin = 0.5x the minimum tau.  ``tau`` may be passed to
+        reuse an already-computed ``get_autocorr_time`` result."""
+        if tau is None:
+            tau = self.get_autocorr_time()
         tau_max = max(np.nanmax(np.atleast_1d(v)) for v in tau.values())
         tau_min = min(np.nanmin(np.atleast_1d(v)) for v in tau.values())
         discard = int(2 * tau_max)
@@ -569,12 +585,7 @@ class Backend:
         try:
             tau = self.get_autocorr_time()
             out["tau"] = tau
-            out["ac_burn"] = int(
-                2 * max(np.nanmax(np.atleast_1d(v)) for v in tau.values())
-            )
-            out["ac_thin"] = int(
-                0.5 * min(np.nanmin(np.atleast_1d(v)) for v in tau.values())
-            )
+            out["ac_burn"], out["ac_thin"] = self.get_autocorr_thin_burn(tau)
         except Exception as e:  # noqa: BLE001 — mirror the reference's guard
             print(
                 "Failed to calculate the autocorrelation length. Will not "

@@ -65,7 +65,6 @@ class DeviceBackend(Backend):
         self.blobs = None
         self._segs = []  # device segments: {"n", "chain", "inds", ...}
         self._host = None  # offloaded prefix (dict of concatenated np arrays)
-        self._cache = {}
         self._has_blobs = False
 
     # ------------------------------------------------------------------
@@ -103,15 +102,22 @@ class DeviceBackend(Backend):
         log_like = jnp.asarray(log_like)
         n = int(log_like.shape[0])
         seg = {"n": n, "chain": {}, "inds": {}}
-        missing = jnp.asarray(self.store_missing_leaves, dtype=log_like.dtype)
         for name in self.branch_names:
             c = jnp.asarray(coords[name])
             m = jnp.asarray(inds[name]).astype(bool)
-            if m.ndim == c.ndim - 2:  # no leading step axis: static mask
+            if m.ndim == c.ndim - 2:
+                # no leading step axis: static mask shared by every step
                 mask = m[None]
+            elif m.shape[0] == 1 and n != 1:
+                # leading axis of 1 on a longer segment: also static; store
+                # without the step axis so reads broadcast it
+                mask = m
+                m = m[0]
             else:
                 mask = m
-            # NaN-mask dead leaves at ingestion (ref backend.py:1049-1059)
+            # NaN-mask dead leaves at ingestion (ref backend.py:1049-1059);
+            # fill in the COORDS dtype so storage is never silently promoted
+            missing = jnp.asarray(self.store_missing_leaves, dtype=c.dtype)
             c = jnp.where(mask[..., None], c, missing)
             seg["chain"][name] = c
             seg["inds"][name] = m
@@ -122,7 +128,6 @@ class DeviceBackend(Backend):
         if seg["blobs"] is not None:
             self._has_blobs = True
         self._segs.append(seg)
-        self._cache = {}
 
         # cumulative counters are tiny: sum on device, fetch once
         if accepted is not None:
@@ -201,23 +206,37 @@ class DeviceBackend(Backend):
             )
         return parts
 
-    def _device_field(self, field, branch=None):
-        """Concatenated device array for one field (cached until the next
-        ingestion)."""
-        import jax.numpy as jnp
-
-        key = (field, branch)
-        if key in self._cache:
-            return self._cache[key]
+    def _gather_device(self, field, branch, idx, temp_index):
+        """Transfer the device steps at (device-region-relative, sorted)
+        indices ``idx`` — gathering per segment so the full chain is NEVER
+        concatenated in HBM (a concatenated copy would double the footprint
+        behind ``device_bytes()``'s back)."""
         parts = self._seg_arrays(field, branch)
         if not parts:
             return None
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        self._cache[key] = out
-        return out
+        out = []
+        off = 0
+        for arr in parts:
+            n = arr.shape[0]
+            sel = idx[(idx >= off) & (idx < off + n)] - off
+            off += n
+            if sel.size == 0:
+                continue
+            sub = arr[np.asarray(sel)]
+            if temp_index is not None:
+                sub = sub[:, temp_index]
+            out.append(np.asarray(sub))
+        if not out:  # empty selection: shape-correct empty result
+            empty = parts[0][0:0]
+            if temp_index is not None:
+                empty = empty[:, temp_index]
+            return np.asarray(empty)
+        return np.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
     def _read(self, field, branch, slice_vals, temp_index):
-        """Slice a field device-side and materialize ONLY the result."""
+        """Slice a field and materialize ONLY the result.  Presence must be
+        consistent across the offload boundary: a field stored on one side
+        but not the other is an error, not a silent drop."""
         host = None
         if self._host is not None:
             host = (
@@ -225,41 +244,43 @@ class DeviceBackend(Backend):
                 if branch is not None
                 else self._host[field]
             )
-            if host is None:
-                return None
-        dev = self._device_field(field, branch)
-        if dev is None and host is None:
+        has_dev = any(
+            (seg[field][branch] if branch is not None else seg[field])
+            is not None
+            for seg in self._segs
+        )
+        if self._host is not None and self._segs:
+            if host is None and has_dev:
+                raise ValueError(
+                    f"Field '{field}' is present in live device segments but "
+                    "missing from the offloaded prefix — cannot reconstruct "
+                    "a contiguous chain."
+                )
+            if host is not None and not has_dev:
+                raise ValueError(
+                    f"Field '{field}' is present in the offloaded prefix but "
+                    "missing from the live device segments — cannot "
+                    "reconstruct a contiguous chain."
+                )
+        if host is None and not has_dev:
             return None
 
-        if host is not None and dev is not None:
-            # offloaded prefix + live device suffix: slice each in its own
-            # index space, transfer only the device part
-            n_host = host.shape[0]
-            idx = np.arange(self.iteration)[slice_vals]
-            h_idx = idx[idx < n_host]
-            d_idx = idx[idx >= n_host] - n_host
-            parts = []
-            if h_idx.size:
-                h = host[h_idx]
-                parts.append(h if temp_index is None else h[:, temp_index])
-            if d_idx.size:
-                d = dev[np.asarray(d_idx)]
-                if temp_index is not None:
-                    d = d[:, temp_index]
-                parts.append(np.asarray(d))
-            if not parts:  # empty selection: shape-correct empty result
-                h = host[0:0]
-                return h if temp_index is None else h[:, temp_index]
-            return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        n_host = 0 if host is None else host.shape[0]
+        idx = np.arange(self.iteration)[slice_vals]
+        h_idx = idx[idx < n_host]
+        d_idx = idx[idx >= n_host] - n_host
 
-        if host is not None:
-            out = host[slice_vals]
-            return out if temp_index is None else out[:, temp_index]
-
-        out = dev[slice_vals]
-        if temp_index is not None:
-            out = out[:, temp_index]
-        return np.asarray(out)
+        parts = []
+        if h_idx.size:
+            h = host[h_idx]
+            parts.append(h if temp_index is None else h[:, temp_index])
+        if has_dev and (d_idx.size or not parts):
+            parts.append(self._gather_device(field, branch, d_idx, temp_index))
+        if not parts:
+            # empty selection entirely in the host region
+            h = host[0:0]
+            return h if temp_index is None else h[:, temp_index]
+        return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     def get_value(
         self,
@@ -309,7 +330,14 @@ class DeviceBackend(Backend):
                 "You must run the sampler with 'store == True' before "
                 "accessing the results."
             )
-        it = int(it) % self.iteration  # support negative indices like a list
+        it = int(it)
+        if it < 0:  # support negative indices like a list
+            it += self.iteration
+        if not 0 <= it < self.iteration:
+            raise IndexError(
+                f"Sample index {int(it)} out of range for {self.iteration} "
+                "stored iterations."
+            )
         sl = slice(it, it + 1)
         coords = {}
         inds = {}
@@ -380,4 +408,3 @@ class DeviceBackend(Backend):
             }
         self._host = fields
         self._segs = []
-        self._cache = {}

@@ -263,7 +263,7 @@ class HDFBackend(Backend):
             "rj",
             "nbranches",
         ):
-            return self._attr(item if item != "rj" else "rj")
+            return self._attr(item)
         if item == "branch_names":
             return list(self._attr("branch_names"))
         if item == "ndims":
@@ -327,8 +327,6 @@ class HDFBackend(Backend):
                 blobs = np.asarray(blobs)
                 has_blobs = g.attrs["has_blobs"]
                 if not has_blobs:
-                    nt = g.attrs["ntemps"]
-                    nw = g.attrs["nwalkers"]
                     g.create_dataset(
                         "blobs",
                         (ntot,) + blobs.shape,
@@ -602,10 +600,22 @@ class HDFBackend(Backend):
         (ref ``hdfbackend.py:566-644``)."""
         with self.open() as f:
             g = f[self.name]
-            if g.attrs["iteration"] <= 0:
+            iteration = int(g.attrs["iteration"])
+            if iteration <= 0:
                 raise AttributeError(
                     "You must run the sampler with 'store == True' before "
                     "accessing the results."
+                )
+            # resolve against the STORED range: datasets are preallocated to
+            # the full run length, so raw indexing could silently return
+            # unwritten rows after an interrupted run
+            it = int(it)
+            if it < 0:
+                it += iteration
+            if not 0 <= it < iteration:
+                raise IndexError(
+                    f"Sample index {int(it)} out of range for {iteration} "
+                    "stored iterations."
                 )
             coords = {}
             inds = {}

@@ -311,3 +311,35 @@ def test_read_reference_written_file(priors, tmp_path):
     ens.run_mcmc(None, 8)
     assert ours.iteration == 20
     assert np.isfinite(ens.get_log_like()).all()
+
+
+def test_tempered_log_posterior_with_temp_index(priors):
+    """Regression: get_log_posterior(temper=True, temp_index=...) broadcast
+    (betas is 1-D once a temperature is selected)."""
+    ens = EnsembleSampler(
+        16,
+        NDIM,
+        log_like,
+        priors,
+        tempering_kwargs=dict(ntemps=3),
+        seed=42,
+    )
+    ens.run_mcmc(priors.rvs(size=(3, 16)), 10)
+    full = ens.backend.get_log_posterior(temper=True)
+    cold = ens.backend.get_log_posterior(temper=True, temp_index=0)
+    assert cold.shape == (10, 16)
+    np.testing.assert_allclose(cold, full[:, 0], rtol=1e-6)
+
+
+def test_get_a_sample_bounds_after_partial_store(priors):
+    """Regression: get_a_sample resolves indices against the STORED range,
+    not the preallocated chain length (which is longer after an interrupted
+    run)."""
+    ens = EnsembleSampler(16, NDIM, log_like, priors, seed=43)
+    ens.run_mcmc(priors.rvs(size=(16,)), 5)
+    # simulate an interrupted run: grow beyond what was stored
+    ens.backend.grow(10, None)
+    last = ens.backend.get_a_sample(-1)
+    assert np.isfinite(np.asarray(last.log_like)).all()
+    with pytest.raises(IndexError):
+        ens.backend.get_a_sample(5)

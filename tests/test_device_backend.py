@@ -198,3 +198,80 @@ def test_device_backend_rj_masks(priors):
     assert np.isfinite(chain[minds]).all()
     nleaves = b.get_nleaves()["model_0"]
     assert nleaves.max() <= nmax
+
+
+def _reset_device_backend(nbranches=1):
+    b = DeviceBackend(dtype=np.float32)
+    b.reset(
+        NWALKERS,
+        {"model_0": NDIM},
+        nleaves_max={"model_0": 2},
+        ntemps=NTEMPS,
+        branch_names=["model_0"],
+    )
+    return b
+
+
+def test_device_backend_static_mask_leading_one():
+    """Regression: a (1, ntemps, nwalkers, nleaves) inds array on an n-step
+    segment is a STATIC mask shared by every step — it must broadcast to the
+    segment length, not be stored as a 1-step mask."""
+    b = _reset_device_backend()
+    n = 5
+    coords = {"model_0": jnp.zeros((n, NTEMPS, NWALKERS, 2, NDIM))}
+    inds1 = jnp.ones((1, NTEMPS, NWALKERS, 2), bool)
+    b.save_segment(
+        coords,
+        {"model_0": inds1},
+        log_like=jnp.zeros((n, NTEMPS, NWALKERS)),
+        log_prior=jnp.zeros((n, NTEMPS, NWALKERS)),
+        betas=jnp.ones((n, NTEMPS)),
+    )
+    assert b.iteration == n
+    got = b.get_inds()["model_0"]
+    assert got.shape == (n, NTEMPS, NWALKERS, 2)
+    assert got.all()
+    # every step's sample is reachable
+    b.get_a_sample(n - 1)
+
+
+def test_device_backend_get_a_sample_bounds():
+    """Regression: out-of-range indices raise IndexError instead of silently
+    wrapping via modulo; negative indices work like list indexing."""
+    b = _reset_device_backend()
+    n = 4
+    b.save_segment(
+        {"model_0": jnp.arange(n, dtype=jnp.float32)[:, None, None, None, None]
+         * jnp.ones((n, NTEMPS, NWALKERS, 2, NDIM), jnp.float32)},
+        {"model_0": jnp.ones((NTEMPS, NWALKERS, 2), bool)},
+        log_like=jnp.zeros((n, NTEMPS, NWALKERS)),
+        log_prior=jnp.zeros((n, NTEMPS, NWALKERS)),
+    )
+    s_last = b.get_a_sample(-1)
+    np.testing.assert_allclose(
+        np.asarray(s_last.branches["model_0"].coords), float(n - 1)
+    )
+    with pytest.raises(IndexError):
+        b.get_a_sample(n)
+    with pytest.raises(IndexError):
+        b.get_a_sample(-n - 1)
+
+
+def test_device_backend_mixed_blob_presence_across_offload():
+    """Regression: blobs present only on one side of the offload boundary
+    must raise, not silently drop the stored blobs."""
+    b = _reset_device_backend()
+    n = 3
+    common = dict(
+        log_like=jnp.zeros((n, NTEMPS, NWALKERS)),
+        log_prior=jnp.zeros((n, NTEMPS, NWALKERS)),
+    )
+    coords = {"model_0": jnp.zeros((n, NTEMPS, NWALKERS, 2, NDIM))}
+    inds = {"model_0": jnp.ones((NTEMPS, NWALKERS, 2), bool)}
+    b.save_segment(coords, inds, **common)  # no blobs
+    b.offload()
+    b.save_segment(
+        coords, inds, blobs=jnp.zeros((n, NTEMPS, NWALKERS, 2)), **common
+    )
+    with pytest.raises(ValueError, match="offloaded prefix"):
+        b.get_blobs()
