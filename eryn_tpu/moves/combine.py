@@ -49,6 +49,11 @@ class CombineMove(Move):
                 m.temperature_control = self.temperature_control
             if m.periodic is None:
                 m.periodic = self.periodic
+            # children must see the sharding flag too: a nested StretchMove
+            # would otherwise engage its single-device pallas fast path on a
+            # mesh-sharded ensemble
+            if getattr(self, "sharding_active", False):
+                m.sharding_active = True
             if hasattr(m, "propagate_wiring"):
                 m.propagate_wiring()
 

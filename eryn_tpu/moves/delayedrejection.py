@@ -50,14 +50,33 @@ class DelayedRejection(Move):
 
     Args:
         proposal: a move exposing ``get_proposal_kernel(key, coords, inds,
-            kernel_state) -> (q, factors, kernel_state)`` (e.g.
-            :class:`~eryn_tpu.moves.gaussian.GaussianMove`).
+            kernel_state) -> (q, factors, kernel_state)`` whose proposal is
+            SYMMETRIC per stage (``q(x -> y) == q(y -> x)``), e.g.
+            :class:`~eryn_tpu.moves.gaussian.GaussianMove`.  The recursive
+            acceptance below drops all proposal densities, which is exact
+            only in the symmetric case — the move refuses asymmetric
+            proposals (wrapped ``factors`` are not representable in the
+            multi-stage recursion).  Custom moves opt in by setting a class
+            attribute ``symmetric_proposal = True``.
         max_iter: number of delayed-rejection stages after the first
-            rejection.
+            rejection.  COST NOTE: the traced kernel evaluates ALL
+            ``max_iter + 1`` candidates unconditionally every proposal (no
+            data-dependent early exit under ``jit``), so the move costs
+            ``max_iter + 1`` full likelihood evaluations per step; the
+            default is kept small for that reason (the reference's lazy
+            host loop defaults to 10 but is unreachable, ``rj.py:350-353``).
     """
 
-    def __init__(self, proposal, max_iter=10, **kwargs):
+    def __init__(self, proposal, max_iter=3, **kwargs):
         super().__init__(**kwargs)
+        if not getattr(proposal, "symmetric_proposal", False):
+            raise ValueError(
+                "DelayedRejection requires a symmetric wrapped proposal "
+                "(its recursive acceptance drops all proposal densities). "
+                f"{type(proposal).__name__} does not declare "
+                "symmetric_proposal = True; use GaussianMove, or set the "
+                "attribute on a custom move whose kernel is symmetric."
+            )
         self.proposal = proposal
         self.max_iter = int(max_iter)
 
@@ -73,9 +92,9 @@ class DelayedRejection(Move):
     def _eval_candidate(self, ctx, state, q, betas):
         inds = dict(state.branches_inds)
         logp = ctx.compute_log_prior(q, inds)
-        logl, _ = ctx.compute_log_like(q, inds, logp)
+        logl, blobs = ctx.compute_log_like(q, inds, logp)
         logP = tempered_log_likelihood(logl, betas) + logp
-        return logl, logp, logP
+        return logl, logp, logP, blobs
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         self.propagate_wiring()
@@ -91,15 +110,21 @@ class DelayedRejection(Move):
 
         logl = state.log_like
         logp = state.log_prior
+        blobs = state.blobs
         logP_x = tempered_log_likelihood(logl, betas) + logp
 
-        def merge(accepted_now, q_cand, ll_cand, lp_cand):
-            nonlocal coords, logl, logp
+        def merge(accepted_now, q_cand, ll_cand, lp_cand, blobs_cand):
+            nonlocal coords, logl, logp, blobs
             acc4 = accepted_now[:, :, None, None]
             for n in names:
                 coords[n] = jnp.where(acc4, q_cand[n], coords[n])
             logl = jnp.where(accepted_now, ll_cand, logl)
             logp = jnp.where(accepted_now, lp_cand, logp)
+            if blobs is not None and blobs_cand is not None:
+                acc_b = accepted_now.reshape(
+                    accepted_now.shape + (1,) * (blobs.ndim - 2)
+                )
+                blobs = jnp.where(acc_b, blobs_cand, blobs)
 
         # build the candidate chain x -> y1 -> ... -> yK, evaluating each
         # candidate once; acceptance uses the recursive Mira alphas below
@@ -115,9 +140,11 @@ class DelayedRejection(Move):
                 kernel_state,
             )
             q_full = {**prev_q, **q}
-            ll_c, lp_c, logP_c = self._eval_candidate(ctx, state, q_full, betas)
+            ll_c, lp_c, logP_c, blobs_c = self._eval_candidate(
+                ctx, state, q_full, betas
+            )
             chain_logP.append(logP_c)
-            chain_vals.append((q_full, ll_c, lp_c))
+            chain_vals.append((q_full, ll_c, lp_c, blobs_c))
             prev_q = q_full
 
         # alpha[(s, e)] = acceptance of contiguous sub-path z_s -> z_e
@@ -148,12 +175,13 @@ class DelayedRejection(Move):
             key, ku = jax.random.split(key)
             a = alpha(0, stage)
             u = jax.random.uniform(ku, a.shape, dtype=a.dtype)
-            q_full, ll_c, lp_c = chain_vals[stage - 1]
+            q_full, ll_c, lp_c, blobs_c = chain_vals[stage - 1]
             acc_now = (~accepted) & (u < a)
-            merge(acc_now, q_full, ll_c, lp_c)
+            merge(acc_now, q_full, ll_c, lp_c, blobs_c)
             accepted = accepted | acc_now
 
         new_state = state.replace(
-            coords=coords, inds=inds, log_like=logl, log_prior=logp
+            coords=coords, inds=inds, log_like=logl, log_prior=logp,
+            blobs=blobs,
         )
         return new_state, accepted, kernel_state

@@ -35,7 +35,9 @@ class DistributionGenerate(MHMove):
         names = super().run_branches(state)
         return [n for n in names if n in self.generate_dist]
 
-    def get_proposal_kernel(self, key, branch_coords, branch_inds, kernel_state):
+    def get_proposal_kernel(
+        self, key, branch_coords, branch_inds, kernel_state, param_masks=None
+    ):
         q = {}
         factors = None
         names = list(branch_coords.keys())
@@ -47,6 +49,15 @@ class DistributionGenerate(MHMove):
 
             new = dist.sample(kb, coords.shape[:-1]).astype(coords.dtype)
             xnew = jnp.where(inds[..., None], new, coords)
+            mask = None if param_masks is None else param_masks.get(name)
+            if mask is not None:
+                # restrict the update BEFORE computing factors: the Hastings
+                # ratio must describe the masked proposal, not the full draw
+                # (for the product-form containers this makes lq_old - lq_new
+                # reduce to the selected dimensions' contributions)
+                xnew = jnp.where(
+                    jnp.asarray(mask)[None, None, :, :], xnew, coords
+                )
 
             if self.periodic is not None:
                 xnew = self.periodic.wrap({name: xnew})[name]

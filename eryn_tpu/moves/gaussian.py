@@ -28,11 +28,19 @@ class _BranchProposal:
         self.kind = None
         try:
             scale = float(cov)
+            if scale <= 0:
+                raise ValueError("covariance must be positive.")
             self.kind = "isotropic"
             self.scale = np.sqrt(scale)
         except TypeError:
             cov = np.atleast_1d(np.asarray(cov, dtype=np.float64))
             if cov.ndim == 1:
+                if np.any(cov <= 0):
+                    # a negative variance would give NaN scales and a chain
+                    # that silently never accepts
+                    raise ValueError(
+                        "diagonal covariance entries must be positive."
+                    )
                 self.kind = "diagonal"
                 self.scale = np.sqrt(cov)
             elif cov.ndim == 2 and cov.shape[0] == cov.shape[1]:
@@ -46,8 +54,6 @@ class _BranchProposal:
         else:
             if factor < 1.0:
                 raise ValueError("'factor' must be >= 1.0")
-            if self.kind == "full" and mode != "vector":
-                raise ValueError("full covariance requires mode='vector'")
             self.log_factor = float(np.log(factor))
 
         if mode not in _ALLOWED_MODES:
@@ -70,6 +76,11 @@ class GaussianMove(MHMove):
         factor: optional scale jitter ``exp(U(-log f, log f))``.
     """
 
+    #: every mode's stage kernel is symmetric in (x, y) — the scale jitter
+    #: and dim choices are drawn independently of the current point — so
+    #: DelayedRejection may wrap this move
+    symmetric_proposal = True
+
     def __init__(self, cov_all, mode="vector", factor=None, **kwargs):
         self.all_proposal = {
             name: _BranchProposal(cov, factor, mode) for name, cov in cov_all.items()
@@ -89,7 +100,9 @@ class GaussianMove(MHMove):
             if p.mode == "sequential"
         }
 
-    def get_proposal_kernel(self, key, branch_coords, branch_inds, kernel_state):
+    def get_proposal_kernel(
+        self, key, branch_coords, branch_inds, kernel_state, param_masks=None
+    ):
         q = {}
         new_kernel_state = dict(kernel_state) if kernel_state else {}
         names = list(branch_coords.keys())
@@ -142,6 +155,12 @@ class GaussianMove(MHMove):
                 )
                 dx = jnp.where(dim_mask, dx, 0.0)
                 new_kernel_state[name] = (idx + 1) % ndim
+
+            mask = None if param_masks is None else param_masks.get(name)
+            if mask is not None:
+                # gibbs parameter selection zeroes the step in-kernel so the
+                # periodic wrap below sees the masked proposal
+                dx = jnp.where(jnp.asarray(mask)[None, None, :, :], dx, 0.0)
 
             # only active leaves move (ref gaussian.py:96-110)
             xnew = jnp.where(inds[..., None], coords + dx, coords)

@@ -20,12 +20,33 @@ class MHMove(Move):
     """Base for moves proposing updates for all walkers at once.
 
     Subclasses implement ``get_proposal_kernel(key, branch_coords,
-    branch_inds, kernel_state) -> (q_dict, factors, kernel_state)`` with
-    ``factors`` shaped ``(ntemps, nwalkers)``.
+    branch_inds, kernel_state, param_masks=None) -> (q_dict, factors,
+    kernel_state)`` with ``factors`` shaped ``(ntemps, nwalkers)``.
+
+    ``param_masks`` (``{name: (nleaves_max, ndim) bool}``) carries the
+    Gibbs parameter selection INTO the kernel: asymmetric proposals must
+    restrict both the update and the Hastings factors to the selected
+    parameters — masking the proposal after the factors are computed (the
+    reference's ``cleanup_proposals_gibbs`` ordering, ``move.py:297-336``)
+    would leave factors for discarded draw components in the acceptance
+    ratio and break detailed balance.  Kernels with the legacy 4-argument
+    signature are still called; the base class re-applies the mask
+    afterwards as a safety net (exact only for symmetric proposals).
     """
 
-    def get_proposal_kernel(self, key, branch_coords, branch_inds, kernel_state):
+    def get_proposal_kernel(
+        self, key, branch_coords, branch_inds, kernel_state, param_masks=None
+    ):
         raise NotImplementedError
+
+    def _kernel_takes_masks(self):
+        import inspect
+
+        try:
+            sig = inspect.signature(self.get_proposal_kernel)
+        except (TypeError, ValueError):
+            return False
+        return "param_masks" in sig.parameters
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         coords = dict(state.branches_coords)
@@ -41,16 +62,26 @@ class MHMove(Move):
         blobs = state.blobs
         accepted = jnp.zeros((ntemps, nwalkers), dtype=bool)
 
+        takes_masks = self._kernel_takes_masks()
         for names, param_masks in self.gibbs_iterations_for(state):
             key, kprop, kacc = jax.random.split(key, 3)
-            q, factors, kernel_state = self.get_proposal_kernel(
+            kernel_args = (
                 kprop,
                 {n: coords[n] for n in names},
                 {n: inds[n] for n in names},
                 kernel_state,
             )
+            if takes_masks:
+                q, factors, kernel_state = self.get_proposal_kernel(
+                    *kernel_args, param_masks=param_masks
+                )
+            else:
+                q, factors, kernel_state = self.get_proposal_kernel(
+                    *kernel_args
+                )
 
-            # gibbs parameter masking (ref move.py:297-336)
+            # gibbs parameter masking safety net (see class docstring;
+            # idempotent for kernels that already masked)
             for n in names:
                 mask = param_masks.get(n)
                 if mask is not None:

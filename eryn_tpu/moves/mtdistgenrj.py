@@ -51,6 +51,7 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
         inds = dict(state.branches_inds)
         logl = state.log_like
         logp = state.log_prior
+        blobs = state.blobs
         ntemps, nwalkers = logl.shape
         betas = (
             state.betas
@@ -84,7 +85,9 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
             # base ("one less leaf") state evaluation
             base_inds = {**inds, name: inds_without}
             lp_without = ctx.compute_log_prior(coords, base_inds)
-            ll_without, _ = ctx.compute_log_like(coords, base_inds, lp_without)
+            ll_without, blobs_without = ctx.compute_log_like(
+                coords, base_inds, lp_without
+            )
 
             # candidate leaves; deaths use the removed leaf as try 0
             tries = dist.sample(k_draw, (nt, nw, T)).astype(c.dtype)
@@ -120,9 +123,15 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
             inds_rep[name] = inds_rep[name] | slot_mask_rep
 
             lp_try = ctx.compute_log_prior(coords_rep, inds_rep)
-            ll_try, _ = ctx.compute_log_like(coords_rep, inds_rep, lp_try)
+            ll_try, blobs_try = ctx.compute_log_like(
+                coords_rep, inds_rep, lp_try
+            )
             lp_try = lp_try.reshape(nt, nw, T)
             ll_try = ll_try.reshape(nt, nw, T)
+            if blobs_try is not None:
+                blobs_try = blobs_try.reshape(
+                    (nt, nw, T) + blobs_try.shape[2:]
+                )
 
             # importance weights (proposal pdf gets +lp_base so existing-leaf
             # priors cancel; ref multipletry.py:349-351)
@@ -189,6 +198,20 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
             )
             ll_new = jnp.where(birth, ll_chosen, jnp.where(death, ll_without, logl))
             lp_new = jnp.where(birth, lp_chosen, jnp.where(death, lp_without, logp))
+            blobs_new = None
+            if blobs is not None and blobs_try is not None:
+                # blob of the chosen try (births) / of the base state (deaths)
+                oh = one_hot.reshape(
+                    one_hot.shape + (1,) * (blobs_try.ndim - 3)
+                )
+                blobs_chosen = jnp.sum(jnp.where(oh, blobs_try, 0.0), axis=2)
+                bsel = birth.reshape(birth.shape + (1,) * (blobs.ndim - 2))
+                dsel = death.reshape(death.shape + (1,) * (blobs.ndim - 2))
+                blobs_new = jnp.where(
+                    bsel,
+                    blobs_chosen,
+                    jnp.where(dsel, blobs_without, blobs),
+                )
 
             logP_new = tempered_log_likelihood(ll_new, betas) + lp_new
             logP_old = tempered_log_likelihood(logl, betas) + logp
@@ -201,9 +224,13 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
             inds[name] = jnp.where(acc[:, :, None], new_inds_branch, m)
             logl = jnp.where(acc, ll_new, logl)
             logp = jnp.where(acc, lp_new, logp)
+            if blobs is not None and blobs_new is not None:
+                acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+                blobs = jnp.where(acc_b, blobs_new, blobs)
             accepted_total = accepted_total + acc
 
         new_state = state.replace(
-            coords=coords, inds=inds, log_like=logl, log_prior=logp
+            coords=coords, inds=inds, log_like=logl, log_prior=logp,
+            blobs=blobs,
         )
         return new_state, accepted_total, kernel_state

@@ -65,6 +65,9 @@ class StretchMove(RedBlueMove):
             and self.randomize_split
             and type(self).get_proposal_kernel is StretchMove.get_proposal_kernel
             and type(self).choose_c_vals is StretchMove.choose_c_vals
+            # the fused path never calls the setup() hook; a subclass
+            # overriding it must take the general path so the hook fires
+            and type(self).setup is RedBlueMove.setup
             and self.run_branches(state) == list(state.branches.keys())
         )
 
@@ -188,7 +191,12 @@ class StretchMove(RedBlueMove):
 
     def adjust_factors(self, factors, ndims_old, ndims_new):
         """Gibbs dimension correction (ref ``stretch.py:55-72``):
-        rescale ``log z`` terms from ``ndims_old - 1`` to ``ndims_new - 1``."""
+        rescale ``log z`` terms from ``ndims_old - 1`` to ``ndims_new - 1``.
+
+        API-parity helper for user code ported from the reference.  The
+        in-repo kernels never call it: ``get_proposal_kernel`` already
+        computes factors from the mask-aware active dimension count, so
+        applying this on top of them would double-correct."""
         logzz = factors / (ndims_old - 1.0)
         return logzz * (ndims_new - 1.0)
 

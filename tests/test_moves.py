@@ -99,3 +99,59 @@ def test_weighted_schedule(priors):
     fracs = {k: v for k, v in ens.backend.moves_accepted_fraction.items()}
     assert set(fracs) == {"StretchMove", "GaussianMove"}
     assert all(np.all(np.isfinite(v)) for v in fracs.values())
+
+
+def test_distgen_gibbs_mask_factors_unbiased(priors):
+    """Regression: with parameter-level Gibbs masks, DistributionGenerate
+    must compute Hastings factors for the MASKED proposal — factors for
+    discarded draw components (the reference's post-hoc cleanup ordering)
+    bias the chain when the generator is non-uniform."""
+    from eryn_tpu.prior import normal_dist
+
+    gen = ProbDistContainer(
+        {i: normal_dist(1.0, 1.5) for i in range(NDIM)}
+    )
+    m1 = np.zeros((1, NDIM), dtype=bool)
+    m1[:, : NDIM // 2] = True
+    m2 = ~m1
+    move = DistributionGenerate(
+        {"model_0": gen},
+        gibbs_sampling_setup=[("model_0", m1), ("model_0", m2)],
+    )
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=[move], seed=51
+    )
+    ens.run_mcmc(0.1 * np.random.randn(NWALKERS, NDIM), 1200, burn=300)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.1
+    assert np.abs(chain.std(axis=0) - 1.0).max() < 0.15
+
+
+def test_combine_propagates_sharding_flag():
+    """Regression: CombineMove children must inherit sharding_active so a
+    nested StretchMove cannot engage the single-device pallas path on a
+    sharded ensemble."""
+    from eryn_tpu.moves import CombineMove, StretchMove
+
+    child = StretchMove()
+    combo = CombineMove([child])
+    combo.sharding_active = True
+    combo.propagate_wiring()
+    assert getattr(child, "sharding_active", False)
+
+
+def test_gaussian_move_rejects_bad_covariance():
+    with pytest.raises(ValueError, match="positive"):
+        GaussianMove({"model_0": -1.0})
+    with pytest.raises(ValueError, match="positive"):
+        GaussianMove({"model_0": np.array([1.0, -0.5, 2.0])})
+
+
+def test_delayed_rejection_requires_symmetric_proposal(priors):
+    """DelayedRejection's recursive acceptance drops proposal densities —
+    asymmetric wrapped proposals must be refused, not silently biased."""
+    from eryn_tpu.moves import DelayedRejection
+
+    gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+    with pytest.raises(ValueError, match="symmetric"):
+        DelayedRejection(DistributionGenerate({"model_0": gen}))
