@@ -746,15 +746,6 @@ class EnsembleSampler:
             )
             self.ntemps = self.temperature_control.ntemps
 
-        # ---- periodic -----------------------------------------------------
-        if periodic is not None and not isinstance(periodic, PeriodicContainer):
-            if not isinstance(periodic, dict):
-                raise ValueError(
-                    "periodic must be PeriodicContainer or dict if not None."
-                )
-            periodic = PeriodicContainer(periodic, ndims=self.ndims)
-        self.periodic = periodic
-
         # ---- priors -------------------------------------------------------
         self.priors = self._normalize_priors(priors)
         #: per-branch prior key ordering (ref ensemble.py:755), persisted to
@@ -763,6 +754,18 @@ class EnsembleSampler:
             name: list(getattr(c, "key_order", []))
             for name, c in self.priors.items()
         }
+
+        # ---- periodic (after priors: string parameter keys resolve through
+        # the priors' key_order, ref periodic.py:21-47) -------------------
+        if periodic is not None and not isinstance(periodic, PeriodicContainer):
+            if not isinstance(periodic, dict):
+                raise ValueError(
+                    "periodic must be PeriodicContainer or dict if not None."
+                )
+            periodic = PeriodicContainer(
+                periodic, ndims=self.ndims, key_orders=self.key_order
+            )
+        self.periodic = periodic
 
         # ---- moves schedule (ref ensemble.py:349-514) ----------------------
         if moves is None:

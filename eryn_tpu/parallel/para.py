@@ -41,7 +41,13 @@ class ParaEnsembleSampler:
         tempering_kwargs = dict(kwargs.pop("tempering_kwargs", {}) or {})
         if tempering_kwargs:
             tempering_kwargs.setdefault("use_pallas", False)
-        kwargs.pop("backend", None)
+        if "backend" in kwargs:
+            # silently dropping a backend would lose the user's chain file
+            raise ValueError(
+                "ParaEnsembleSampler keeps its batched chain in memory and "
+                "does not accept a backend; export per group through "
+                "ordinary single-group backends instead."
+            )
         self.sampler = EnsembleSampler(
             nwalkers,
             ndims,
@@ -51,9 +57,16 @@ class ParaEnsembleSampler:
             seed=seed,
             **kwargs,
         )
-        for move in self.sampler.moves:
-            if hasattr(move, "use_pallas"):
-                move.use_pallas = False
+
+        def _disable_pallas(moves):
+            for move in moves:
+                if hasattr(move, "use_pallas"):
+                    move.use_pallas = False
+                # recurse into CombineMove children: a nested StretchMove
+                # would otherwise keep its pallas path under vmap
+                _disable_pallas(getattr(move, "moves", []) or [])
+
+        _disable_pallas(self.sampler.moves + self.sampler.rj_moves)
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
         self._keys = jax.random.split(
@@ -154,7 +167,9 @@ class ParaEnsembleSampler:
         state, time, ks = self._state
 
         if burn:
-            fn = self._batched_bulk(1, int(burn) * thin_by, store=False)
+            # burn counts raw proposal steps; thin_by is ignored while
+            # burning (same contract as EnsembleSampler.run_mcmc)
+            fn = self._batched_bulk(1, int(burn), store=False)
             self._keys, state, time, ks, _ = fn(self._keys, state, time, ks)
 
         if nsteps:

@@ -311,10 +311,18 @@ class ProbDistContainer:
         else:
             self.key_order = list(range(current_ind))
 
-        uni_inds = np.unique(np.concatenate(temp_inds))
+        all_inds = np.concatenate(temp_inds)
+        uni_inds = np.unique(all_inds)
         if len(uni_inds) != uni_inds.max() + 1:
             raise ValueError(
                 "Please ensure all sampled parameters are included in priors."
+            )
+        if len(all_inds) != len(uni_inds):
+            # overlap would double-count the shared dimension's logpdf —
+            # a silently wrong posterior, so fail at construction
+            raise ValueError(
+                "Parameter indices overlap between priors; each sampled "
+                "dimension must appear in exactly one prior."
             )
         self.ndim = int(uni_inds.max() + 1)
         self.use_cupy = use_cupy
@@ -394,12 +402,27 @@ class ProbDistContainer:
         elif not isinstance(size, tuple):
             raise ValueError("Size must be int or tuple of ints.")
         out = np.zeros(size + (self.ndim,))
+        rvs_key = None
         for inds, dist in self.priors:
             if keys is not None and not self._key_selected(inds, keys):
                 continue
-            if not hasattr(dist, "rvs"):
-                continue
-            vals = np.asarray(dist.rvs(size=size))
+            if hasattr(dist, "rvs"):
+                vals = np.asarray(dist.rvs(size=size))
+            elif hasattr(dist, "sample"):
+                # traceable-protocol distribution (sample/logpdf only):
+                # draw through its keyed sampler rather than silently
+                # leaving the column at zero
+                if rvs_key is None:
+                    rvs_key = jax.random.key(
+                        int(np.random.randint(0, 2**31 - 1))
+                    )
+                rvs_key, sub = jax.random.split(rvs_key)
+                vals = np.asarray(dist.sample(sub, size))
+            else:
+                raise TypeError(
+                    f"Distribution for indices {inds} has neither rvs nor "
+                    "sample; cannot draw from it."
+                )
             if len(inds) == 1:
                 out[..., inds[0]] = vals.reshape(size)
             else:

@@ -115,7 +115,11 @@ class TransformContainer:
             for j, i in enumerate(inds):
                 cols[i] = out[j]
         result = lib.stack(cols, axis=-1)
-        return lib.moveaxis(result, -1, 0) if return_transpose else result
+        # full axis reversal (.T), matching BOTH the reference's transform
+        # path and the no-transform branch above — a partial moveaxis here
+        # would give 3D+ inputs a different layout depending on whether any
+        # transforms are registered
+        return result.T if return_transpose else result
 
     def fill_values(self, params, xp=None):
         """Map sampled params into the full basis and insert fixed values

@@ -133,16 +133,23 @@ class AdjustStretchProposalScale(Update):
                     self.max_change,
                 )
                 change = 1 + self.supression_factor * factor
-            elif mean_af > 0:
-                factor = min(
-                    self.supression_factor * (self.target_acceptance / mean_af),
-                    self.max_change,
+            else:
+                # zero measured acceptance is the one regime where shrinking
+                # is mandatory (the scale has run away); cap the ratio at
+                # max_change instead of dividing by zero
+                ratio = (
+                    self.target_acceptance / mean_af
+                    if mean_af > 0
+                    else np.inf
                 )
+                factor = min(self.supression_factor * ratio, self.max_change)
                 change = 1 - factor
 
-            sampler.moves[0].a *= change
-            # recompile with the new scale
-            sampler._step_cache.clear()
+            if change != 1.0:
+                sampler.moves[0].a *= change
+                # recompile with the new scale (skipped when nothing moved:
+                # a cleared step cache costs a full ~10-40 s TPU recompile)
+                sampler._step_cache.clear()
             if self.verbose:
                 print(mean_af, change, sampler.moves[0].a)
 

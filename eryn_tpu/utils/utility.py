@@ -245,21 +245,40 @@ def stepping_stone_log_evidence(betas, logls, block_len=50, repeats=100, seed=No
     return logZ, np.std(estimates)
 
 
-def psrf(chains, ndim=None, per_walker=False):
+def psrf(chains, ndim=None, per_walker=True):
     """Gelman-Rubin potential scale reduction factor R-hat
     (ref ``utility.py:279-330``).
 
     Args:
         chains: ``(nsteps, nwalkers, ndim)`` samples (NaNs allowed for
             RJ-masked entries; they are ignored).
+        ndim: optional parameter-count check (raises on mismatch).
+        per_walker: ``True`` (default) treats every walker as its own chain
+            — the stronger ensemble diagnostic: it catches stuck walkers
+            the reference's default misses.  ``False`` reproduces the
+            reference's default: pool all walkers and compare the first and
+            last thirds of the pooled trace (detects non-stationarity in
+            time only).  DELIBERATE DEVIATION: the reference defaults to
+            the pooled split; ours defaults to per-walker.
 
     Returns:
         ``(ndim,)`` R-hat per parameter.
     """
     chains = np.asarray(chains, dtype=np.float64)
     nsteps, nwalkers, nd = chains.shape
+    if ndim is not None and int(ndim) != nd:
+        raise ValueError(
+            f"ndim={ndim} does not match the chains' parameter count {nd}."
+        )
+    if not per_walker:
+        # reference default (utility.py:310-318): pool every walker, then
+        # diagnose the first vs last third of the pooled trace
+        flat = chains.reshape(-1, nd)
+        n = flat.shape[0] // 3
+        chains = np.stack([flat[:n], flat[-n:]], axis=1)  # (n, 2, nd)
+        nsteps = n
     with np.errstate(invalid="ignore"):
-        means = np.nanmean(chains, axis=0)  # (nwalkers, ndim)
+        means = np.nanmean(chains, axis=0)  # (nchains, ndim)
         variances = np.nanvar(chains, axis=0, ddof=1)
         W = np.nanmean(variances, axis=0)
         B = nsteps * np.nanvar(means, axis=0, ddof=1)

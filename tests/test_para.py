@@ -89,3 +89,43 @@ def test_para_state_accepts_prefolded_arrays():
         inds={"m": jnp.ones((ngroups, ntemps, nw, nl), bool)},
     )
     assert st2.log_like.shape == (ngroups * ntemps, nw)
+
+
+def test_para_burn_ignores_thin_by_and_rejects_backend():
+    """burn counts raw proposal steps (thin_by ignored, same contract as
+    EnsembleSampler.run_mcmc); a user backend is refused rather than
+    silently discarded."""
+    import jax.numpy as jnp
+
+    from eryn_tpu import Backend, ProbDistContainer, uniform_dist
+    from eryn_tpu.parallel.para import ParaEnsembleSampler
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    with pytest.raises(ValueError, match="backend"):
+        ParaEnsembleSampler(2, 16, 2, ll, pr, backend=Backend())
+
+    para = ParaEnsembleSampler(2, 16, 2, ll, pr, seed=3)
+    para.run_mcmc(np.random.randn(2, 16, 2) * 0.1, 4, burn=6, thin_by=5)
+    # the burn bulk was compiled for 6 raw steps, not 6 * thin_by
+    assert (1, 6, False) in para._fn_cache
+    assert (1, 30, False) not in para._fn_cache
+
+
+def test_para_disables_pallas_recursively():
+    import jax.numpy as jnp
+
+    from eryn_tpu import ProbDistContainer, uniform_dist
+    from eryn_tpu.moves import CombineMove, GaussianMove, StretchMove
+    from eryn_tpu.parallel.para import ParaEnsembleSampler
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+    child = StretchMove()
+    combo = CombineMove([child, GaussianMove({"model_0": np.ones(2)})])
+    para = ParaEnsembleSampler(
+        2, 16, 2, lambda x: -0.5 * jnp.sum(x**2), pr, moves=[combo], seed=4
+    )
+    assert child.use_pallas is False

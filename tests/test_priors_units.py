@@ -183,3 +183,40 @@ def test_bare_logpdf_prior_accepted():
     ens.run_mcmc(coords, 20)
     assert ens.backend.iteration == 20
     assert np.isfinite(np.asarray(ens.get_log_prior())).all()
+
+
+def test_prior_container_rejects_overlapping_indices():
+    from eryn_tpu.prior import MultivariateNormalDistribution
+
+    mvn = MultivariateNormalDistribution(np.zeros(2), np.eye(2))
+    with pytest.raises(ValueError, match="overlap"):
+        ProbDistContainer({(0, 1): mvn, 1: uniform_dist(-1, 1)})
+
+
+def test_prior_rvs_sample_only_distribution():
+    """rvs must draw through a traceable-protocol (sample/logpdf only)
+    distribution instead of silently leaving the column at zero."""
+
+    class SampleOnly:
+        def sample(self, key, shape):
+            import jax
+
+            return 3.0 + 0.0 * jax.random.uniform(key, shape)
+
+        def logpdf(self, x):
+            return jnp.zeros(jnp.asarray(x).shape)
+
+    c = ProbDistContainer({0: SampleOnly(), 1: uniform_dist(-1, 1)})
+    draws = c.rvs(size=200)
+    np.testing.assert_allclose(draws[:, 0], 3.0)
+    assert np.abs(draws[:, 1]).max() <= 1.0
+
+
+def test_bad_rvs_distribution_raises():
+    class NoDraw:
+        def logpdf(self, x):
+            return 0.0
+
+    c = ProbDistContainer({0: NoDraw()})
+    with pytest.raises(TypeError, match="neither rvs nor sample"):
+        c.rvs(size=4)

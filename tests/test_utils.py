@@ -213,3 +213,118 @@ def test_plot_rj_and_info_keys(tmp_path):
     assert "rj_leaves_model_0.png" in produced
     assert "rj_leaves_evolution_model_0.png" in produced
     assert pc._labels("model_0", 2) == ["alpha", "beta"]
+
+
+def test_transform_transpose_consistent_3d():
+    """Regression: return_transpose must give the SAME layout (full axis
+    reversal, as the reference) whether or not transforms are registered."""
+    from eryn_tpu.utils.transform import TransformContainer
+
+    basis = ["a", "b"]
+    params = np.random.randn(3, 5, 2)
+    ident = TransformContainer(input_basis=basis, output_basis=basis)
+    trans = TransformContainer(
+        input_basis=basis,
+        output_basis=basis,
+        parameter_transforms={"a": lambda x: x},
+    )
+    a = ident.transform_base_parameters(params, return_transpose=True)
+    b = trans.transform_base_parameters(params, return_transpose=True)
+    assert a.shape == b.shape == (2, 5, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_adjust_stretch_scale_recovers_from_zero_acceptance():
+    """Regression: zero measured acceptance must SHRINK the stretch scale
+    (the runaway-scale regime), and an unchanged scale must not clear the
+    jit cache (a full recompile)."""
+    from types import SimpleNamespace
+
+    from eryn_tpu.utils.updates import AdjustStretchProposalScale
+
+    upd = AdjustStretchProposalScale(target_acceptance=0.22, max_change=0.5)
+    move = SimpleNamespace(a=50.0)
+    backend = SimpleNamespace(accepted=np.zeros((2, 8)), iteration=10)
+    sampler = SimpleNamespace(
+        backend=backend, moves=[move], _step_cache={"step": object()}
+    )
+    upd(10, None, sampler)  # baseline
+    backend.iteration = 20  # zero new accepts since baseline
+    upd(20, None, sampler)
+    assert move.a < 50.0
+    assert not sampler._step_cache  # changed -> cache cleared
+
+    # now exactly at target-ish acceptance where change rounds to != 1 the
+    # cache clears; simulate a no-op (change == 1.0 requires mean_af such
+    # that neither branch moves) -- easiest no-op: time == 0 fresh instance
+    upd2 = AdjustStretchProposalScale()
+    sampler._step_cache["step"] = object()
+    upd2(0, None, sampler)  # first call only records baseline
+    assert sampler._step_cache  # untouched
+
+
+def test_psrf_modes_and_validation():
+    from eryn_tpu.utils.utility import psrf
+
+    rng = np.random.default_rng(3)
+    good = rng.standard_normal((600, 8, 2))
+    # non-stationary in time: detected by the pooled first/last-third split
+    drift = good + np.linspace(0, 5, 600)[:, None, None]
+    assert np.all(psrf(drift, per_walker=False) > 1.3)
+    assert np.all(psrf(good, per_walker=False) < 1.1)
+    with pytest.raises(ValueError, match="ndim"):
+        psrf(good, ndim=7)
+
+
+def test_periodic_string_keys_through_sampler():
+    """String parameter keys in the periodic spec resolve through the
+    priors' key_order (previously raised at construction)."""
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    pr = ProbDistContainer(
+        {"amp": uniform_dist(0.1, 3.0), "phase": uniform_dist(0, 2 * np.pi)}
+    )
+
+    def ll(x):
+        return -0.5 * jnp.sum((x[0] - 1.0) ** 2) - 0.5 * jnp.sum(
+            (jnp.cos(x[1]) - 0.5) ** 2
+        )
+
+    ens = EnsembleSampler(
+        16,
+        2,
+        ll,
+        pr,
+        periodic={"model_0": {"phase": 2 * np.pi}},
+        seed=71,
+    )
+    ens.run_mcmc(pr.rvs(size=(16,)), 30)
+    chain = ens.get_chain()["model_0"][..., 1]
+    assert np.all(chain >= 0) and np.all(chain <= 2 * np.pi)
+
+
+def test_plot_which_plots_bare_string(tmp_path):
+    """Regression: which_plots='base' selects the GROUP (previously iterated
+    the characters and produced nothing)."""
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+    from eryn_tpu.utils.plot import PlotContainer
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+    ens = EnsembleSampler(16, 2, lambda x: -0.5 * jnp.sum(x**2), pr, seed=81)
+    ens.run_mcmc(pr.rvs(size=(16,)), 15)
+    pc = PlotContainer(
+        fp="bare",
+        backend=ens.backend,
+        plot_dir=str(tmp_path),
+        which_plots="base",
+        corner_kwargs={"bins": 10},
+    )
+    pc.produce_plots()
+    import os
+
+    produced = os.listdir(tmp_path)
+    assert "bare_corner_model_0.png" in produced
