@@ -55,7 +55,13 @@ class GroupMove(Move):
 
     def fix_friends_kernel(self, friends, branches_coords, branches_inds):
         """Repair friends for leaves born through RJ (ref ``group.py:88-96``).
-        Default: no-op."""
+        Default: no-op.
+
+        ``branches_coords``/``branches_inds`` are the STATIONARY window
+        snapshot (the ensemble at the last refresh boundary), not the live
+        pre-proposal state: repairs sourced from walkers that move in the
+        same joint step would reintroduce the simultaneous-update
+        dependency the stationary table exists to remove."""
         return friends
 
     def group_proposal_kernel(self, key, s_coords, s_inds, friends, param_masks):
@@ -68,6 +74,9 @@ class GroupMove(Move):
             "friends": self.setup_friends_kernel(
                 state.branches_coords, state.branches_inds
             ),
+            # stationary snapshot backing mid-window friend repairs
+            "snap_coords": dict(state.branches_coords),
+            "snap_inds": dict(state.branches_inds),
         }
 
     def _propose_impl(self, key, state, ctx, kernel_state):
@@ -90,17 +99,24 @@ class GroupMove(Move):
         # refresh the stationary group at window boundaries using the
         # pre-proposal state (ref group.py:148-157, 275-279)
         refresh = (it % self.n_iter_update) == 0
+
+        def blend(new, old):
+            if not hasattr(new, "ndim"):
+                return new
+            return jnp.where(refresh.reshape((1,) * new.ndim), new, old)
+
         fresh = self.setup_friends_kernel(coords, inds)
-        friends = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                refresh.reshape((1,) * new.ndim), new, old
-            )
-            if hasattr(new, "ndim")
-            else new,
-            fresh,
-            friends,
+        friends = jax.tree_util.tree_map(blend, fresh, friends)
+        # the snapshot freezes with the same cadence; mid-window repairs
+        # must draw from it, never from the live ensemble (see
+        # fix_friends_kernel docstring)
+        snap_coords = jax.tree_util.tree_map(
+            blend, dict(coords), kernel_state["snap_coords"]
         )
-        friends = self.fix_friends_kernel(friends, coords, inds)
+        snap_inds = jax.tree_util.tree_map(
+            blend, dict(inds), kernel_state["snap_inds"]
+        )
+        friends = self.fix_friends_kernel(friends, snap_coords, snap_inds)
 
         for names, param_masks in self.gibbs_iterations_for(state):
             key, kprop, kacc = jax.random.split(key, 3)
@@ -140,5 +156,10 @@ class GroupMove(Move):
         new_state = state.replace(
             coords=coords, inds=inds, log_like=logl, log_prior=logp, blobs=blobs
         )
-        new_kernel_state = {"iter": it + 1, "friends": friends}
+        new_kernel_state = {
+            "iter": it + 1,
+            "friends": friends,
+            "snap_coords": snap_coords,
+            "snap_inds": snap_inds,
+        }
         return new_state, accepted, new_kernel_state

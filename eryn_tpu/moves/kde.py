@@ -79,6 +79,19 @@ class KDEMove(RedBlueMove):
                 "Use DEMove/StretchMove for Gibbs-split updates."
             )
         names = list(s_coords.keys())
+        if self.periodic is not None and any(
+            self.periodic._vector_for(n, s_coords[n].shape[-1]) is not None
+            for n in names
+        ):
+            # exact independence factors on a periodic dimension need
+            # wrapped kernels (a sum over periodic images in the density);
+            # unwrapped draws with raw factors would bias the chain near
+            # the seam — fail loudly instead
+            raise ValueError(
+                "KDEMove does not support periodic parameters: the KDE "
+                "independence factors are computed on the unwrapped space. "
+                "Use DEMove/StretchMove for periodic dimensions."
+            )
         first = s_coords[names[0]]
         ntemps, ns = first.shape[:2]
         dtype = first.dtype

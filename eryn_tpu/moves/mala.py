@@ -175,7 +175,19 @@ class MALAMove(Move):
                 (ll, lp, blobs),
             )
 
-        grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+        raw_grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+
+        def grad_fn(active_coords):
+            (val, aux), g = raw_grad_fn(active_coords)
+            # a walker at a -inf-logP point has a NaN gradient (the where
+            # zeroes the cotangent but 0 * nan = nan in backprop); zero it
+            # so the proposal degenerates to a pure noise step that can
+            # ESCAPE instead of freezing the walker forever
+            g = jax.tree_util.tree_map(
+                lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g
+            )
+            return (val, aux), g
+
         return names, coords, inds, betas, dtype, grad_fn
 
     def _wrap_periodic(self, name, q):
@@ -309,7 +321,16 @@ class MALAMove(Move):
                     (ll, lp, blobs),
                 )
 
-            grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+            raw_grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
+
+            def grad_fn(active_coords, raw_grad_fn=raw_grad_fn):
+                (val, aux), g = raw_grad_fn(active_coords)
+                # see _grad_setup: zero NaN gradients from -inf-logP points
+                g = jax.tree_util.tree_map(
+                    lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g
+                )
+                return (val, aux), g
+
             x = {n: blk(coords_p[n]) for n in names}
             (_, _aux0), grad_x = grad_fn(x)
 

@@ -70,12 +70,24 @@ class WalkMove(RedBlueMove):
                 float(self.scale) if self.scale is not None else nc_eff**-0.5
             )
 
-            flat = c.reshape(nt, nc, nl * nd)
-            dev = flat - flat.mean(axis=1, keepdims=True)
+            if self.periodic is not None:
+                # minimum-image deviations: raw differences across a
+                # periodic seam would inflate the complement spread
+                mean = c.mean(axis=1, keepdims=True)
+                dev4 = self.periodic.distance(
+                    {name: jnp.broadcast_to(mean, c.shape)}, {name: c}
+                )[name]
+                dev = dev4.reshape(nt, nc, nl * nd)
+            else:
+                flat = c.reshape(nt, nc, nl * nd)
+                dev = flat - flat.mean(axis=1, keepdims=True)
             # (nt, ns, nc) @ (nt, nc, D) -> (nt, ns, D): the MXU does the
             # whole half-ensemble update in one batched matmul
             step = jnp.einsum("tsc,tcd->tsd", z, dev) * scale
-            newpos[name] = s + step.reshape(ntemps, ns, nl, nd)
+            q = s + step.reshape(ntemps, ns, nl, nd)
+            if self.periodic is not None:
+                q = self.periodic.wrap({name: q})[name]
+            newpos[name] = q
 
         factors = jnp.zeros((ntemps, ns), dtype=dtype)
         return newpos, factors

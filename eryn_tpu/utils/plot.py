@@ -21,7 +21,10 @@ __all__ = ["PlotContainer"]
 def _get_plt():
     import matplotlib
 
-    matplotlib.use("Agg")
+    # never hijack an interactive session's backend: only force Agg when
+    # matplotlib has not yet materialized one
+    if "matplotlib.pyplot" not in __import__("sys").modules:
+        matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     return plt
@@ -108,15 +111,24 @@ class PlotContainer:
                 ndim, ndim, figsize=(2.0 * ndim, 2.0 * ndim)
             )
             axes = np.atleast_2d(axes)
+            bins = self.corner_kwargs.get("bins", 40)
+            hist_kwargs = {
+                k: v for k, v in self.corner_kwargs.items() if k != "bins"
+            }
             for i in range(ndim):
                 for j in range(ndim):
                     ax = axes[i, j]
                     if j > i:
                         ax.set_visible(False)
                     elif i == j:
-                        ax.hist(samples[:, i], bins=40, histtype="step")
+                        ax.hist(
+                            samples[:, i],
+                            bins=bins,
+                            histtype="step",
+                            **hist_kwargs,
+                        )
                     else:
-                        ax.hist2d(samples[:, j], samples[:, i], bins=40)
+                        ax.hist2d(samples[:, j], samples[:, i], bins=bins)
                     if i < ndim - 1:
                         ax.set_xticklabels([])
                     if j > 0:
@@ -137,12 +149,15 @@ class PlotContainer:
         backend = self.backend
         for nm in backend.branch_names:
             chain = backend.get_chain(discard=burn, thin=thin)[nm]
+            inds = backend.get_inds(discard=burn, thin=thin)[nm]
             nsteps, ntemps, nwalkers, nl, nd = chain.shape
             labels = self._labels(nm, nd)
             fig, axes = plt.subplots(nd, 1, figsize=(8, 2 * nd), squeeze=False)
+            # stale coordinates of INACTIVE leaves must not be plotted
+            lead = np.where(inds[:, 0, :, 0, None], chain[:, 0, :, 0, :], np.nan)
             for d in range(nd):
                 axes[d, 0].plot(
-                    chain[:, 0, :, 0, d], alpha=0.3, lw=0.5, color="k"
+                    lead[..., d], alpha=0.3, lw=0.5, color="k"
                 )
                 axes[d, 0].set_ylabel(labels[d])
             fig.suptitle(f"{nm} trace (cold chain)")
@@ -253,6 +268,10 @@ class PlotContainer:
         rng = np.random.default_rng(42)
         for nm in backend.branch_names:
             chain = backend.get_chain(discard=burn, thin=thin)[nm]
+            inds = backend.get_inds(discard=burn, thin=thin)[nm]
+            # stale inactive-leaf slots are finite junk: NaN-mask them so
+            # the per-temperature densities only see live samples
+            chain = np.where(inds[..., None], chain, np.nan)
             nsteps, ntemps, nwalkers, nl, nd = chain.shape
             labels = self._labels(nm, nd)
             fig, axes = plt.subplots(
@@ -494,7 +513,10 @@ class PlotContainer:
             "advanced": self.produce_advanced_plots,
         }
         which = self.which_plots
-        if which in ("all", ("all",)):
+        if isinstance(which, str):
+            # a bare string must select the GROUP, not iterate characters
+            which = tuple(groups) if which == "all" else (which,)
+        elif "all" in which:
             which = tuple(groups)
         for key in which:
             try:

@@ -172,3 +172,29 @@ def test_mala_ensemble_preconditioning():
     tau_pre = np.nanmax(pre.get_autocorr_time()["model_0"])
     tau_plain = np.nanmax(plain.get_autocorr_time()["model_0"])
     assert tau_pre * 2 < tau_plain, (tau_pre, tau_plain)
+
+
+def test_mala_escapes_nan_gradient_region(priors):
+    """Regression: a walker in a -inf-log-like region whose gradient is NaN
+    (log(0) with 0/0 derivative, e.g. a truncated density) must degenerate
+    to a pure noise step and ESCAPE rather than freeze forever."""
+    from eryn_tpu.moves import MALAMove
+
+    def trunc_ll(x):
+        # log of a truncated paraboloid: -inf outside |x|^2 < 4 with a NaN
+        # gradient there (d log(relu)/dx = 0/0)
+        return jnp.log(jnp.maximum(4.0 - jnp.sum(x**2), 0.0))
+
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        trunc_ll,
+        priors,
+        moves=[MALAMove()],
+        seed=63,
+    )
+    coords = 0.3 * np.random.randn(NWALKERS, NDIM)
+    coords[0] = 2.1 / np.sqrt(NDIM)  # just outside the support sphere
+    ens.run_mcmc(coords, 300)
+    ll_last = np.asarray(ens.get_log_like())[-1]
+    assert np.isfinite(ll_last).all(), "stuck walker never escaped"

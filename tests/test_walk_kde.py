@@ -127,3 +127,58 @@ def test_kde_too_few_walkers_raises(priors):
     )
     with pytest.raises(ValueError, match="complement walkers"):
         ens2.run_mcmc(priors.rvs(size=(6,)), 2)
+
+
+def test_walk_periodic_wraps(priors_p=None):
+    """Regression: WalkMove must honor an injected PeriodicContainer —
+    minimum-image deviations and wrapped proposals."""
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+    from eryn_tpu.moves import WalkMove
+
+    P = 2 * np.pi
+    pr = ProbDistContainer({0: uniform_dist(0, P), 1: uniform_dist(-5, 5)})
+
+    def ll(x):
+        return -0.5 * ((jnp.cos(x[0]) - 1.0) ** 2 / 0.01 + x[1] ** 2)
+
+    ens = EnsembleSampler(
+        32,
+        2,
+        ll,
+        pr,
+        moves=[WalkMove()],
+        periodic={"model_0": {0: P}},
+        seed=61,
+    )
+    coords = np.column_stack(
+        [
+            np.random.choice([0.05, P - 0.05], size=32),  # straddle the seam
+            0.1 * np.random.randn(32),
+        ]
+    )
+    ens.run_mcmc(coords, 300, burn=100)
+    chain = ens.get_chain()["model_0"][..., 0]
+    assert np.all(chain >= 0) and np.all(chain < P)
+    # the seam-straddling mode keeps both sides populated (mixing across it)
+    flat = chain.reshape(-1)
+    assert (flat < 0.5).mean() > 0.05 and (flat > P - 0.5).mean() > 0.05
+    assert float(np.mean(np.asarray(ens.acceptance_fraction))) > 0.05
+
+
+def test_kde_rejects_periodic():
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+    from eryn_tpu.moves import KDEMove
+
+    P = 2 * np.pi
+    pr = ProbDistContainer({0: uniform_dist(0, P), 1: uniform_dist(-5, 5)})
+    ens = EnsembleSampler(
+        32,
+        2,
+        lambda x: -0.5 * jnp.sum(x**2),
+        pr,
+        moves=[KDEMove()],
+        periodic={"model_0": {0: P}},
+        seed=62,
+    )
+    with pytest.raises(ValueError, match="periodic"):
+        ens.run_mcmc(np.asarray(pr.rvs(size=(32,))), 5)
