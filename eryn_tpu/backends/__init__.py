@@ -13,3 +13,17 @@ except ImportError:  # pragma: no cover
             raise NotImplementedError("HDFBackend requires h5py.")
 
     __all__ = ["Backend", "DeviceBackend", "HDFBackend"]
+
+
+def get_test_backends():
+    """Backends usable for testing (ref ``backends/__init__.py:10-20``):
+    the in-memory backend plus, when h5py is available, the temp-file HDF
+    backend context manager."""
+    backends = [Backend]
+    try:
+        import h5py  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        backends.append(TempHDFBackend)
+    return backends

@@ -33,6 +33,13 @@ from .backends import Backend, HDFBackend
 from .model import Model
 from .moves import StretchMove
 from .moves.move import EvalContext, Move
+
+# re-exported names available from the reference's ensemble namespace
+# (ref ensemble.py imports; kept importable for ported user code)
+from .moves import GaussianMove  # noqa: F401
+from .moves.distgenrj import DistributionGenerateRJ  # noqa: F401
+from .utils.plot import PlotContainer  # noqa: F401
+from .utils.utility import groups_from_inds  # noqa: F401
 from .moves.tempering import TemperatureControl, tempered_log_likelihood
 from .pbar import get_progress_bar
 from .prior import ProbDistContainer
@@ -747,7 +754,7 @@ class EnsembleSampler:
             self.ntemps = self.temperature_control.ntemps
 
         # ---- priors -------------------------------------------------------
-        self.priors = self._normalize_priors(priors)
+        self.priors = priors
         #: per-branch prior key ordering (ref ensemble.py:755), persisted to
         #: the backend and validated on resume
         self.key_order = {
@@ -972,6 +979,17 @@ class EnsembleSampler:
                     )
             return {k: int(v) for k, v in value.items()}
         raise ValueError(f"{label} must be a scalar int, list or dict.")
+
+    @property
+    def priors(self):
+        """Per-branch prior containers.  The setter normalizes like the
+        reference's priors property (ref ensemble.py:715-757), so assigning
+        a bare dict of distributions after construction keeps working."""
+        return self._priors
+
+    @priors.setter
+    def priors(self, priors):
+        self._priors = self._normalize_priors(priors)
 
     def _normalize_priors(self, priors):
         if isinstance(priors, ProbDistContainer):

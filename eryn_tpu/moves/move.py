@@ -97,6 +97,9 @@ class Move:
         self.prevent_swaps = prevent_swaps
         self.skip_supp_names_update = list(skip_supp_names_update)
         self.proposal_branch_names = proposal_branch_names
+        # API parity with the reference's device switch (ref move.py:98-111):
+        # on TPU everything runs on-device under jit, so the flag is inert
+        self.use_gpu = bool(kwargs.pop("use_gpu", False))
         self._initialize_branch_setup(gibbs_sampling_setup, is_rj=self.is_rj)
 
         # host-side counters (mirrors ``move.py:404-421``); synced from the
@@ -109,6 +112,14 @@ class Move:
     # ------------------------------------------------------------------
     # configuration helpers
     # ------------------------------------------------------------------
+    @property
+    def xp(self):
+        """Array namespace (ref ``move.py:98-111`` returns numpy/cupy; the
+        TPU build's arrays are jax.numpy)."""
+        import jax.numpy as jnp
+
+        return jnp
+
     @property
     def accepted_hist(self):
         return self.accepted

@@ -60,17 +60,30 @@ class PlotContainer:
         parameter_transforms=None,
         info_keys=None,
         which_plots=("base",),
+        plots=None,
+        parent_folder=None,
+        branches=None,
+        truths=None,
+        overlay_covariance=None,
     ):
         self.fp = fp
         self.backend = backend
-        self.plot_dir = plot_dir
+        # reference-compatible aliases (ref plot.py:1223-1233)
+        self.plot_dir = parent_folder if parent_folder is not None else plot_dir
         self.thin_chain_by_ac = thin_chain_by_ac
         self.corner_kwargs = corner_kwargs or {}
         self.parameter_transforms = parameter_transforms
         #: {branch: [labels]} parameter names used on axes; falls back to the
         #: backend's persisted prior key_order (ref plot.py:1306)
         self.info_keys = info_keys
-        self.which_plots = which_plots
+        self.which_plots = plots if plots is not None else which_plots
+        #: restrict plotting to these branches (None = all)
+        self.branches = branches
+        #: {branch: (ndim,) true values} drawn as lines on the corner plots
+        self.truths = truths
+        #: {branch: (ndim, ndim) covariance} 1-sigma Gaussian overlay on the
+        #: corner diagonals (ref cornerplot overlay, plot.py:232-241)
+        self.overlay_covariance = overlay_covariance
         # acceptance-evolution history accumulated across produce_plots
         # calls (the reference accumulates the same way, plot.py:1344-1364)
         self._steps = []
@@ -97,7 +110,7 @@ class PlotContainer:
         """Corner (pair) plot of the cold chain (ref ``plot.py:989``-family)."""
         plt = _get_plt()
         backend = self.backend
-        names = [name] if name else backend.branch_names
+        names = [name] if name else (self.branches or backend.branch_names)
         figs = []
         for nm in names:
             samples = _flat_cold_chain(backend, nm, burn, thin)
@@ -137,6 +150,34 @@ class PlotContainer:
                         ax.set_xlabel(labels[j])
                     if j == 0 and i > 0:
                         ax.set_ylabel(labels[i])
+            truths = None if self.truths is None else self.truths.get(nm)
+            if truths is not None:
+                truths = np.atleast_1d(np.asarray(truths, dtype=float))
+                for i in range(ndim):
+                    for j in range(i + 1):
+                        ax = axes[i, j]
+                        ax.axvline(truths[j], color="C3", lw=1)
+                        if j < i:
+                            ax.axhline(truths[i], color="C3", lw=1)
+            ocov = (
+                None
+                if self.overlay_covariance is None
+                else self.overlay_covariance.get(nm)
+            )
+            if ocov is not None:
+                ocov = np.asarray(ocov, dtype=float)
+                center = (
+                    truths
+                    if truths is not None
+                    else samples.mean(axis=0)
+                )
+                for i in range(ndim):
+                    sd = np.sqrt(ocov[i, i])
+                    g = np.linspace(center[i] - 4 * sd, center[i] + 4 * sd, 200)
+                    dens = np.exp(-0.5 * ((g - center[i]) / sd) ** 2)
+                    ax = axes[i, i]
+                    ymax = ax.get_ylim()[1]
+                    ax.plot(g, dens * ymax, color="C2", lw=1, ls="--")
             fig.suptitle(f"{nm} corner")
             if save:
                 fig.savefig(self._path(f"corner_{nm}"))
@@ -147,7 +188,7 @@ class PlotContainer:
     def plot_trace(self, burn=0, thin=1, save=True):
         plt = _get_plt()
         backend = self.backend
-        for nm in backend.branch_names:
+        for nm in self.branches or backend.branch_names:
             chain = backend.get_chain(discard=burn, thin=thin)[nm]
             inds = backend.get_inds(discard=burn, thin=thin)[nm]
             nsteps, ntemps, nwalkers, nl, nd = chain.shape
@@ -266,7 +307,7 @@ class PlotContainer:
         plt = _get_plt()
         backend = self.backend
         rng = np.random.default_rng(42)
-        for nm in backend.branch_names:
+        for nm in self.branches or backend.branch_names:
             chain = backend.get_chain(discard=burn, thin=thin)[nm]
             inds = backend.get_inds(discard=burn, thin=thin)[nm]
             # stale inactive-leaf slots are finite junk: NaN-mask them so

@@ -328,3 +328,63 @@ def test_plot_which_plots_bare_string(tmp_path):
 
     produced = os.listdir(tmp_path)
     assert "bare_corner_model_0.png" in produced
+
+
+def test_reference_namespace_parity():
+    """Names importable from the reference's module namespaces resolve here
+    too (migration compatibility)."""
+    from eryn_tpu.backends import get_test_backends
+    from eryn_tpu.ensemble import (  # noqa: F401
+        DistributionGenerateRJ,
+        GaussianMove,
+        PlotContainer,
+        groups_from_inds,
+    )
+    from eryn_tpu.moves import StretchMove
+
+    backends = get_test_backends()
+    assert len(backends) >= 2  # Backend + TempHDFBackend (h5py present)
+    m = StretchMove(use_gpu=True)  # inert device flag, accepted for parity
+    assert m.use_gpu is True
+    import jax.numpy as jnp
+
+    assert m.xp is jnp
+
+
+def test_plot_container_reference_kwargs(tmp_path):
+    """Reference-style constructor spelling: plots=, parent_folder=,
+    truths=, overlay_covariance=, branches=."""
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+    from eryn_tpu.utils.plot import PlotContainer
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+    ens = EnsembleSampler(16, 2, lambda x: -0.5 * jnp.sum(x**2), pr, seed=83)
+    ens.run_mcmc(pr.rvs(size=(16,)), 15)
+    pc = PlotContainer(
+        fp="refk",
+        backend=ens.backend,
+        plots="base",
+        parent_folder=str(tmp_path),
+        branches=["model_0"],
+        truths={"model_0": np.zeros(2)},
+        overlay_covariance={"model_0": np.eye(2)},
+    )
+    pc.produce_plots()
+    import os
+
+    assert "refk_corner_model_0.png" in os.listdir(tmp_path)
+
+
+def test_priors_setter_normalizes():
+    import jax.numpy as jnp
+
+    from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+    ens = EnsembleSampler(16, 2, lambda x: -0.5 * jnp.sum(x**2), pr, seed=84)
+    # assign a bare dict of distributions post-construction (reference
+    # priors-setter behavior)
+    ens.priors = {"model_0": {i: uniform_dist(-3, 3) for i in range(2)}}
+    assert isinstance(ens.priors["model_0"], ProbDistContainer)
