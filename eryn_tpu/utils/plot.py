@@ -15,7 +15,28 @@ import os
 
 import numpy as np
 
-__all__ = ["PlotContainer"]
+__all__ = [
+    "PlotContainer",
+    "save_or_show",
+    "cov_ellipse",
+    "overlay_fim_covariance",
+    "cornerplot",
+    "traceplot",
+    "plot_loglikelihood",
+    "tempering_ridgeplot",
+    "plot_swap_acceptance",
+    "plot_logl_betas",
+    "plot_betas_evolution",
+    "plot_leaves",
+    "plot_leaves_evolution",
+    "plot_acceptance_fraction",
+    "plot_tempered_acceptance_fraction",
+    "plot_act_evolution",
+    "produce_base_plots",
+    "produce_tempering_plots",
+    "produce_advanced_plots",
+    "produce_rj_plots",
+]
 
 
 def _get_plt():
@@ -574,3 +595,541 @@ class PlotContainer:
     # reference-compatible alias
     def generate_plot_info(self, burn=0, thin=1, **kwargs):
         self.produce_plots(burn=burn, thin=thin)
+
+
+# ---------------------------------------------------------------------------
+# module-level, DATA-driven plot functions (reference API parity:
+# ``/root/reference/src/eryn/utils/plot.py:34-1206``).  The reference builds
+# these on corner/seaborn/pandas; the implementations here are
+# matplotlib-only so the package has no extra plotting dependencies.
+# PlotContainer (above) remains the backend-driven driver.
+# ---------------------------------------------------------------------------
+
+def save_or_show(fig, filename=None):
+    """Save ``fig`` to ``filename`` (and close it) or show it
+    (ref ``plot.py:34-45``)."""
+    plt = _get_plt()
+    if filename is not None:
+        fig.savefig(filename, bbox_inches="tight")
+        plt.close(fig)
+    else:
+        fig.show()
+    return fig
+
+
+def _palette(n, palette=None):
+    plt = _get_plt()
+    if isinstance(palette, (list, tuple)):
+        return list(palette)[:n]
+    cmap = plt.get_cmap(palette if isinstance(palette, str) else "coolwarm")
+    return [cmap(i / max(n - 1, 1)) for i in range(n)]
+
+
+def cov_ellipse(mean, cov, ax, n_std=1.0, **kwargs):
+    """Covariance ellipse via eigendecomposition (ref ``plot.py:48-81``)."""
+    from matplotlib.patches import Ellipse
+
+    eigenvalues, eigenvectors = np.linalg.eigh(np.asarray(cov))
+    order = eigenvalues.argsort()[::-1]
+    eigenvalues = eigenvalues[order]
+    eigenvectors = eigenvectors[:, order]
+    width, height = 2 * n_std * np.sqrt(eigenvalues)
+    angle = np.degrees(np.arctan2(eigenvectors[1, 0], eigenvectors[0, 0]))
+    ellipse = Ellipse(
+        xy=tuple(np.asarray(mean)), width=width, height=height, angle=angle,
+        **kwargs,
+    )
+    return ax.add_patch(ellipse)
+
+
+def overlay_fim_covariance(
+    fig,
+    covariance,
+    means=None,
+    nsigmas=(1, 2, 3),
+    plot_1d=False,
+    colors=None,
+    linestyles=None,
+    linewidths=None,
+    alpha=0.7,
+    labels=None,
+):
+    """Overlay information-matrix confidence contours on a corner-style
+    figure's axes grid (ref ``plot.py:82-229``)."""
+    covariance = np.asarray(covariance)
+    nd = covariance.shape[0]
+    if means is None:
+        means = np.zeros(nd)
+    means = np.asarray(means)
+    axes = np.asarray(fig.axes).reshape(nd, nd)
+    colors = list(colors) if colors is not None else ["C2"] * len(nsigmas)
+    linestyles = (
+        list(linestyles) if linestyles is not None else ["-"] * len(nsigmas)
+    )
+    linewidths = (
+        list(linewidths) if linewidths is not None else [1.5] * len(nsigmas)
+    )
+    for i in range(nd):
+        for j in range(i):
+            ax = axes[i, j]
+            sub = covariance[np.ix_([j, i], [j, i])]
+            for k, ns in enumerate(nsigmas):
+                cov_ellipse(
+                    (means[j], means[i]), sub, ax, n_std=ns,
+                    facecolor="none", edgecolor=colors[k % len(colors)],
+                    linestyle=linestyles[k % len(linestyles)],
+                    linewidth=linewidths[k % len(linewidths)], alpha=alpha,
+                )
+        if plot_1d:
+            ax = axes[i, i]
+            sd = np.sqrt(covariance[i, i])
+            for k, ns in enumerate(nsigmas):
+                for sign in (-1, 1):
+                    ax.axvline(
+                        means[i] + sign * ns * sd,
+                        color=colors[k % len(colors)],
+                        linestyle=linestyles[k % len(linestyles)],
+                        linewidth=linewidths[k % len(linewidths)],
+                        alpha=alpha,
+                    )
+    return fig
+
+
+def cornerplot(
+    data,
+    *args,
+    means=None,
+    overlay_covariance=None,
+    legend_label="Samples",
+    overlay_label="Information Matrix Covariance",
+    filename=None,
+    **kwargs,
+):
+    """Corner plot with optional covariance overlay
+    (ref ``plot.py:232-330``; matplotlib-only, no ``corner`` dependency)."""
+    plt = _get_plt()
+    data = np.asarray(data)
+    data = data.reshape(-1, data.shape[-1])
+    data = data[np.isfinite(data).all(axis=-1)]
+    nd = data.shape[-1]
+    labels = kwargs.pop("labels", None)
+    truths = kwargs.pop("truths", None)
+    bins = kwargs.pop("bins", 40)
+    fig, axes = plt.subplots(nd, nd, figsize=(2.0 * nd, 2.0 * nd))
+    axes = np.atleast_2d(axes)
+    for i in range(nd):
+        for j in range(nd):
+            ax = axes[i, j]
+            if j > i:
+                ax.set_visible(False)
+            elif i == j:
+                ax.hist(data[:, i], bins=bins, histtype="step", density=True)
+                if truths is not None:
+                    ax.axvline(np.atleast_1d(truths)[i], color="C3", lw=1)
+            else:
+                ax.hist2d(data[:, j], data[:, i], bins=bins)
+                if truths is not None:
+                    t = np.atleast_1d(truths)
+                    ax.axvline(t[j], color="C3", lw=1)
+                    ax.axhline(t[i], color="C3", lw=1)
+            if i < nd - 1:
+                ax.set_xticklabels([])
+            if j > 0:
+                ax.set_yticklabels([])
+            if labels is not None and i == nd - 1:
+                ax.set_xlabel(labels[j])
+            if labels is not None and j == 0 and i > 0:
+                ax.set_ylabel(labels[i])
+    if overlay_covariance is not None:
+        center = means
+        if center is None:
+            center = truths if truths is not None else data.mean(axis=0)
+        overlay_fim_covariance(
+            fig, overlay_covariance, means=center, nsigmas=(1, 2, 3)
+        )
+    return save_or_show(fig, filename)
+
+
+def traceplot(chain, labels=None, truths=None, filename=None):
+    """Trace plots of an ``(nsteps, nwalkers, nleaves, ndim)`` chain
+    (ref ``plot.py:333-363``)."""
+    plt = _get_plt()
+    chain = np.asarray(chain)
+    nsteps, nwalkers, nleaves, ndim = chain.shape
+    fig, axs = plt.subplots(
+        ndim, 1, figsize=(10, 2.5 * ndim), sharex=True, squeeze=False
+    )
+    axs = axs[:, 0]
+    for i in range(ndim):
+        axs[i].plot(
+            chain[..., i].reshape(nsteps, -1), alpha=0.5, lw=0.5,
+            rasterized=True,
+        )
+        if truths is not None:
+            for t in np.atleast_2d(truths):
+                axs[i].axhline(t[i], color="k", linestyle="--")
+        if labels is not None:
+            axs[i].set_ylabel(labels[i])
+    axs[-1].set_xlabel("Step")
+    fig.tight_layout()
+    return save_or_show(fig, filename)
+
+
+def plot_loglikelihood(logl, filename=None):
+    """Per-walker log-likelihood evolution (ref ``plot.py:366-406``)."""
+    plt = _get_plt()
+    logl = np.asarray(logl)
+    fig = plt.figure(figsize=(10, 6))
+    for j in range(logl.shape[1]):
+        plt.plot(logl[:, j], color=f"C{j % 10}", alpha=0.8, rasterized=True)
+    plt.xlabel("Sampler Iteration")
+    plt.ylabel("Log-Likelihood")
+    return save_or_show(fig, filename)
+
+
+def tempering_ridgeplot(
+    chain,
+    labels=None,
+    palette=None,
+    bw_adjust=0.5,
+    aspect=5,
+    height=0.5,
+    hspace=-0.25,
+    max_samples=10000,
+    filename=None,
+):
+    """Ridge (joy) plot of the tempered distributions per parameter
+    (ref ``plot.py:409-565``; matplotlib + scipy KDE)."""
+    from scipy.stats import gaussian_kde
+
+    plt = _get_plt()
+    chain = np.asarray(chain)
+    nsteps, ntemps, nwalkers, nleaves, ndim = chain.shape
+    colors = _palette(ntemps, palette)
+    rng = np.random.default_rng(42)
+    fig, axes = plt.subplots(
+        ntemps, ndim,
+        figsize=(max(2.0, aspect * height) * ndim, height * 2 * ntemps),
+        sharex="col", squeeze=False,
+    )
+    for d in range(ndim):
+        for t in range(ntemps):
+            samples = chain[:, t, :, :, d].reshape(-1)
+            samples = samples[np.isfinite(samples)]
+            if samples.size > max_samples:
+                samples = rng.choice(samples, max_samples, replace=False)
+            ax = axes[t, d]
+            if samples.size > 4 and samples.std() > 0:
+                grid = np.linspace(samples.min(), samples.max(), 200)
+                dens = gaussian_kde(samples, bw_method=bw_adjust * 0.5)(grid)
+                ax.fill_between(grid, dens, color=colors[t], alpha=0.8)
+            ax.set_yticks([])
+            for side in ("top", "right", "left"):
+                ax.spines[side].set_visible(False)
+            if d == 0:
+                ax.set_ylabel(rf"$\beta_{{{t}}}$", rotation=0, ha="right")
+        axes[-1, d].set_xlabel(
+            labels[d] if labels is not None else rf"$x_{d}$"
+        )
+    fig.subplots_adjust(hspace=hspace)
+    return save_or_show(fig, filename)
+
+
+def plot_swap_acceptance(swap_acceptance_fraction, palette=None, filename=None):
+    """Bar plot of swap acceptance between adjacent rungs
+    (ref ``plot.py:568-630``)."""
+    plt = _get_plt()
+    saf = np.asarray(swap_acceptance_fraction)
+    ntemps = saf.shape[0] + 1
+    fig, ax = plt.subplots(figsize=(8, 5))
+    x = np.arange(ntemps - 1)
+    ax.bar(
+        x, saf, color=_palette(ntemps - 1, palette), edgecolor="white",
+        linewidth=0.5,
+    )
+    ax.axhline(0.25, color="gray", linestyle="--", lw=1, alpha=0.7, label="0.25")
+    ax.set_xticks(x)
+    ax.set_xticklabels(
+        [rf"{i}$\leftrightarrow${i + 1}" for i in range(ntemps - 1)]
+    )
+    ax.set_ylabel("Swap acceptance")
+    ax.legend()
+    return save_or_show(fig, filename)
+
+
+def plot_logl_betas(betas, logl, palette=None, filename=None):
+    """Mean log-likelihood vs beta with the stepping-stone evidence in the
+    title (ref ``plot.py:633-661``)."""
+    from .utility import stepping_stone_log_evidence
+
+    plt = _get_plt()
+    betas = np.asarray(betas)
+    logl = np.asarray(logl)
+    ntemps = betas.shape[1]
+    colors = _palette(ntemps, palette)
+    fig = plt.figure(figsize=(10, 6))
+    for t in range(ntemps):
+        plt.semilogx(
+            max(betas[-1, t], 1e-12), np.mean(logl[:, t]), ".",
+            c=colors[t], label=rf"$T_{t}$",
+        )
+    logZ, dlogZ = stepping_stone_log_evidence(betas[-1], logl)
+    plt.ylabel(r"$<\log{\mathcal{L}}>_{\beta}$")
+    plt.xlabel(r"$\beta$")
+    plt.title(r"$\log{\mathcal{Z}} = %.2f \pm %.2f$" % (logZ, dlogZ))
+    return save_or_show(fig, filename)
+
+
+def plot_betas_evolution(betas, palette=None, filename=None):
+    """Inverse-temperature ladder evolution (ref ``plot.py:663-719``)."""
+    plt = _get_plt()
+    betas = np.asarray(betas)
+    nsteps, ntemps = betas.shape
+    colors = _palette(ntemps, palette)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    with np.errstate(divide="ignore"):
+        for t in range(ntemps):
+            ax.semilogy(betas[:, t], color=colors[t])
+    ax.set_xlabel("Sampler Iteration")
+    ax.set_ylabel(r"$\beta$")
+    return save_or_show(fig, filename)
+
+
+def plot_leaves(
+    nleaves, nleaves_min, nleaves_max, palette=None, iteration=0, filename=None
+):
+    """Histogram of leaf counts per temperature (ref ``plot.py:722-791``)."""
+    from matplotlib.colors import to_rgba
+
+    plt = _get_plt()
+    nleaves = np.asarray(nleaves)
+    bns = np.arange(nleaves_min, nleaves_max + 2) - 0.5
+    ntemps = nleaves.shape[1]
+    colors = _palette(ntemps, palette)
+    fig = plt.figure(figsize=(8, 5))
+    for temp, tempcolor in enumerate(colors):
+        plt.hist(
+            nleaves[:, temp].flatten(), bins=bns, histtype="stepfilled",
+            edgecolor=tempcolor, facecolor=to_rgba(tempcolor, 0.2),
+            density=True, ls="-", zorder=100 - temp, rasterized=True,
+        )
+    plt.xlabel("Number of leaves")
+    plt.ylabel("Density")
+    return save_or_show(fig, filename)
+
+
+def plot_leaves_evolution(nleaves, palette=None, filename=None):
+    """Cold-chain leaf-count evolution per walker (ref ``plot.py:794-810``)."""
+    plt = _get_plt()
+    nleaves = np.asarray(nleaves)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(nleaves, alpha=0.4, lw=0.7, rasterized=True)
+    ax.set_xlabel("Sampler Iteration")
+    ax.set_ylabel("Number of leaves")
+    return save_or_show(fig, filename)
+
+
+def plot_acceptance_fraction(
+    steps, total_acceptance_fraction, moves_acceptance_fraction, filename=None
+):
+    """Cold-chain acceptance evolution, total + per move
+    (ref ``plot.py:813-838``)."""
+    plt = _get_plt()
+    taf = np.asarray(total_acceptance_fraction)
+    fig = plt.figure(figsize=(10, 6))
+    plt.plot(
+        steps, taf[:, 0].mean(axis=1), label="Total", color="black", lw=2
+    )
+    for move, acc in (moves_acceptance_fraction or {}).items():
+        plt.plot(steps, np.asarray(acc), label=move, alpha=0.8)
+    plt.xlabel("Step")
+    plt.ylabel("Acceptance fraction")
+    plt.legend()
+    return save_or_show(fig, filename)
+
+
+def plot_tempered_acceptance_fraction(
+    steps, total_acceptance_fraction, palette=None, filename=None
+):
+    """Acceptance evolution per temperature (ref ``plot.py:841-903``)."""
+    plt = _get_plt()
+    taf = np.asarray(total_acceptance_fraction)
+    ntemps = taf.shape[1]
+    colors = _palette(ntemps, palette)
+    fig = plt.figure(figsize=(10, 6))
+    for temp in range(ntemps):
+        plt.plot(
+            steps, taf[:, temp].mean(axis=1), color=colors[temp], lw=1.5,
+            marker="o", alpha=0.8, rasterized=True,
+        )
+    plt.xlabel("Step")
+    plt.ylabel("Acceptance fraction")
+    return save_or_show(fig, filename)
+
+
+def plot_act_evolution(chain, iteration=0, parent_folder="."):
+    """Autocorrelation-time evolution per branch in the cold chain
+    (ref ``plot.py:906-986``)."""
+    from .utility import get_integrated_act
+
+    plt = _get_plt()
+    NPOINTS = 10
+    iteration = int(iteration) or next(iter(chain.values())).shape[0]
+    points = np.unique(
+        np.exp(
+            np.linspace(np.log(min(100, iteration)), np.log(iteration), NPOINTS)
+        ).astype(int)
+    )
+    for branch, samples in chain.items():
+        samples = np.asarray(samples)
+        branch_folder = os.path.join(parent_folder, branch)
+        os.makedirs(branch_folder, exist_ok=True)
+        nsteps, ntemps, nwalkers, nleaves, ndim = samples.shape
+        cold = samples[:, :1]
+        taus = []
+        for point in points:
+            if point > nsteps or point < 4:
+                continue
+            tau = get_integrated_act({branch: cold[:point]})[branch]
+            taus.append((point, np.nanmax(np.atleast_1d(tau))))
+        if not taus:
+            continue
+        pts, tmax = zip(*taus)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.loglog(pts, tmax, "o-", label=r"max $\tau$")
+        ax.loglog(pts, np.asarray(pts) / 50.0, "--", color="gray",
+                  label=r"$N/50$")
+        ax.set_xlabel("Steps")
+        ax.set_ylabel(r"$\tau$")
+        ax.legend()
+        save_or_show(
+            fig, os.path.join(branch_folder, f"act_evolution_{iteration}.png")
+        )
+
+
+def produce_base_plots(
+    chain,
+    logl,
+    truths=None,
+    overlay_covariance=None,
+    labels=None,
+    iteration=0,
+    parent_folder=".",
+):
+    """Corner + trace + log-likelihood plots per branch
+    (ref ``plot.py:989-1057``)."""
+    os.makedirs(parent_folder, exist_ok=True)
+    for branch, samples in chain.items():
+        samples = np.asarray(samples)
+        cold = samples[:, 0]
+        cornerplot(
+            cold.reshape(-1, cold.shape[-1]),
+            truths=None if truths is None else truths.get(branch),
+            overlay_covariance=(
+                None
+                if overlay_covariance is None
+                else overlay_covariance.get(branch)
+            ),
+            labels=None if labels is None else labels.get(branch),
+            filename=os.path.join(parent_folder, f"corner_{branch}.png"),
+        )
+        traceplot(
+            cold,
+            labels=None if labels is None else labels.get(branch),
+            truths=None if truths is None else truths.get(branch),
+            filename=os.path.join(parent_folder, f"trace_{branch}.png"),
+        )
+    plot_loglikelihood(
+        np.asarray(logl)[:, 0],
+        filename=os.path.join(parent_folder, "loglikelihood.png"),
+    )
+
+
+def produce_tempering_plots(
+    chain,
+    betas,
+    logl,
+    swap_acceptance_fraction,
+    labels=None,
+    parent_folder=".",
+    palette=None,
+):
+    """Ridgeline + swap acceptance + logl-vs-beta + beta evolution
+    (ref ``plot.py:1060-1116``)."""
+    os.makedirs(parent_folder, exist_ok=True)
+    for branch, samples in chain.items():
+        tempering_ridgeplot(
+            np.asarray(samples),
+            labels=None if labels is None else labels.get(branch),
+            palette=palette,
+            filename=os.path.join(parent_folder, f"ridgeplot_{branch}.png"),
+        )
+    plot_swap_acceptance(
+        np.asarray(swap_acceptance_fraction), palette=palette,
+        filename=os.path.join(parent_folder, "swap_acceptance.png"),
+    )
+    plot_logl_betas(
+        np.asarray(betas), np.asarray(logl), palette=palette,
+        filename=os.path.join(parent_folder, "logl_betas.png"),
+    )
+    plot_betas_evolution(
+        np.asarray(betas), palette=palette,
+        filename=os.path.join(parent_folder, "betas_evolution.png"),
+    )
+
+
+def produce_advanced_plots(
+    steps,
+    total_acceptance_fraction,
+    moves_acceptance_fraction,
+    palette=None,
+    iteration=0,
+    chain=None,
+    parent_folder=".",
+):
+    """Acceptance + ACT evolution plots (ref ``plot.py:1119-1158``)."""
+    os.makedirs(parent_folder, exist_ok=True)
+    plot_acceptance_fraction(
+        steps, total_acceptance_fraction, moves_acceptance_fraction,
+        filename=os.path.join(parent_folder, "acceptance_fraction.png"),
+    )
+    plot_tempered_acceptance_fraction(
+        steps, total_acceptance_fraction, palette=palette,
+        filename=os.path.join(
+            parent_folder, "tempered_acceptance_fraction.png"
+        ),
+    )
+    if chain is not None:
+        plot_act_evolution(
+            chain, iteration=iteration, parent_folder=parent_folder
+        )
+
+
+def produce_rj_plots(
+    nleaves,
+    nleaves_min,
+    nleaves_max,
+    palette=None,
+    parent_folder=".",
+    iteration=0,
+):
+    """Leaf-count histograms + cold-chain evolution per branch
+    (ref ``plot.py:1161-1206``)."""
+    os.makedirs(parent_folder, exist_ok=True)
+    for branch, leaves in nleaves.items():
+        leaves = np.asarray(leaves)
+        plot_leaves(
+            leaves,
+            nleaves_min[branch],
+            nleaves_max[branch],
+            palette=palette,
+            iteration=iteration,
+            filename=os.path.join(parent_folder, f"leaves_{branch}.png"),
+        )
+        plot_leaves_evolution(
+            leaves[:, 0],
+            palette=palette,
+            filename=os.path.join(
+                parent_folder, f"leaves_evolution_{branch}.png"
+            ),
+        )

@@ -388,3 +388,57 @@ def test_priors_setter_normalizes():
     # priors-setter behavior)
     ens.priors = {"model_0": {i: uniform_dist(-3, 3) for i in range(2)}}
     assert isinstance(ens.priors["model_0"], ProbDistContainer)
+
+
+def test_module_level_plot_functions(tmp_path):
+    """Every reference module-level plot function exists and renders
+    (ref plot.py:34-1206); data-driven signatures, matplotlib-only."""
+    from eryn_tpu.utils import plot as P
+
+    rng = np.random.default_rng(0)
+    nsteps, ntemps, nwalkers, nl, nd = 30, 3, 8, 2, 2
+    chain = {"m": rng.standard_normal((nsteps, ntemps, nwalkers, nl, nd))}
+    logl = rng.standard_normal((nsteps, ntemps, nwalkers)) - 3
+    betas = np.tile(np.logspace(0, -1, ntemps), (nsteps, 1))
+    nleaves = {"m": rng.integers(0, nl + 1, (nsteps, ntemps, nwalkers))}
+    steps = np.arange(nsteps)
+
+    f = str(tmp_path / "x.png")
+    P.cornerplot(
+        chain["m"][:, 0].reshape(-1, nd),
+        truths=np.zeros(nd),
+        overlay_covariance=np.eye(nd),
+        filename=f,
+    )
+    P.traceplot(chain["m"][:, 0], labels=["a", "b"], truths=np.zeros(nd), filename=f)
+    P.plot_loglikelihood(logl[:, 0], filename=f)
+    P.tempering_ridgeplot(chain["m"], filename=f)
+    P.plot_swap_acceptance(np.full(ntemps - 1, 0.3), filename=f)
+    P.plot_logl_betas(betas, logl, filename=f)
+    P.plot_betas_evolution(betas, filename=f)
+    P.plot_leaves(nleaves["m"], 0, nl, filename=f)
+    P.plot_leaves_evolution(nleaves["m"][:, 0], filename=f)
+    P.plot_acceptance_fraction(
+        steps, np.abs(rng.random((nsteps, ntemps, nwalkers))), {"mv": np.full(nsteps, 0.3)},
+        filename=f,
+    )
+    P.plot_tempered_acceptance_fraction(
+        steps, np.abs(rng.random((nsteps, ntemps, nwalkers))), filename=f
+    )
+    P.produce_base_plots(chain, logl, parent_folder=str(tmp_path / "base"))
+    P.produce_tempering_plots(
+        chain, betas, logl, np.full(ntemps - 1, 0.3),
+        parent_folder=str(tmp_path / "temp"),
+    )
+    P.produce_advanced_plots(
+        steps, np.abs(rng.random((nsteps, ntemps, nwalkers))), {},
+        chain=chain, parent_folder=str(tmp_path / "adv"),
+    )
+    P.produce_rj_plots(
+        nleaves, {"m": 0}, {"m": nl}, parent_folder=str(tmp_path / "rj")
+    )
+    import os
+
+    assert os.path.exists(tmp_path / "base" / "corner_m.png")
+    assert os.path.exists(tmp_path / "temp" / "ridgeplot_m.png")
+    assert os.path.exists(tmp_path / "rj" / "leaves_m.png")
