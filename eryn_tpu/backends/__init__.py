@@ -20,10 +20,8 @@ def get_test_backends():
     the in-memory backend plus, when h5py is available, the temp-file HDF
     backend context manager."""
     backends = [Backend]
-    try:
-        import h5py  # noqa: F401
-    except ImportError:
-        pass
-    else:
+    # guard on the name actually bound at import time: h5py may import fine
+    # while hdfbackend's own import chain failed
+    if "TempHDFBackend" in globals():
         backends.append(TempHDFBackend)
     return backends

@@ -267,8 +267,13 @@ class DeviceBackend(Backend):
 
         n_host = 0 if host is None else host.shape[0]
         idx = np.arange(self.iteration)[slice_vals]
-        h_idx = idx[idx < n_host]
-        d_idx = idx[idx >= n_host] - n_host
+        # gather in ascending step order (host prefix, then device segments
+        # front-to-back), then restore the REQUESTED order — descending or
+        # unsorted slice_vals must read like the in-memory backend
+        order = np.argsort(idx, kind="stable")
+        sorted_idx = idx[order]
+        h_idx = sorted_idx[sorted_idx < n_host]
+        d_idx = sorted_idx[sorted_idx >= n_host] - n_host
 
         parts = []
         if h_idx.size:
@@ -280,7 +285,12 @@ class DeviceBackend(Backend):
             # empty selection entirely in the host region
             h = host[0:0]
             return h if temp_index is None else h[:, temp_index]
-        return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if idx.size and not np.array_equal(order, np.arange(idx.size)):
+            inv = np.empty(idx.size, dtype=np.intp)
+            inv[order] = np.arange(idx.size)
+            out = out[inv]
+        return out
 
     def get_value(
         self,

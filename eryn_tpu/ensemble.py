@@ -331,6 +331,10 @@ class LikelihoodEvaluator:
         res = np.asarray(
             self.fn(*args, *self.args, **{**self.kwargs, **kwargs_in})
         )
+        if res.ndim == 2 and res.shape[1] == 1:
+            # a (nkeep, 1) return is a plain likelihood, not zero-width
+            # blobs (the reference squeezes the same way, ensemble.py:1490)
+            res = res[:, 0]
         if res.ndim == 2:
             # (nkeep, 1 + nblobs): second axis carries blobs
             # (ref ensemble.py:1489-1500)
@@ -1989,18 +1993,15 @@ class EnsembleSampler:
             )
 
         def update_fires(i0, i):
-            # the reference fires update_fn both inside sample() (every
-            # update_iterations *proposal* steps, ensemble.py:1033-1038) and
-            # in run_mcmc (every update_iterations yields); cover both
-            # cadences
+            # proposal-step cadence, matching the reference's in-sample()
+            # hook (ensemble.py:1033-1038); this also covers its run_mcmc
+            # yield cadence, since any yield crossing of U is a proposal
+            # crossing of U for every thin_by >= 1
             return (
                 self.update_iterations > 0
                 and self.update_fn is not None
-                and (
-                    _crossed(i0, i, self.update_iterations)
-                    or _crossed(
-                        i0 * thin_by, i * thin_by, self.update_iterations
-                    )
+                and _crossed(
+                    i0 * thin_by, i * thin_by, self.update_iterations
                 )
             )
 

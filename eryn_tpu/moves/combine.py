@@ -49,11 +49,11 @@ class CombineMove(Move):
                 m.temperature_control = self.temperature_control
             if m.periodic is None:
                 m.periodic = self.periodic
-            # children must see the sharding flag too: a nested StretchMove
-            # would otherwise engage its single-device pallas fast path on a
-            # mesh-sharded ensemble
-            if getattr(self, "sharding_active", False):
-                m.sharding_active = True
+            # children must MIRROR the sharding flag (not latch it): a
+            # nested StretchMove would otherwise engage its single-device
+            # pallas fast path on a mesh — or, latched True, lose it
+            # forever after one sharded run
+            m.sharding_active = getattr(self, "sharding_active", False)
             if hasattr(m, "propagate_wiring"):
                 m.propagate_wiring()
 

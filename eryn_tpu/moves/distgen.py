@@ -35,6 +35,28 @@ class DistributionGenerate(MHMove):
         names = super().run_branches(state)
         return [n for n in names if n in self.generate_dist]
 
+    def _check_mask_against_groups(self, name, dist, mask):
+        """Reject Gibbs masks that select a proper subset of a multi-dim
+        prior group: the joint-logpdf factors would then be conditional
+        (given the unmasked dims) instead of the marginal proposal density,
+        which is wrong for correlated groups."""
+        import numpy as np
+
+        rows = np.atleast_2d(np.asarray(mask, dtype=bool))
+        for inds_g, _d in getattr(dist, "priors", []):
+            if len(inds_g) <= 1:
+                continue
+            sub = rows[:, np.asarray(inds_g)]
+            counts = sub.sum(axis=-1)
+            if np.any((counts > 0) & (counts < len(inds_g))):
+                raise ValueError(
+                    f"Gibbs mask for branch '{name}' splits the "
+                    f"multivariate prior group {tuple(int(i) for i in inds_g)}"
+                    "; DistributionGenerate cannot compute marginal "
+                    "proposal factors for a partial update of a correlated "
+                    "group. Update the whole group in one Gibbs iteration."
+                )
+
     def get_proposal_kernel(
         self, key, branch_coords, branch_inds, kernel_state, param_masks=None
     ):
@@ -54,7 +76,11 @@ class DistributionGenerate(MHMove):
                 # restrict the update BEFORE computing factors: the Hastings
                 # ratio must describe the masked proposal, not the full draw
                 # (for the product-form containers this makes lq_old - lq_new
-                # reduce to the selected dimensions' contributions)
+                # reduce to the selected dimensions' contributions).  The
+                # joint-logpdf ratio equals the CONDITIONAL, not the
+                # marginal, when a mask splits a correlated multivariate
+                # group — refuse that case rather than sample a biased chain
+                self._check_mask_against_groups(name, dist, mask)
                 xnew = jnp.where(
                     jnp.asarray(mask)[None, None, :, :], xnew, coords
                 )

@@ -139,3 +139,22 @@ def test_blobs_follow_delayed_rejection_and_mt_rj(priors):
     blobs2 = ens2.get_blobs()
     ll2 = ens2.get_log_like()
     np.testing.assert_allclose(blobs2[..., 0], -2.0 * ll2, rtol=1e-4)
+
+
+def test_vectorized_callback_keepdims_not_blobs(priors):
+    """Regression: a vectorized host likelihood returning (nkeep, 1)
+    (keepdims) is a plain likelihood, not zero-width blobs (the reference
+    squeezes the same way, ensemble.py:1490)."""
+
+    def numpy_like_vec(x):
+        x = np.asarray(x)
+        return -0.5 * np.sum(x**2, axis=-1, keepdims=True)
+
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, numpy_like_vec, priors, vectorize=True, seed=35
+    )
+    assert ens._like_eval.mode == "callback"
+    ens.run_mcmc(priors.rvs(size=(NWALKERS,)), 10)
+    assert not ens._like_eval.returns_blobs
+    assert ens.get_blobs() is None
+    assert np.isfinite(ens.get_log_like()).all()

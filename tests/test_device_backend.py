@@ -275,3 +275,40 @@ def test_device_backend_mixed_blob_presence_across_offload():
     )
     with pytest.raises(ValueError, match="offloaded prefix"):
         b.get_blobs()
+
+
+def test_device_backend_honors_slice_order():
+    """Regression: unsorted or descending slice_vals must read in the
+    REQUESTED order, like the in-memory backend."""
+    b = _reset_device_backend()
+    for start in (0, 3):
+        n = 3
+        vals = np.arange(start, start + n, dtype=np.float32)
+        b.save_segment(
+            {"model_0": jnp.broadcast_to(
+                vals[:, None, None, None, None],
+                (n, NTEMPS, NWALKERS, 2, NDIM),
+            )},
+            {"model_0": jnp.ones((NTEMPS, NWALKERS, 2), bool)},
+            log_like=jnp.broadcast_to(
+                vals[:, None, None], (n, NTEMPS, NWALKERS)
+            ),
+            log_prior=jnp.zeros((n, NTEMPS, NWALKERS)),
+        )
+    got = b.get_value("log_like", slice_vals=np.array([4, 1]))
+    np.testing.assert_allclose(got[:, 0, 0], [4.0, 1.0])
+    rev = b.get_value("log_like", slice_vals=slice(None, None, -1))
+    np.testing.assert_allclose(rev[:, 0, 0], [5, 4, 3, 2, 1, 0])
+    # across the offload boundary too
+    b.offload()
+    vals = np.arange(6, 9, dtype=np.float32)
+    b.save_segment(
+        {"model_0": jnp.broadcast_to(
+            vals[:, None, None, None, None], (3, NTEMPS, NWALKERS, 2, NDIM)
+        )},
+        {"model_0": jnp.ones((NTEMPS, NWALKERS, 2), bool)},
+        log_like=jnp.broadcast_to(vals[:, None, None], (3, NTEMPS, NWALKERS)),
+        log_prior=jnp.zeros((3, NTEMPS, NWALKERS)),
+    )
+    mixed = b.get_value("log_like", slice_vals=np.array([7, 2, 8, 0]))
+    np.testing.assert_allclose(mixed[:, 0, 0], [7.0, 2.0, 8.0, 0.0])

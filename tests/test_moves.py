@@ -155,3 +155,39 @@ def test_delayed_rejection_requires_symmetric_proposal(priors):
     gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
     with pytest.raises(ValueError, match="symmetric"):
         DelayedRejection(DistributionGenerate({"model_0": gen}))
+
+
+def test_distgen_mask_splitting_mvn_group_raises(priors):
+    """Regression: a Gibbs mask selecting part of a correlated multivariate
+    prior group must raise (the joint-logpdf factors would be conditional,
+    not marginal — a silently biased chain)."""
+    from eryn_tpu.prior import MultivariateNormalDistribution
+
+    mvn = MultivariateNormalDistribution(
+        np.zeros(2), np.array([[1.0, 0.8], [0.8, 1.0]])
+    )
+    gen = ProbDistContainer({(0, 1): mvn, 2: uniform_dist(-5, 5)})
+    m1 = np.zeros((1, NDIM), dtype=bool)
+    m1[:, 0] = True  # splits the (0, 1) group
+    move = DistributionGenerate(
+        {"model_0": gen},
+        gibbs_sampling_setup=[("model_0", m1), ("model_0", ~m1)],
+    )
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, moves=[move], seed=52
+    )
+    with pytest.raises(ValueError, match="splits the"):
+        ens.run_mcmc(0.1 * np.random.randn(NWALKERS, NDIM), 2)
+
+
+def test_combine_sharding_flag_mirrors_parent():
+    from eryn_tpu.moves import CombineMove, StretchMove
+
+    child = StretchMove()
+    combo = CombineMove([child])
+    combo.sharding_active = True
+    combo.propagate_wiring()
+    assert child.sharding_active
+    combo.sharding_active = False
+    combo.propagate_wiring()
+    assert not child.sharding_active  # un-latched for single-device reuse
