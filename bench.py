@@ -364,7 +364,9 @@ def main():
     try:
         e_sps, e_wsps = bench_tpu_config_e()
     except Exception:
-        e_sps, e_wsps = float("nan"), float("nan")
+        # None serializes as valid JSON null; NaN would break the
+        # one-parseable-line contract for strict consumers
+        e_sps, e_wsps = None, None
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
     print(
@@ -389,8 +391,12 @@ def main():
                     "cold_chain_tau": round(tau, 2),
                     "rj_pulse128_steps_per_sec": round(rj_sps, 1),
                     "rj_pulse128_vs_ref": round(rj_sps / ref_rj, 2),
-                    "config_e_steps_per_sec": round(e_sps, 1),
-                    "config_e_walker_steps_per_sec": round(e_wsps, 0),
+                    "config_e_steps_per_sec": (
+                        None if e_sps is None else round(e_sps, 1)
+                    ),
+                    "config_e_walker_steps_per_sec": (
+                        None if e_wsps is None else round(e_wsps, 0)
+                    ),
                     "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
                     "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
                     "ref_rj_steps_per_sec": round(ref_rj, 2),

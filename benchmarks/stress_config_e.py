@@ -104,7 +104,7 @@ def main():
 
     def make_rj_state(ens):
         coords = pr_rj.rvs(size=(NT, NW, nlmax))
-        inds = np.random.rand(NT, NW, nlmax) < 0.5
+        inds = np.random.default_rng(3).random((NT, NW, nlmax)) < 0.5
         return ens._setup_state(State({"model_0": coords}, inds={"model_0": inds}))
 
     bench("stress_rj_group_nt20_nw1000", make_rj, make_rj_state, nsteps=200)

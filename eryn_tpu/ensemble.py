@@ -1474,6 +1474,31 @@ class EnsembleSampler:
             b.supplemental.host_holder = holder
         return state
 
+    def initial_step_carry(self, key, state, time):
+        """Zero-initialized carry in the layout consumed by
+        ``_make_one_step``: ``(key, state, time, per-move accept counters,
+        per-move proposal counts, rj counterparts, kernel states)``.
+        Exists so external drivers (e.g. the compile-check entry point)
+        never hand-encode the private carry structure."""
+        nm, nrj = len(self.moves), len(self.rj_moves)
+
+        def z(*sh):
+            return jnp.zeros(sh, dtype=self.dtype)
+
+        kernel_states = tuple(
+            m.init_kernel_state(state) for m in self.moves + self.rj_moves
+        )
+        return (
+            key,
+            state,
+            time,
+            z(nm, self.ntemps, self.nwalkers),
+            z(nm),
+            z(nrj, self.ntemps, self.nwalkers),
+            z(nrj),
+            kernel_states,
+        )
+
     def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
 

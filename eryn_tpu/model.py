@@ -41,12 +41,31 @@ class Model:
         self._sampler = sampler
 
     def get_eval_context(self):
+        if self._eval_context is None:
+            raise RuntimeError(
+                "This Model carries no EvalContext: construct it through "
+                "sampler.get_model() — a hand-built reference-style "
+                "namedtuple carrier cannot drive the traced proposal "
+                "kernels."
+            )
         return self._eval_context
 
     def current_key(self):
+        if self._sampler is None:
+            raise RuntimeError(
+                "This Model is not attached to a sampler: PRNG keys are "
+                "only available on carriers obtained via "
+                "sampler.get_model()."
+            )
         return self._sampler.next_key()
 
     def set_key(self, key):
+        if self._sampler is None:
+            raise RuntimeError(
+                "This Model is not attached to a sampler: PRNG keys are "
+                "only available on carriers obtained via "
+                "sampler.get_model()."
+            )
         self._sampler.set_key(key)
 
     def __iter__(self):

@@ -68,7 +68,13 @@ def _spec_for_leaf(x, ntemps, nwalkers):
 
 def sharding_for_state(state, mesh):
     """NamedSharding pytree matching a :class:`~eryn_tpu.state.State`."""
-    ntemps, nwalkers = state.log_like.shape
+    if state.log_like is not None:
+        ntemps, nwalkers = state.log_like.shape
+    else:
+        # pre-evaluation State (no log_like yet): the ensemble dims are the
+        # leading dims of any coords leaf
+        first = next(iter(state.branches.values()))
+        ntemps, nwalkers = first.coords.shape[:2]
     return jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, _spec_for_leaf(x, ntemps, nwalkers)),
         state,

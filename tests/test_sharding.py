@@ -233,3 +233,34 @@ def test_sharded_rj_group_run():
     nleaves = ens.get_nleaves()["model_0"][:, 0]
     assert nleaves.mean() > 0.8
     assert np.isfinite(ens.get_log_like()).all()
+
+
+def test_shard_state_pre_evaluation():
+    """shard_state works on a State that has no log_like yet (dims come
+    from the coords leaves)."""
+    import jax
+
+    from eryn_tpu.parallel.mesh import make_mesh, shard_state
+    from eryn_tpu.state import State
+
+    mesh = make_mesh(len(jax.devices()))
+    nt = 2 * mesh.shape["temp"]
+    nw = 4 * mesh.shape["walker"]
+    st = State({"m": jnp.zeros((nt, nw, 1, 3))})
+    out = shard_state(st, mesh)
+    assert out.branches["m"].coords.shape == (nt, nw, 1, 3)
+
+
+def test_bare_model_carrier_guards():
+    """A hand-built reference-style Model raises descriptive errors when
+    used for key plumbing / traced evaluation (must come from
+    sampler.get_model())."""
+    import pytest as _pytest
+
+    from eryn_tpu.model import Model
+
+    m = Model(None, None, None, None, map, np.random)
+    with _pytest.raises(RuntimeError, match="get_model"):
+        m.current_key()
+    with _pytest.raises(RuntimeError, match="get_model"):
+        m.get_eval_context()
