@@ -33,21 +33,32 @@ if _os.environ.get("ERYN_TPU_DISABLE_CACHE") != "1":
         pass
 
 from .ensemble import EnsembleSampler, walkers_independent
+from .model import Model
 from .state import Branch, BranchSupplemental, ParaState, State
-from .prior import ProbDistContainer, uniform_dist, log_uniform
-from .backends import Backend, DeviceBackend, HDFBackend
+from .prior import (
+    MappedUniformDistribution,
+    ProbDistContainer,
+    UniformDistribution,
+    log_uniform,
+    uniform_dist,
+)
+from .backends import Backend, DeviceBackend, HDFBackend, TempHDFBackend
 
 __all__ = [
     "EnsembleSampler",
     "walkers_independent",
+    "Model",
     "Backend",
     "DeviceBackend",
     "HDFBackend",
+    "TempHDFBackend",
     "State",
     "Branch",
     "BranchSupplemental",
     "ParaState",
     "ProbDistContainer",
+    "UniformDistribution",
+    "MappedUniformDistribution",
     "uniform_dist",
     "log_uniform",
     "__version__",

@@ -35,9 +35,9 @@ except ImportError:  # pragma: no cover
     pass
 
 try:  # pragma: no cover - staged build
-    from .stopping import Stopping, SearchConvergeStopping
+    from .stopping import AutoCorrelationStop, SearchConvergeStopping, Stopping
 
-    __all__ += ["Stopping", "SearchConvergeStopping"]
+    __all__ += ["Stopping", "SearchConvergeStopping", "AutoCorrelationStop"]
 except ImportError:  # pragma: no cover
     pass
 
