@@ -521,6 +521,13 @@ class HDFBackend(Backend):
             g.attrs["iteration"] = it + n
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _sorted_read_plan(idx):
+        """(unique-sorted read indices, inverse map restoring the requested
+        order incl. duplicates) for h5py's increasing-indices requirement."""
+        uniq, inverse = np.unique(idx, return_inverse=True)
+        return uniq, inverse
+
     def get_value(
         self,
         name,
@@ -541,6 +548,24 @@ class HDFBackend(Backend):
                 )
             if slice_vals is None:
                 slice_vals = slice(discard + thin - 1, iteration, thin)
+            # h5py fancy indexing requires strictly increasing indices and
+            # forward slices; normalize arbitrary slice_vals (unsorted index
+            # arrays, descending slices) to a sorted read + reorder, like
+            # the in-memory backends
+            inv = None
+            if isinstance(slice_vals, slice):
+                if (slice_vals.step or 1) < 0:
+                    idx = np.arange(iteration)[slice_vals]
+                    slice_vals, inv = self._sorted_read_plan(idx)
+            else:
+                idx = np.asarray(slice_vals)
+                if idx.dtype == bool:
+                    idx = np.flatnonzero(idx)
+                if idx.size and (
+                    np.any(np.diff(idx) <= 0) or np.any(idx < 0)
+                ):
+                    idx = np.where(idx < 0, idx + iteration, idx)
+                    slice_vals, inv = self._sorted_read_plan(idx)
 
             if branch_names is None:
                 keep_branches = list(g.attrs["branch_names"])
@@ -553,8 +578,10 @@ class HDFBackend(Backend):
                 # slice the temperature at the file level too, so a
                 # cold-chain read of a big file moves 1/ntemps of the bytes
                 if temp_index is None:
-                    return dset[slice_vals]
-                return dset[slice_vals, temp_index]
+                    out = dset[slice_vals]
+                else:
+                    out = dset[slice_vals, temp_index]
+                return out if inv is None else out[inv]
 
             if name == "chain":
                 return {n: read(g["chain"][n]) for n in keep_branches}

@@ -8,7 +8,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
+from eryn_tpu import Backend, EnsembleSampler, ProbDistContainer, uniform_dist
 from eryn_tpu.backends import HDFBackend, TempHDFBackend
 
 NDIM = 3
@@ -18,6 +18,11 @@ NTEMPS = 5
 
 def log_like(x):
     return -0.5 * jnp.sum(x**2)
+
+
+def log_like_rj(coords, inds):
+    active = jnp.where(inds[:, None], coords, 0.0)
+    return -0.5 * jnp.sum(active**2)
 
 
 @pytest.fixture
@@ -343,3 +348,84 @@ def test_get_a_sample_bounds_after_partial_store(priors):
     assert np.isfinite(np.asarray(last.log_like)).all()
     with pytest.raises(IndexError):
         ens.backend.get_a_sample(5)
+
+
+def test_three_backend_getter_equivalence(priors, tmp_path):
+    """Fuzz: Backend, HDFBackend, and DeviceBackend must agree on every
+    getter for identical runs (same seed), across discard/thin/temp_index/
+    slice_vals combinations — including unsorted and descending slices."""
+    from eryn_tpu import DeviceBackend
+
+    seeds = dict(seed=77)
+    kwargs = dict(
+        nleaves_max=2,
+        nleaves_min=0,
+        rj_moves=True,
+        tempering_kwargs=dict(ntemps=3),
+        fill_zero_leaves_val=-100.0,
+    )
+
+    # one initial state for all three runs (priors.rvs consumes the global
+    # NumPy RNG, so drawing per-run would diverge the chains)
+    np.random.seed(11)
+    coords0 = priors.rvs(size=(3, 16, 2))
+    inds0 = np.random.default_rng(5).random((3, 16, 2)) < 0.5
+
+    def run(backend):
+        ens = EnsembleSampler(
+            16, NDIM, log_like_rj, priors, backend=backend, **kwargs, **seeds
+        )
+        from eryn_tpu import State
+
+        ens.run_mcmc(
+            State({"model_0": coords0}, inds={"model_0": inds0}), 25
+        )
+        return ens.backend
+
+    host = run(Backend(dtype=np.float32))
+    hdf = run(HDFBackend(str(tmp_path / "eq.h5"), dtype=np.float32))
+    dev = run(DeviceBackend(dtype=np.float32))
+
+    rng = np.random.default_rng(0)
+    cases = [
+        dict(),
+        dict(discard=5),
+        dict(thin=3),
+        dict(discard=4, thin=2),
+        dict(temp_index=0),
+        dict(temp_index=2, thin=2),
+        dict(slice_vals=np.array([21, 3, 14, 3])),
+        dict(slice_vals=slice(None, None, -1)),
+        dict(slice_vals=rng.permutation(25)),
+    ]
+    for kw in cases:
+        for name in ("chain", "inds"):
+            a = host.get_value(name, **kw)["model_0"]
+            b = hdf.get_value(name, **kw)["model_0"]
+            c = dev.get_value(name, **kw)["model_0"]
+            np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=f"hdf {name} {kw}")
+            np.testing.assert_allclose(c, a, rtol=1e-6, err_msg=f"dev {name} {kw}")
+        for name in ("log_like", "log_prior", "betas"):
+            a = host.get_value(name, **kw)
+            b = hdf.get_value(name, **kw)
+            c = dev.get_value(name, **kw)
+            np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=f"hdf {name} {kw}")
+            np.testing.assert_allclose(c, a, rtol=1e-6, err_msg=f"dev {name} {kw}")
+    # sample reconstruction agrees at matching indices
+    for it in (0, 12, -1):
+        sa = host.get_a_sample(it)
+        sb = hdf.get_a_sample(it)
+        sc = dev.get_a_sample(it)
+        for s2 in (sb, sc):
+            np.testing.assert_allclose(
+                np.asarray(s2.log_like), np.asarray(sa.log_like), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(s2.branches["model_0"].coords),
+                np.asarray(sa.branches["model_0"].coords),
+                rtol=1e-6,
+            )
+    # diagnostics agree
+    ta = host.get_autocorr_time()["model_0"]
+    tc = dev.get_autocorr_time()["model_0"]
+    np.testing.assert_allclose(tc, ta, rtol=1e-5, equal_nan=True)
