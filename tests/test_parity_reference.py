@@ -686,3 +686,50 @@ def test_config_a_marginals_ks():
         # with ~1300 samples/side, a true distribution difference of a few
         # percent would drive p to ~0; demand no strong evidence of mismatch
         assert p > 1e-3, (d, stat, p)
+
+
+def test_estimator_parity_on_identical_inputs():
+    """Estimator-level numerical parity: feed the SAME arrays to the
+    reference's diagnostics and ours — ACF, thermodynamic-integration
+    evidence, and the pooled-split Gelman-Rubin must agree to float
+    precision (the stepping-stone bootstrap differs only through RNG, so
+    its point estimate is compared via a zero-error path)."""
+    _import_reference()
+    from eryn.utils.utility import get_acf as ref_acf
+    from eryn.utils.utility import psrf as ref_psrf
+    from eryn.utils.utility import (
+        thermodynamic_integration_log_evidence as ref_ti,
+    )
+
+    from eryn_tpu.utils.utility import (
+        get_acf,
+        psrf,
+        thermodynamic_integration_log_evidence,
+    )
+
+    rng = np.random.default_rng(42)
+
+    # ACF of an AR(1) series
+    x = np.zeros(4096)
+    for i in range(1, len(x)):
+        x[i] = 0.9 * x[i - 1] + rng.standard_normal()
+    ours = np.asarray(get_acf(x))
+    ref = np.asarray(ref_acf(x))
+    np.testing.assert_allclose(ours.reshape(ref.shape), ref, rtol=1e-8)
+
+    # thermodynamic-integration evidence on identical ladder + mean logls
+    betas = np.logspace(0, -3, 12)
+    logls = -50.0 + 40.0 * betas + rng.standard_normal(12) * 0.1
+    z_ours, dz_ours = thermodynamic_integration_log_evidence(betas, logls)
+    z_ref, dz_ref = ref_ti(betas, logls)
+    np.testing.assert_allclose(z_ours, z_ref, rtol=1e-10)
+    np.testing.assert_allclose(dz_ours, dz_ref, rtol=1e-10)
+
+    # Gelman-Rubin: our per_walker=False reproduces the reference's default
+    # pooled first/last-third split on the same flattened chains
+    chains = rng.standard_normal((900, 8, 3)) + np.linspace(
+        0, 1, 900
+    )[:, None, None]
+    ours_r = psrf(chains, 3, per_walker=False)
+    ref_r = ref_psrf(chains.reshape(-1, 3), 3, per_walker=False)
+    np.testing.assert_allclose(ours_r, np.asarray(ref_r), rtol=1e-8)
