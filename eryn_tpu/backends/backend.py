@@ -381,18 +381,30 @@ class Backend:
         else:
             keep_branches = list(branch_names)
 
-        def sel_temp(arr):
-            return arr if temp_index is None else arr[:, temp_index]
+        scalar_step = isinstance(slice_vals, (int, np.integer)) or (
+            isinstance(slice_vals, np.ndarray) and slice_vals.ndim == 0
+        )
+
+        def read(arr):
+            # slice_vals resolves against the STORED range: the buffers are
+            # preallocated to the full run length, so negative indices or
+            # descending slices on the raw array would reach unwritten rows
+            # after an interrupted run (and disagree with HDF/Device reads)
+            out = arr[: self.iteration][slice_vals]
+            if temp_index is None:
+                return out
+            # a scalar slice_vals drops the step axis, putting temps first
+            return out[temp_index] if scalar_step else out[:, temp_index]
 
         if name == "chain":
-            return {n: sel_temp(self.chain[n][slice_vals]) for n in keep_branches}
+            return {n: read(self.chain[n]) for n in keep_branches}
         if name == "inds":
-            return {n: sel_temp(self.inds[n][slice_vals]) for n in keep_branches}
+            return {n: read(self.inds[n]) for n in keep_branches}
         if name in ("log_like", "log_prior", "betas", "blobs"):
             arr = getattr(self, name)
             if arr is None:
                 raise AttributeError(f"No {name} stored.")
-            return sel_temp(arr[slice_vals])
+            return read(arr)
         raise ValueError(f"Unknown value name: {name}")
 
     def get_chain(self, **kwargs):

@@ -308,6 +308,17 @@ class DeviceBackend(Backend):
             )
         if slice_vals is None:
             slice_vals = slice(discard + thin - 1, self.iteration, thin)
+        drop_step_axis = False
+        if isinstance(slice_vals, (int, np.integer)) or (
+            isinstance(slice_vals, np.ndarray) and slice_vals.ndim == 0
+        ):
+            # scalar step index: read one row, drop the step axis like the
+            # in-memory backend (negatives resolve against the stored range)
+            iv = int(slice_vals)
+            if iv < 0:
+                iv += self.iteration
+            slice_vals = slice(iv, iv + 1)
+            drop_step_axis = True
         if branch_names is None:
             keep = self.branch_names
         elif isinstance(branch_names, str):
@@ -315,15 +326,24 @@ class DeviceBackend(Backend):
         else:
             keep = list(branch_names)
 
+        def maybe_drop(x):
+            return x[0] if drop_step_axis else x
+
         if name == "chain":
-            return {n: self._read("chain", n, slice_vals, temp_index) for n in keep}
+            return {
+                n: maybe_drop(self._read("chain", n, slice_vals, temp_index))
+                for n in keep
+            }
         if name == "inds":
-            return {n: self._read("inds", n, slice_vals, temp_index) for n in keep}
+            return {
+                n: maybe_drop(self._read("inds", n, slice_vals, temp_index))
+                for n in keep
+            }
         if name in ("log_like", "log_prior", "betas", "blobs"):
             out = self._read(name, None, slice_vals, temp_index)
             if out is None:
                 raise AttributeError(f"No {name} stored.")
-            return out
+            return maybe_drop(out)
         raise ValueError(f"Unknown value name: {name}")
 
     def get_blobs(self, **kwargs):

@@ -557,6 +557,14 @@ class HDFBackend(Backend):
                 if (slice_vals.step or 1) < 0:
                     idx = np.arange(iteration)[slice_vals]
                     slice_vals, inv = self._sorted_read_plan(idx)
+            elif isinstance(slice_vals, (int, np.integer)) or (
+                isinstance(slice_vals, np.ndarray) and slice_vals.ndim == 0
+            ):
+                # scalar step index: resolve negatives against the STORED
+                # range (the datasets are preallocated longer) and let h5py
+                # drop the step axis as before
+                iv = int(slice_vals)
+                slice_vals = iv + iteration if iv < 0 else iv
             else:
                 idx = np.asarray(slice_vals)
                 if idx.dtype == bool:

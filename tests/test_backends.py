@@ -425,6 +425,34 @@ def test_three_backend_getter_equivalence(priors, tmp_path):
                 np.asarray(sa.branches["model_0"].coords),
                 rtol=1e-6,
             )
+    # scalar slice_vals drop the step axis identically (incl. negatives)
+    for sv in (3, -1, np.int64(7)):
+        a = host.get_value("log_like", slice_vals=sv)
+        np.testing.assert_allclose(
+            hdf.get_value("log_like", slice_vals=sv), a, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            dev.get_value("log_like", slice_vals=sv), a, rtol=1e-6
+        )
+        assert a.shape == (3, 16)  # (ntemps, nwalkers): step axis dropped
+
+    # after growing beyond the stored range (interrupted run), negative and
+    # descending reads still resolve against the STORED range on every
+    # backend
+    host.grow(10, None)
+    hdf.grow(10, None)
+    last = host.get_value("log_like", slice_vals=-1)
+    np.testing.assert_allclose(
+        last, host.get_value("log_like")[-1], rtol=1e-6
+    )
+    rev = host.get_value("log_like", slice_vals=slice(None, None, -1))
+    assert rev.shape[0] == 25 and np.isfinite(rev).all()
+    np.testing.assert_allclose(
+        hdf.get_value("log_like", slice_vals=slice(None, None, -1)),
+        rev,
+        rtol=1e-6,
+    )
+
     # diagnostics agree
     ta = host.get_autocorr_time()["model_0"]
     tc = dev.get_autocorr_time()["model_0"]
