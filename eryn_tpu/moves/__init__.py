@@ -96,3 +96,10 @@ try:
     __all__ += ["WalkMove", "KDEMove"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .modelswap import BasicSymmetricModelSwapRJMove, ModelSwapRJMove
+
+    __all__ += ["ModelSwapRJMove", "BasicSymmetricModelSwapRJMove"]
+except ImportError:  # pragma: no cover
+    pass

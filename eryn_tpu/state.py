@@ -549,13 +549,20 @@ class State:
             branch_supps = updates.pop(
                 "branch_supplemental", self.branches_supplemental
             )
+            # canonicalize to THIS state's branch order: jax.tree_map
+            # rebuilds plain dicts with SORTED keys, so an updates dict that
+            # passed through a tree_map (e.g. the tempering gather) would
+            # otherwise reorder the branches — changing the State's pytree
+            # structure mid-scan for non-alphabetical branch names
+            order = [n for n in self.branches if n in coords]
+            order += [n for n in coords if n not in self.branches]
             new.branches = {
                 name: Branch(
                     coords[name],
                     inds=inds[name],
                     branch_supplemental=branch_supps.get(name),
                 )
-                for name in coords
+                for name in order
             }
         if updates:
             raise TypeError(f"Unknown State fields: {list(updates)}")
