@@ -69,12 +69,32 @@ class ModelSwapRJMove(ReversibleJumpMove):
             raise ValueError(
                 "ModelSwapRJMove needs at least two candidate branches."
             )
+        for kw in ("gibbs_sampling_setup", "proposal_branch_names"):
+            if kwargs.get(kw) is not None:
+                # the switch is inherently JOINT over the candidate set;
+                # silently accepting a split would mislead
+                raise ValueError(
+                    f"ModelSwapRJMove does not support {kw}: the model "
+                    "switch always updates all candidate branches jointly."
+                )
         kwargs.setdefault("nleaves_max", {n: 1 for n in self.model_names})
         kwargs.setdefault("nleaves_min", {n: 0 for n in self.model_names})
         super().__init__(**kwargs)
 
     def init_kernel_state(self, state):
-        # first concrete state: validate the product-space invariant
+        # shape-only checks work on tracers too — never skippable
+        for n in self.model_names:
+            if n not in state.branches:
+                raise ValueError(
+                    f"Candidate '{n}' is not a branch of the state "
+                    f"({list(state.branches)})."
+                )
+            if state.branches[n].nleaves_max != 1:
+                raise ValueError(
+                    f"Candidate branch '{n}' must have nleaves_max == 1."
+                )
+        # value check needs concrete masks; skipped only under tracing
+        # (e.g. the vmapped para runner)
         try:
             active = np.stack(
                 [
@@ -83,7 +103,7 @@ class ModelSwapRJMove(ReversibleJumpMove):
                 ],
                 axis=-1,
             )
-        except Exception:  # traced (e.g. vmapped para runner): skip check
+        except jax.errors.TracerArrayConversionError:
             return ()
         if active.shape[-1] and not (
             np.all(active.sum(axis=-1) == 1) and active.max() <= 1
@@ -94,11 +114,6 @@ class ModelSwapRJMove(ReversibleJumpMove):
                 "(nleaves_max=1 each); got active counts "
                 f"{np.unique(active.sum(axis=-1))}."
             )
-        for n in self.model_names:
-            if state.branches[n].nleaves_max != 1:
-                raise ValueError(
-                    f"Candidate branch '{n}' must have nleaves_max == 1."
-                )
         return ()
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
@@ -156,7 +171,7 @@ class ModelSwapRJMove(ReversibleJumpMove):
         inds_full = {**inds, **new_inds}
 
         logp_new = ctx.compute_log_prior(q_full, inds_full)
-        logl_new, _ = ctx.compute_log_like(
+        logl_new, blobs_new = ctx.compute_log_like(
             q_full, inds_full, logp_new, state_branch_supps(state)
         )
 
@@ -174,9 +189,14 @@ class ModelSwapRJMove(ReversibleJumpMove):
             inds[n] = jnp.where(acc[:, :, None], new_inds[n], inds[n])
         logl = jnp.where(acc, logl_new, logl)
         logp = jnp.where(acc, logp_new, logp)
+        blobs = state.blobs
+        if blobs is not None and blobs_new is not None:
+            acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
+            blobs = jnp.where(acc_b, blobs_new, blobs)
 
         new_state = state.replace(
-            coords=coords, inds=inds, log_like=logl, log_prior=logp
+            coords=coords, inds=inds, log_like=logl, log_prior=logp,
+            blobs=blobs,
         )
         # counters accumulate in the scan carry as floats (bool would change
         # the carry pytree structure between iterations)

@@ -166,3 +166,38 @@ def test_model_swap_with_tempering():
     # cold chain still tracks the quadrature Bayes factor (looser: shorter run)
     p_pulse = nl["pulse"][:, 0].mean()
     assert abs(p_pulse - p_true) < 0.1, (p_pulse, p_true)
+
+
+def test_model_swap_blobs_and_kwarg_guards():
+    """Blobs follow accepted model switches; split kwargs are refused."""
+    log_like, priors, _ = _setup()
+
+    def ll_blob(coords, inds):
+        ll = log_like(coords, inds)
+        # blob: which model is active (1 = pulse)
+        return ll, jnp.array([jnp.sum(jnp.where(inds["pulse"], 1.0, 0.0))])
+
+    with pytest.raises(ValueError, match="jointly"):
+        ModelSwapRJMove(
+            {n: priors[n] for n in ("pulse", "const")},
+            proposal_branch_names=["pulse"],
+        )
+
+    swap = ModelSwapRJMove({n: priors[n] for n in ("pulse", "const")})
+    ens = EnsembleSampler(
+        NW,
+        {"pulse": 1, "const": 1},
+        ll_blob,
+        priors,
+        branch_names=["pulse", "const"],
+        nleaves_max={"pulse": 1, "const": 1},
+        nleaves_min={"pulse": 0, "const": 0},
+        moves=[GaussianMove({"pulse": 0.05, "const": 0.05})],
+        rj_moves=[swap],
+        fill_zero_leaves_val=-1e8,
+        seed=24,
+    )
+    ens.run_mcmc(_initial_state(priors), 200)
+    blobs = ens.get_blobs()[..., 0]
+    active = ens.get_nleaves()["pulse"].astype(float)
+    np.testing.assert_allclose(blobs, active)
