@@ -32,6 +32,7 @@ from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.prior import normal_dist
 from eryn_tpu.moves import (
     DelayedRejection,
+    ModelSwapRJMove,
     DEMove,
     DESnookerMove,
     DistributionGenerate,
@@ -171,6 +172,65 @@ def check_rj(tag, seed=99):
     return ok
 
 
+def check_modelswap(tag, seed=47):
+    """Product-space model indicator vs quadrature Bayes factor."""
+    rng = np.random.default_rng(4)
+    npts = 64
+    t_np = np.linspace(0, 1, npts)
+    g = np.exp(-((t_np - 0.5) ** 2) / (2 * 0.1**2))
+    data_np = 1.1 * g + rng.standard_normal(npts)
+    amax = 3.0
+    a = np.linspace(0.0, amax, 800)
+    c = np.linspace(-1.0, 1.0, 800)
+    z_p = np.exp(
+        -0.5 * ((data_np[None] - a[:, None] * g[None]) ** 2).sum(-1)
+    ).mean()
+    z_c = np.exp(-0.5 * ((data_np[None] - c[:, None]) ** 2).sum(-1)).mean()
+    p_true = z_p / (z_p + z_c)
+
+    g_j, d_j = jnp.asarray(g), jnp.asarray(data_np)
+
+    def ll(coords, inds):
+        amp = jnp.sum(jnp.where(inds["pulse"][:, None], coords["pulse"], 0.0))
+        off = jnp.sum(jnp.where(inds["const"][:, None], coords["const"], 0.0))
+        return -0.5 * jnp.sum((d_j - amp * g_j - off) ** 2)
+
+    from eryn_tpu.moves import GaussianMove
+
+    priors = {
+        "pulse": ProbDistContainer({0: uniform_dist(0.0, amax)}),
+        "const": ProbDistContainer({0: uniform_dist(-1.0, 1.0)}),
+    }
+    ens = EnsembleSampler(
+        64, {"pulse": 1, "const": 1}, ll, priors,
+        branch_names=["pulse", "const"],
+        nleaves_max={"pulse": 1, "const": 1},
+        nleaves_min={"pulse": 0, "const": 0},
+        moves=[GaussianMove({"pulse": 0.05, "const": 0.05})],
+        rj_moves=[ModelSwapRJMove({n: priors[n] for n in priors})],
+        fill_zero_leaves_val=-1e8,
+        seed=seed,
+    )
+    coords = {
+        n: np.asarray(priors[n].rvs(size=(1, 64, 1))) for n in priors
+    }
+    pick = np.random.default_rng(7).random((1, 64)) < 0.5
+    state = State(
+        coords, inds={"pulse": pick[..., None], "const": ~pick[..., None]}
+    )
+    t0 = time.perf_counter()
+    ens.run_mcmc(state, 4000, burn=500)
+    dt = time.perf_counter() - t0
+    p = ens.get_nleaves()["pulse"][:, 0].mean()
+    ok = abs(p - p_true) < 0.05
+    print(
+        f"{tag:38s} P(pulse)={p:.3f} quadrature={p_true:.3f} "
+        f"[{4000/dt:7.0f} steps/s] {'OK' if ok else '** FAIL **'}",
+        flush=True,
+    )
+    return ok
+
+
 def main():
     print(f"backend: {jax.default_backend()}  target: N(0, I) in {NDIM}-D")
     gen = ProbDistContainer(
@@ -221,6 +281,7 @@ def main():
         check_move("MALAMove", [MALAMove()], 15, nsteps=1500),
         check_move("HMCMove", [HMCMove()], 16, nsteps=800),
         check_rj("RJ k-posterior vs quadrature"),
+        check_modelswap("Product-space Bayes factor"),
     ]
     n_ok = sum(results)
     print(f"\n{n_ok}/{len(results)} configurations statistically consistent")
