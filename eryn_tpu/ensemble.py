@@ -53,6 +53,32 @@ def _finite_min(dtype):
     return float(np.finfo(np.dtype(dtype)).min / 2)
 
 
+# Platforms where ``jax.pure_callback`` cannot execute inside a compiled
+# program (the tunneled-TPU "axon" backend runs device programs remotely,
+# with no host-callback channel).  Legacy NumPy likelihoods/priors cannot
+# run there; fail fast at mode selection instead of hanging at dispatch.
+_CALLBACK_UNSUPPORTED_PLATFORMS = ("axon",)
+
+
+def _require_callback_support(what="log_like_fn"):
+    import os
+
+    platform = jax.default_backend()
+    if platform in _CALLBACK_UNSUPPORTED_PLATFORMS and not os.environ.get(
+        "ERYN_TPU_FORCE_CALLBACK"
+    ):
+        raise RuntimeError(
+            f"{what} is not JAX-traceable, and the active JAX backend "
+            f"({platform!r}) does not support jax.pure_callback, so the "
+            "legacy host-callback bridge cannot run. Either provide a "
+            "jax.numpy-traceable function (recommended — it is also the "
+            "fast path), or run on CPU (JAX_PLATFORMS=cpu) where the "
+            "callback bridge works. Set ERYN_TPU_FORCE_CALLBACK=1 to "
+            "bypass this check if your JAX build supports callbacks on "
+            "this platform."
+        )
+
+
 def _crossed(prev, now, interval):
     """True when the count advanced across a multiple of ``interval``
     between ``prev`` (exclusive) and ``now`` (inclusive).  Segment sizes
@@ -95,6 +121,9 @@ class PriorEvaluator:
             if getattr(container, "traceable", False):
                 lp_leaf = container.logpdf(c)
             else:
+                _require_callback_support(
+                    f"the prior container for branch {name!r}"
+                )
                 batch = c.shape[:-1]
                 lp_leaf = jax.pure_callback(
                     lambda arr, _con=container: np.asarray(
@@ -259,6 +288,7 @@ class LikelihoodEvaluator:
             )
             return "traced-walker"
         except Exception:
+            _require_callback_support()
             warnings.warn(
                 "log_like_fn is not JAX-traceable (or indexes supplemental "
                 "keys unknown at setup); falling back to a host callback "
@@ -495,6 +525,7 @@ class LikelihoodEvaluator:
                     )
                     self.mode = "traced-walker"
             except Exception:
+                _require_callback_support()
                 warnings.warn(
                     "log_like_fn with provide_supplemental=True is not "
                     "JAX-traceable; falling back to a host callback "
@@ -826,6 +857,24 @@ class EnsembleSampler:
             if hasattr(move, "propagate_wiring"):
                 move.propagate_wiring()
 
+        #: reference-style custom moves (host get_proposal / friends hooks)
+        #: cannot enter the compiled scan; the whole chain runs host-step
+        #: mode instead (see _run_host_segment / moves/legacy.py)
+        self._has_host_moves = any(
+            getattr(m, "host_move", False)
+            for m in self.moves + self.rj_moves
+        )
+        if self._has_host_moves:
+            warnings.warn(
+                "One or more moves implement the reference's host extension "
+                "protocol (get_proposal / setup_friends / find_friends); "
+                "the sampler will run step-by-step on the host. This is "
+                "correct but much slower than the compiled path — port the "
+                "hook to the *_kernel API (docs/migration.md) for TPU "
+                "performance.",
+                stacklevel=2,
+            )
+
         # move-tracking registry (ref ensemble.py:556-590)
         self.all_moves = {}
         for move in self.moves + self.rj_moves:
@@ -880,8 +929,26 @@ class EnsembleSampler:
         if backend is None:
             # store in the compute dtype: the device chain IS float32 by
             # default, so a float64 backend would only burn host memory and
-            # flush time on a lossless upcast
-            self.backend = Backend(dtype=np.dtype(self.dtype))
+            # flush time on a lossless upcast.
+            #
+            # On an accelerator backend the default is the HBM-resident
+            # DeviceBackend: chain segments append at memory bandwidth and
+            # getters/diagnostics transfer only what they read — on a
+            # bandwidth-constrained host link the out-of-the-box stored run
+            # then samples at the compute rate, not the wire rate.  A
+            # 4 GiB HBM budget triggers automatic host offload; pass an
+            # explicit Backend()/DeviceBackend() to override.
+            if not self._has_host_moves and jax.default_backend() not in (
+                "cpu",
+            ):
+                from .backends import DeviceBackend
+
+                self.backend = DeviceBackend(
+                    dtype=np.dtype(self.dtype),
+                    max_device_bytes=4 << 30,
+                )
+            else:
+                self.backend = Backend(dtype=np.dtype(self.dtype))
         elif isinstance(backend, str):
             self.backend = HDFBackend(backend)
         else:
@@ -954,8 +1021,13 @@ class EnsembleSampler:
         self._sharding_mesh = None
         # max stored iterations buffered on device per dispatch (a 512-step
         # north-star segment is ~15 MB of packed snapshot in HBM; larger
-        # segments amortize per-dispatch and per-transfer fixed costs)
-        self._max_segment = 512
+        # segments amortize per-dispatch and per-transfer fixed costs).
+        # Device-resident backends never ship the snapshot to the host, so
+        # they afford much longer segments — each dispatch round-trip costs
+        # ~0.1-0.3 s on a tunneled link.
+        self._max_segment = (
+            2048 if getattr(self.backend, "device_resident", False) else 512
+        )
         from .utils.profiling import SegmentTimer
 
         #: per-segment wall-time / throughput instrumentation
@@ -1147,6 +1219,37 @@ class EnsembleSampler:
         #: device-resident counter arrays reused across dispatches (rebuilt
         #: from the host mirrors when None)
         self._counters_dev = None
+        #: packed device counter vector from the last segment, not yet
+        #: fetched (see _materialize_counters)
+        self._counters_packed = None
+
+    def _materialize_counters(self):
+        """Fold the last segment's packed device counters into the host
+        mirrors and the move objects' ``accepted``/``num_proposals``.
+        ONE blocking fetch, deferred to the consumers that actually read
+        host counters (tune hooks, user code between yields, host-backend
+        fraction bookkeeping) so the per-segment path never blocks."""
+        packed = self._counters_packed
+        if packed is None:
+            return
+        m_acc, m_np, rj_acc, rj_np = self._counters_dev
+        packed = np.asarray(packed)
+        sizes = np.cumsum(
+            [m_acc.size, m_np.size, rj_acc.size, rj_np.size]
+        )[:-1]
+        a, b, c, d = np.split(packed, sizes)
+        self._move_accepted = a.reshape(self._move_accepted.shape)
+        self._move_nprop = b.reshape(self._move_nprop.shape)
+        self._rj_move_accepted = c.reshape(self._rj_move_accepted.shape)
+        self._rj_move_nprop = d.reshape(self._rj_move_nprop.shape)
+        nmoves = len(self.moves)
+        for i, move in enumerate(self.moves):
+            move.accepted = self._move_accepted[i]
+            move.num_proposals = int(self._move_nprop[i])
+        for i, move in enumerate(self.rj_moves):
+            move.accepted = self._rj_move_accepted[i]
+            move.num_proposals = int(self._rj_move_nprop[i])
+        self._counters_packed = None
 
     # ------------------------------------------------------------------
     # evaluation API (host-facing, ref ensemble.py:1127-1545)
@@ -1554,29 +1657,21 @@ class EnsembleSampler:
         ) = carry
 
         # device counters feed the next dispatch without a host round-trip;
-        # the host mirrors are refilled from ONE packed fetch
+        # the host mirrors materialize lazily (_materialize_counters) — a
+        # tunneled link pays ~0.1-0.3 s per blocking fetch, so nothing in
+        # the per-segment path is allowed to block on small arrays
         self._counters_dev = (m_acc, m_np, rj_acc, rj_np)
-        packed = np.asarray(counters)
-        sizes = np.cumsum(
-            [m_acc.size, m_np.size, rj_acc.size, rj_np.size]
-        )[:-1]
-        a, b, c, d = np.split(packed, sizes)
-        self._move_accepted = a.reshape(self._move_accepted.shape)
-        self._move_nprop = b.reshape(self._move_nprop.shape)
-        self._rj_move_accepted = c.reshape(self._rj_move_accepted.shape)
-        self._rj_move_nprop = d.reshape(self._rj_move_nprop.shape)
+        self._counters_packed = counters
         nmoves = len(self.moves)
         for i, move in enumerate(self.moves):
-            move.accepted = self._move_accepted[i]
-            move.num_proposals = int(self._move_nprop[i])
             move._host_kernel_state = self._kernel_states[i]
         for i, move in enumerate(self.rj_moves):
-            move.accepted = self._rj_move_accepted[i]
-            move.num_proposals = int(self._rj_move_nprop[i])
             move._host_kernel_state = self._kernel_states[nmoves + i]
         if tc is not None:
-            tc.time = int(time)
-            tc.betas = np.asarray(state.betas)
+            # device scalars/vectors: consumers coerce on access, and the
+            # next dispatch feeds them straight back to the device
+            tc.time = time
+            tc.betas = state.betas
 
         if self._host_supps:
             state = self._apply_prov(state)
@@ -1674,16 +1769,34 @@ class EnsembleSampler:
             }
         if self.track_moves:
             fractions = {}
-            for i, key_name in enumerate(self.all_moves.keys()):
-                if i < len(self.moves):
-                    acc = self._move_accepted[i]
-                    nprop = self._move_nprop[i]
-                else:
-                    acc = self._rj_move_accepted[i - len(self.moves)]
-                    nprop = self._rj_move_nprop[i - len(self.moves)]
-                fractions[key_name] = acc / max(nprop, 1.0)
+            if device_resident and self._counters_dev is not None:
+                # fractions as DEVICE slices — two async ops, no fetch; the
+                # backend's readers materialize them lazily
+                m_acc, m_np, rj_acc, rj_np = self._counters_dev
+                fr_m = jnp.asarray(m_acc) / jnp.maximum(
+                    jnp.asarray(m_np), 1.0
+                ).reshape(-1, 1, 1)
+                fr_rj = jnp.asarray(rj_acc) / jnp.maximum(
+                    jnp.asarray(rj_np), 1.0
+                ).reshape(-1, 1, 1)
+                for i, key_name in enumerate(self.all_moves.keys()):
+                    if i < len(self.moves):
+                        fractions[key_name] = fr_m[i]
+                    else:
+                        fractions[key_name] = fr_rj[i - len(self.moves)]
+            else:
+                self._materialize_counters()
+                for i, key_name in enumerate(self.all_moves.keys()):
+                    if i < len(self.moves):
+                        acc = self._move_accepted[i]
+                        nprop = self._move_nprop[i]
+                    else:
+                        acc = self._rj_move_accepted[i - len(self.moves)]
+                        nprop = self._rj_move_nprop[i - len(self.moves)]
+                    fractions[key_name] = acc / max(nprop, 1.0)
         else:
             fractions = None
+        key_data = jax.random.key_data(self._key)
         self.backend.save_segment(
             coords=snaps["coords"],
             inds=inds,
@@ -1697,11 +1810,137 @@ class EnsembleSampler:
             else None,
             swaps_accepted=snaps["swaps"] if self.ntemps > 1 else None,
             moves_accepted_fraction=fractions,
-            random_state=np.asarray(jax.random.key_data(self._key)),
+            random_state=key_data
+            if device_resident
+            else np.asarray(key_data),
         )
         tc = self.temperature_control
         if tc is not None and self.ntemps > 1:
-            tc.swaps_accepted = np.asarray(snaps["swaps"][-1])
+            # device slice; host consumers (plots, adapt_temps) coerce
+            tc.swaps_accepted = snaps["swaps"][-1]
+
+    # ------------------------------------------------------------------
+    # host-step mode (legacy custom moves; see moves/legacy.py)
+    # ------------------------------------------------------------------
+    def _run_host_segment(self, state, nstored, thin_by=1, store=True):
+        """Run ``nstored * thin_by`` sampler steps on the HOST, one
+        ``move.propose(model, state)`` call at a time — the reference's own
+        execution model (ref ``ensemble.py:963-1045``).  Engaged only when a
+        reference-style custom move is configured (its host hooks cannot
+        enter the compiled scan).  Returns ``(state, snaps)`` with ``snaps``
+        in the unpacked per-field layout ``_save_snaps_host`` consumes."""
+        model = self.get_model()
+        w = np.asarray(self.weights, dtype=float)
+        w = w / w.sum()
+        if self.rj_moves:
+            rj_w = np.asarray(self.rj_weights, dtype=float)
+            rj_w = rj_w / rj_w.sum()
+        nt, nw = self.ntemps, self.nwalkers
+        tc = self.temperature_control
+
+        snaps = (
+            {
+                "coords": {n: [] for n in self.branch_names},
+                "inds": {n: [] for n in self.branch_names},
+                "log_like": [],
+                "log_prior": [],
+                "betas": [],
+                "swaps": [],
+                "accepted": [],
+                "rj_accepted": [],
+                "blobs": [],
+            }
+            if store
+            else None
+        )
+        for _ in range(nstored):
+            acc_step = np.zeros((nt, nw))
+            rj_acc_step = np.zeros((nt, nw))
+            for _ in range(thin_by):
+                for _ in range(self.num_repeats_in_model):
+                    move = self.moves[np.random.choice(len(self.moves), p=w)]
+                    state, acc = move.propose(model, state)
+                    acc_step += np.asarray(acc)
+                if self.has_reversible_jump:
+                    for _ in range(self.num_repeats_rj):
+                        rj_move = self.rj_moves[
+                            np.random.choice(len(self.rj_moves), p=rj_w)
+                        ]
+                        state, acc = rj_move.propose(model, state)
+                        rj_acc_step += np.asarray(acc)
+            if store:
+                for n in self.branch_names:
+                    snaps["coords"][n].append(
+                        np.asarray(state.branches_coords[n])
+                    )
+                    snaps["inds"][n].append(np.asarray(state.branches_inds[n]))
+                snaps["log_like"].append(np.asarray(state.log_like))
+                snaps["log_prior"].append(np.asarray(state.log_prior))
+                betas = (
+                    state.betas if state.betas is not None else
+                    (tc.betas if tc is not None else np.ones(nt))
+                )
+                snaps["betas"].append(np.asarray(betas, dtype=float))
+                swaps = (
+                    np.asarray(tc.swaps_accepted, dtype=float)
+                    if tc is not None and self.ntemps > 1
+                    else np.zeros(max(nt - 1, 0))
+                )
+                snaps["swaps"].append(swaps)
+                snaps["accepted"].append(acc_step)
+                snaps["rj_accepted"].append(rj_acc_step)
+                if state.blobs is not None:
+                    snaps["blobs"].append(np.asarray(state.blobs))
+        if store:
+            out = {
+                "coords": {
+                    n: np.stack(v) for n, v in snaps["coords"].items()
+                },
+                "inds": {n: np.stack(v) for n, v in snaps["inds"].items()},
+                "log_like": np.stack(snaps["log_like"]),
+                "log_prior": np.stack(snaps["log_prior"]),
+                "betas": np.stack(snaps["betas"]),
+                "swaps": np.stack(snaps["swaps"]),
+                "accepted": np.stack(snaps["accepted"]),
+                "rj_accepted": np.stack(snaps["rj_accepted"]),
+                "blobs": np.stack(snaps["blobs"]) if snaps["blobs"] else None,
+            }
+        else:
+            out = None
+        self._previous_state = state
+        return state, out
+
+    def _save_snaps_host(self, snaps):
+        """Flush a host-mode segment into the backend (fractions from the
+        move objects' own counters, which host propose maintains)."""
+        if self.track_moves:
+            fractions = {}
+            for key_name, move in self.all_moves.items():
+                acc = (
+                    move.accepted
+                    if move.accepted is not None
+                    else np.zeros((self.ntemps, self.nwalkers))
+                )
+                fractions[key_name] = np.asarray(acc) / max(
+                    move.num_proposals, 1
+                )
+        else:
+            fractions = None
+        self.backend.save_segment(
+            coords=snaps["coords"],
+            inds=snaps["inds"],
+            log_like=snaps["log_like"],
+            log_prior=snaps["log_prior"],
+            betas=snaps["betas"],
+            blobs=snaps.get("blobs"),
+            accepted=snaps["accepted"],
+            rj_accepted=snaps["rj_accepted"]
+            if self.has_reversible_jump
+            else None,
+            swaps_accepted=snaps["swaps"] if self.ntemps > 1 else None,
+            moves_accepted_fraction=fractions,
+            random_state=np.asarray(jax.random.key_data(self._key)),
+        )
 
     def _blobs_example(self, state):
         """Blob exemplar for backend allocation: honor a user ``blobs_dtype``
@@ -1911,9 +2150,20 @@ class EnsembleSampler:
             iterator = count() if iterations is None else range(iterations)
             i = 0
             for _ in iterator:
-                state, snaps = self._run_bulk(state, 1, thin_by, store=store)
-                if store:
-                    self._save_snaps(snaps)
+                if self._has_host_moves:
+                    state, snaps = self._run_host_segment(
+                        state, 1, thin_by, store=store
+                    )
+                    if store:
+                        self._save_snaps_host(snaps)
+                else:
+                    state, snaps = self._run_bulk(
+                        state, 1, thin_by, store=store
+                    )
+                    if store:
+                        self._save_snaps(snaps)
+                # user code runs between yields and may read counters
+                self._materialize_counters()
                 for m in tuned_moves:
                     # tune hooks that mutate traced move config must clear
                     # sampler._step_cache (see AdjustStretchProposalScale)
@@ -1979,7 +2229,12 @@ class EnsembleSampler:
         # burning, as documented by the reference (ensemble.py:1061,1085-1087)
         if burn is not None and burn > 0:
             for n in _segment_plan(int(burn), 4 * self._max_segment):
-                state, _ = self._run_bulk(state, 1, n, store=False)
+                if self._has_host_moves:
+                    state, _ = self._run_host_segment(state, n, 1, store=False)
+                else:
+                    state, _ = self._run_bulk(state, 1, n, store=False)
+                if tuned_moves:
+                    self._materialize_counters()
                 for m in tuned_moves:
                     m.tune(state, m.accepted)
             if post_burn_update and self.update_fn is not None:
@@ -2037,32 +2292,46 @@ class EnsembleSampler:
         with get_progress_bar(progress, total) as pbar:
             while i < nsteps:
                 n = segment_plan.pop(0)
-                # software pipeline: dispatch segment k+1, then flush segment
-                # k's chain to the backend while the device computes
-                carry, snaps, counters, t0 = self._dispatch_bulk(
-                    state, n, thin_by, store=store
-                )
-                if pending is not None:
-                    self._save_snaps(pending)
-                    pending = None
-                state = self._sync_bulk(
-                    carry, snaps, counters, n * thin_by, t0
-                )
-                i0, i = i, i + n
-                if store:
-                    if (
-                        plot_fires(i0, i)
-                        or stop_fires(i0, i)
-                        or update_fires(i0, i)
-                        or not segment_plan
-                    ):
-                        # hooks read the backend; it must be current
-                        self._save_snaps(snaps)
-                    else:
-                        pending = snaps
+                if self._has_host_moves:
+                    state, snaps = self._run_host_segment(
+                        state, n, thin_by, store=store
+                    )
+                    i0, i = i, i + n
+                    if store:
+                        self._save_snaps_host(snaps)
+                else:
+                    # software pipeline: dispatch segment k+1, then flush
+                    # segment k's chain to the backend while the device
+                    # computes
+                    carry, snaps, counters, t0 = self._dispatch_bulk(
+                        state, n, thin_by, store=store
+                    )
+                    if pending is not None:
+                        self._save_snaps(pending)
+                        pending = None
+                    state = self._sync_bulk(
+                        carry, snaps, counters, n * thin_by, t0
+                    )
+                    i0, i = i, i + n
+                    if store:
+                        if (
+                            plot_fires(i0, i)
+                            or stop_fires(i0, i)
+                            or update_fires(i0, i)
+                            or not segment_plan
+                        ):
+                            # hooks read the backend; it must be current
+                            self._save_snaps(snaps)
+                        else:
+                            pending = snaps
                 pbar.update(n * thin_by)
                 self._previous_state = state
 
+                if tuned_moves or plot_fires(i0, i) or stop_fires(i0, i) or (
+                    update_fires(i0, i)
+                ):
+                    # hooks and tuners read host-side counters
+                    self._materialize_counters()
                 for m in tuned_moves:
                     m.tune(state, m.accepted)
                 if plot_fires(i0, i):
@@ -2077,6 +2346,7 @@ class EnsembleSampler:
         if pending is not None:
             self._save_snaps(pending)
 
+        self._materialize_counters()
         self._previous_state = state
         return state
 

@@ -45,6 +45,35 @@ class GroupMove(Move):
         self.n_iter_update = int(n_iter_update)
         if self.n_iter_update <= 1 and not live_dangerously:
             raise ValueError("n_iter_update must be greater than or equal to 2.")
+        # reference-style subclasses override the host hooks below
+        # (ref group.py:50-96); they run through the legacy host bridge
+        cls = type(self)
+        if (
+            cls.setup_friends is not GroupMove.setup_friends
+            or cls.find_friends is not GroupMove.find_friends
+        ):
+            self.host_move = True
+            self._legacy_family = "group"
+            self.iter = 0
+
+    # -- reference host hooks (legacy custom-move protocol) ---------------
+    def setup_friends(self, branches):
+        """Host hook: build friend bookkeeping from the (NumPy) branches
+        dict (ref ``group.py:77-85``).  Overriding this (or
+        :meth:`find_friends`) marks the move as a legacy host move —
+        correct but slow; port to :meth:`setup_friends_kernel` for the
+        compiled path."""
+        raise NotImplementedError
+
+    def find_friends(self, name, s, s_inds=None, branch_supps=None):
+        """Host hook: return complement coordinates for the points in ``s``
+        (ref ``group.py:50-68``)."""
+        raise NotImplementedError
+
+    def fix_friends(self, branches):
+        """Host hook: repair friends for leaves born through RJ
+        (ref ``group.py:88-96``).  Optional."""
+        return
 
     # -- subclass hooks ---------------------------------------------------
     def setup_friends_kernel(self, branches_coords, branches_inds):

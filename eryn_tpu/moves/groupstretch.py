@@ -34,6 +34,32 @@ class GroupStretchMove(GroupMove, StretchMove):
         GroupMove.__init__(self, **kwargs)
         self.a = float(a)
 
+    def get_proposal(
+        self,
+        s_all,
+        random,
+        gibbs_ndim=None,
+        s_inds_all=None,
+        branch_supps=None,
+        **kwargs,
+    ):
+        """Host-protocol proposal for reference-style subclasses
+        (ref ``groupstretch.py:34-155``): stretch math against the
+        complement from the user's ``find_friends`` hook.  Only reached
+        through the legacy host bridge (see
+        :mod:`eryn_tpu.moves.legacy`); the compiled path uses
+        :meth:`group_proposal_kernel`."""
+        from .legacy import groupstretch_get_proposal
+
+        return groupstretch_get_proposal(
+            self,
+            s_all,
+            random,
+            gibbs_ndim=gibbs_ndim,
+            s_inds_all=s_inds_all,
+            branch_supps=branch_supps,
+        )
+
     # -- default friend machinery ------------------------------------------
     def setup_friends_kernel(self, branches_coords, branches_inds):
         """Default: snapshot the ensemble as the stationary group."""

@@ -34,6 +34,15 @@ class MHMove(Move):
     afterwards as a safety net (exact only for symmetric proposals).
     """
 
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        # reference-style subclasses implement a host-NumPy
+        # ``get_proposal(branches_coords, random, branches_inds=None, ...)``
+        # (ref mh.py:16-60); they run through the legacy host bridge
+        if getattr(type(self), "get_proposal", None) is not None:
+            self.host_move = True
+            self._legacy_family = "mh"
+
     def get_proposal_kernel(
         self, key, branch_coords, branch_inds, kernel_state, param_masks=None
     ):

@@ -81,6 +81,9 @@ class Move:
     adapt_temps = True
     #: marks trans-dimensional moves (sampler schedules them separately)
     is_rj = False
+    #: reference-style custom moves (host get_proposal / friends hooks) are
+    #: flagged at construction and run the legacy host protocol
+    host_move = False
 
     def __init__(
         self,
@@ -214,6 +217,11 @@ class Move:
         """Hook for acceptance-targeted tuning (ref ``move.py:459``)."""
         pass
 
+    def setup(self, branches):
+        """Per-proposal setup hook (ref ``red_blue.py:84-87``,
+        ``mh.py:36-40``): receives the branches (host mode) or coords."""
+        pass
+
     # ------------------------------------------------------------------
     # kernel interface
     # ------------------------------------------------------------------
@@ -264,8 +272,14 @@ class Move:
         """Eryn-compatible host entry point (ref ``move.py:16``).
 
         ``model`` is the sampler's :class:`eryn_tpu.model.Model` carrier; the
-        proposal itself runs as one jitted kernel.
+        proposal itself runs as one jitted kernel.  Reference-style custom
+        moves (host ``get_proposal``/friends hooks) run the reference's host
+        protocol instead (see :mod:`eryn_tpu.moves.legacy`).
         """
+        if getattr(self, "host_move", False):
+            from .legacy import host_propose
+
+            return host_propose(self, model, state)
         ctx = model.get_eval_context()
         key, subkey = jax.random.split(model.current_key())
         time = jnp.asarray(

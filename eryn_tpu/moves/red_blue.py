@@ -40,6 +40,18 @@ class RedBlueMove(Move):
         self.nsplits = int(nsplits)
         self.randomize_split = randomize_split
         self.live_dangerously = live_dangerously
+        # reference-style subclasses implement a host-NumPy
+        # ``get_proposal(s_all, c_all, random, gibbs_ndim=None)``
+        # (ref red_blue.py:16-87); they run through the legacy host bridge.
+        # Group moves define their own (group-protocol) get_proposal and are
+        # classified by GroupMove.__init__ instead.
+        from .group import GroupMove
+
+        if getattr(type(self), "get_proposal", None) is not None and not (
+            isinstance(self, GroupMove)
+        ):
+            self.host_move = True
+            self._legacy_family = "redblue"
 
     def setup(self, branches):
         """Per-proposal setup hook (ref ``red_blue.py:84-87``)."""

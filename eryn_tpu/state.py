@@ -78,6 +78,16 @@ class Branch:
 
     # --- shape info -----------------------------------------------------
     @property
+    def branch_supplemental(self):
+        """Reference attribute name (ref ``state.py:330-384`` exposes the
+        per-branch supplemental as ``branch_supplemental``)."""
+        return self.supplemental
+
+    @branch_supplemental.setter
+    def branch_supplemental(self, value):
+        self.supplemental = value
+
+    @property
     def shape(self):
         return self.coords.shape
 

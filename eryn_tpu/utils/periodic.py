@@ -25,11 +25,19 @@ class PeriodicContainer:
             reference (``periodic.py:21-47``).
     """
 
-    def __init__(self, periodic: dict, ndims: dict | None = None, key_orders=None):
+    def __init__(
+        self,
+        periodic: dict,
+        ndims: dict | None = None,
+        key_orders=None,
+        key_order=None,
+    ):
         if not isinstance(periodic, dict):
             raise ValueError("periodic must be a dict of dicts.")
         self.periodic_in = periodic
-        self._key_orders = key_orders or {}
+        # the reference spells the kwarg ``key_order`` (singular,
+        # {branch: [param names]}, ref periodic.py:21-47); accept both
+        self._key_orders = key_orders or key_order or {}
         self._ndims = dict(ndims) if ndims else {}
         self._vectors = {}
         for name, spec in periodic.items():

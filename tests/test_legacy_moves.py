@@ -1,0 +1,317 @@
+"""Reference-style custom moves run through the legacy host bridge.
+
+The reference's user extension protocol is host-side subclassing:
+``get_proposal`` on ``MHMove``/``RedBlueMove``
+(`/root/reference/src/eryn/moves/mh.py:16-60`, ``red_blue.py:16-87``) and
+``setup_friends``/``find_friends``/``fix_friends`` on ``GroupMove``
+(``group.py:50-96``).  These tests exercise each family, including a
+scaled-down port of the reference's own custom GroupStretch test
+(`/root/reference/tests/test_eryn.py:813-907`) with RJ and
+branch-supplemental friend bookkeeping.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import (
+    BranchSupplemental,
+    EnsembleSampler,
+    ProbDistContainer,
+    State,
+    uniform_dist,
+)
+from eryn_tpu.moves import GroupStretchMove, MHMove, RedBlueMove
+
+NDIM = 3
+NWALKERS = 32
+
+
+def log_like(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+def _priors():
+    return ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+
+
+def test_legacy_mh_custom_get_proposal():
+    class MyMH(MHMove):
+        def get_proposal(
+            self, branches_coords, random, branches_inds=None, **kwargs
+        ):
+            q = {}
+            for name, c in branches_coords.items():
+                c = np.asarray(c)
+                q[name] = c + 0.8 * random.randn(*c.shape)
+            factors = np.zeros(next(iter(q.values())).shape[:2])
+            return q, factors
+
+    move = MyMH()
+    assert move.host_move and move._legacy_family == "mh"
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(), moves=move, seed=0
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 300, burn=150)
+    ch = np.asarray(s.get_chain()["model_0"])[150:]
+    assert abs(ch.mean()) < 0.2
+    assert abs(ch.std() - 1.0) < 0.2
+    acc = s.acceptance_fraction.mean()
+    assert 0.05 < acc < 0.95
+
+
+def test_legacy_redblue_custom_get_proposal():
+    from eryn_tpu.moves.legacy import stretch_get_proposal
+
+    calls = {"n": 0}
+
+    class MyStretch(RedBlueMove):
+        a = 2.0
+
+        def get_proposal(self, s_all, c_all, random, gibbs_ndim=None, **kw):
+            calls["n"] += 1
+            return stretch_get_proposal(
+                self, s_all, c_all, random, gibbs_ndim=gibbs_ndim
+            )
+
+    move = MyStretch()
+    assert move.host_move and move._legacy_family == "redblue"
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(), moves=move, seed=1
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 300, burn=100)
+    assert calls["n"] > 0  # the custom hook actually drove the sampler
+    ch = np.asarray(s.get_chain()["model_0"])[150:]
+    assert abs(ch.mean()) < 0.2
+    assert abs(ch.std() - 1.0) < 0.2
+
+
+def test_builtin_moves_are_not_legacy():
+    from eryn_tpu.moves import DistributionGenerate, GaussianMove, StretchMove
+
+    assert not StretchMove().host_move
+    assert not GaussianMove({"model_0": 0.1}).host_move
+    pr = _priors()
+    assert not DistributionGenerate({"model_0": pr}).host_move
+    assert not GroupStretchMove().host_move
+    s = EnsembleSampler(NWALKERS, NDIM, log_like, pr, seed=3)
+    assert not s._has_host_moves
+
+
+def test_legacy_group_stretch_reference_protocol():
+    """Scaled-down port of the reference's own custom-move test
+    (`/root/reference/tests/test_eryn.py:813-907`): mean-sorted friends in a
+    branch supplemental, RJ birth/death repair via fix_friends."""
+    nwalkers, ntemps, ndim = 20, 4, 3
+    nleaves_max, nleaves_min = 4, 0
+    nfriends = nwalkers
+
+    hook_calls = {"setup": 0, "fix": 0, "find": 0}
+
+    class MeanGaussianGroupMove(GroupStretchMove):
+        def setup_friends(self, branches):
+            hook_calls["setup"] += 1
+            friends = branches["gauss"].coords[0, branches["gauss"].inds[0]]
+            means = friends[:, 1].copy()
+            self.means, uni = np.unique(means, return_index=True)
+            self.friends = friends[uni]
+            srt = np.argsort(self.means)
+            self.friends[:] = self.friends[srt]
+            self.means[:] = self.means[srt]
+
+            current_means = branches["gauss"].coords[
+                branches["gauss"].inds, 1
+            ]
+            dist = np.abs(current_means[:, None] - self.means[None, :])
+            take = min(self.nfriends, self.means.shape[0])
+            inds_closest = np.argsort(dist, axis=1)[:, : self.nfriends]
+            if take < self.nfriends:  # pad by repeating the closest
+                inds_closest = np.concatenate(
+                    [inds_closest]
+                    + [inds_closest[:, :1]] * (self.nfriends - take),
+                    axis=1,
+                )
+            branches["gauss"].branch_supplemental[
+                branches["gauss"].inds
+            ] = {"inds_closest": inds_closest}
+            branches["gauss"].branch_supplemental[
+                ~branches["gauss"].inds
+            ] = {
+                "inds_closest": -np.ones(
+                    (ntemps, nwalkers, nleaves_max, self.nfriends), dtype=int
+                )[~branches["gauss"].inds]
+            }
+
+        def fix_friends(self, branches):
+            hook_calls["fix"] += 1
+            fix = branches["gauss"].inds & np.all(
+                branches["gauss"].branch_supplemental[:]["inds_closest"]
+                == -1,
+                axis=-1,
+            )
+            if not np.any(fix):
+                return
+            current_means = branches["gauss"].coords[fix, 1]
+            dist = np.abs(current_means[:, None] - self.means[None, :])
+            take = min(self.nfriends, self.means.shape[0])
+            inds_closest = np.argsort(dist, axis=1)[:, : self.nfriends]
+            if take < self.nfriends:
+                inds_closest = np.concatenate(
+                    [inds_closest]
+                    + [inds_closest[:, :1]] * (self.nfriends - take),
+                    axis=1,
+                )
+            branches["gauss"].branch_supplemental[fix] = {
+                "inds_closest": inds_closest
+            }
+
+        def find_friends(self, name, s, s_inds=None, branch_supps=None):
+            hook_calls["find"] += 1
+            friends = np.zeros_like(np.asarray(s))
+            inds_closest_here = branch_supps[name][s_inds]["inds_closest"]
+            inds_closest_here = np.clip(
+                inds_closest_here, 0, self.friends.shape[0] - 1
+            )
+            random_inds = inds_closest_here[
+                np.arange(inds_closest_here.shape[0]),
+                np.random.randint(
+                    self.nfriends, size=(inds_closest_here.shape[0],)
+                ),
+            ]
+            friends[s_inds] = self.friends[random_inds]
+            return friends
+
+    def gaussian_pulse(x, a, b, c):
+        return a * np.exp(-((x - b) ** 2) / (2 * c**2))
+
+    num = 128
+    t = np.linspace(-1, 1, num)
+    gauss_inj_params = [[3.3, -0.2, 0.1], [2.6, 0.1, 0.1]]
+    injection = np.zeros(num)
+    for p in gauss_inj_params:
+        injection += gaussian_pulse(t, *p)
+    sigma = 1.0
+    y = injection + sigma * np.random.randn(num)
+
+    t_j, y_j = jnp.asarray(t), jnp.asarray(y)
+
+    def ll(coords, inds):
+        a, b, c = coords[:, 0], coords[:, 1], coords[:, 2]
+        tmpl = jnp.sum(
+            jnp.where(
+                inds[:, None],
+                a[:, None]
+                * jnp.exp(-((t_j[None] - b[:, None]) ** 2) / (2 * c[:, None] ** 2)),
+                0.0,
+            ),
+            axis=0,
+        )
+        return -0.5 * jnp.sum(((tmpl - y_j) / sigma) ** 2)
+
+    coords = {"gauss": np.zeros((ntemps, nwalkers, nleaves_max, ndim))}
+    for nn in range(len(gauss_inj_params)):
+        coords["gauss"][:, :, nn] = np.random.multivariate_normal(
+            gauss_inj_params[nn],
+            np.diag(np.ones(3) * 0.0001),
+            size=(ntemps, nwalkers),
+        )
+    inds = {"gauss": np.zeros((ntemps, nwalkers, nleaves_max), dtype=bool)}
+    inds["gauss"][:, :, : len(gauss_inj_params)] = True
+
+    priors = {
+        "gauss": ProbDistContainer(
+            {
+                0: uniform_dist(2.0, 4.0),
+                1: uniform_dist(t.min(), t.max()),
+                2: uniform_dist(0.01, 0.3),
+            }
+        )
+    }
+    fill = float(-0.5 * np.sum((y / sigma) ** 2))
+
+    with pytest.warns(UserWarning):
+        ensemble = EnsembleSampler(
+            nwalkers,
+            ndim,
+            ll,
+            priors,
+            tempering_kwargs=dict(ntemps=ntemps),
+            branch_names=["gauss"],
+            nleaves_max=nleaves_max,
+            nleaves_min=nleaves_min,
+            moves=MeanGaussianGroupMove(
+                nfriends=nfriends, n_iter_update=20
+            ),
+            rj_moves=True,
+            fill_zero_leaves_val=fill,
+            seed=4,
+        )
+    assert ensemble._has_host_moves
+
+    log_prior = ensemble.compute_log_prior(coords, inds=inds)
+    log_like_v = ensemble.compute_log_like(coords, inds=inds, logp=log_prior)[0]
+
+    branch_supps = {
+        "gauss": BranchSupplemental(
+            {
+                "inds_closest": np.zeros(
+                    inds["gauss"].shape + (nfriends,), dtype=int
+                )
+            },
+            base_shape=(ntemps, nwalkers, nleaves_max),
+        )
+    }
+    state = State(
+        coords,
+        log_like=log_like_v,
+        log_prior=log_prior,
+        inds=inds,
+        branch_supplemental=branch_supps,
+    )
+    last = ensemble.run_mcmc(state, 120, burn=10, thin_by=1)
+
+    assert hook_calls["setup"] >= 2  # initial + window refreshes
+    assert hook_calls["find"] > 0
+    assert hook_calls["fix"] > 0
+
+    nleaves = ensemble.get_nleaves()["gauss"][:, 0]
+    # the two injected pulses are strong: the cold chain should keep >= 2
+    assert np.median(nleaves) >= 2
+    acc = ensemble.acceptance_fraction.mean()
+    assert 0.01 < acc < 1.0
+    # chain stored and readable
+    ch = ensemble.get_chain()["gauss"]
+    assert ch.shape[:2] == (120, ntemps)
+
+
+def test_legacy_mixed_with_builtin_moves():
+    """A legacy move and a compiled built-in move share the schedule; both
+    drive the chain through the host loop."""
+    from eryn_tpu.moves import StretchMove
+    from eryn_tpu.moves.legacy import stretch_get_proposal
+
+    class MyStretch(RedBlueMove):
+        a = 2.0
+
+        def get_proposal(self, s_all, c_all, random, gibbs_ndim=None, **kw):
+            return stretch_get_proposal(
+                self, s_all, c_all, random, gibbs_ndim=gibbs_ndim
+            )
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS,
+            NDIM,
+            log_like,
+            _priors(),
+            moves=[(MyStretch(), 0.5), (StretchMove(), 0.5)],
+            seed=5,
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 250, burn=100)
+    ch = np.asarray(s.get_chain()["model_0"])[100:]
+    assert abs(ch.std() - 1.0) < 0.25
+    for m in s.moves:
+        assert m.num_proposals > 0  # both moves actually ran
