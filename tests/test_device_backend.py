@@ -312,3 +312,54 @@ def test_device_backend_honors_slice_order():
     )
     mixed = b.get_value("log_like", slice_vals=np.array([7, 2, 8, 0]))
     np.testing.assert_allclose(mixed[:, 0, 0], [7.0, 2.0, 8.0, 0.0])
+
+
+def test_default_backend_is_device_on_accelerator(priors, monkeypatch):
+    """backend=None selects DeviceBackend on accelerator platforms (the
+    out-of-the-box stored run must be the fast path) and the host Backend
+    on CPU."""
+    import jax as _jax
+
+    s_cpu = EnsembleSampler(NWALKERS, NDIM, log_like, priors, seed=0)
+    assert type(s_cpu.backend) is Backend
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    s_tpu = EnsembleSampler(NWALKERS, NDIM, log_like, priors, seed=0)
+    assert isinstance(s_tpu.backend, DeviceBackend)
+    assert s_tpu.backend.max_device_bytes == 4 << 30
+    # explicit backend always wins
+    s_exp = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, backend=Backend(), seed=0
+    )
+    assert type(s_exp.backend) is Backend
+
+
+def test_device_iact_matches_host_estimator(priors):
+    """The device-side IACT (get_integrated_act_jax) matches the host
+    estimator on a real correlated chain, and the lazy device counters
+    match a host-backend run with the same seed."""
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    host = _run(Backend(), priors, nsteps=200, seed=11, coords=coords)
+    dev = _run(DeviceBackend(), priors, nsteps=200, seed=11, coords=coords)
+
+    tau_h = host.get_autocorr_time()["model_0"]
+    tau_d = dev.get_autocorr_time()["model_0"]
+    assert np.all(np.asarray(tau_d) > 0.5)  # real chains correlate
+    np.testing.assert_allclose(tau_d, tau_h, rtol=1e-3, atol=1e-5)
+    # all_temps + window kwargs agree too
+    np.testing.assert_allclose(
+        dev.get_autocorr_time(all_temps=True, window=30)["model_0"],
+        host.get_autocorr_time(all_temps=True, window=30)["model_0"],
+        rtol=1e-3,
+        atol=1e-5,
+    )
+    # after offload the host fallback path serves the same answer
+    dev.backend.offload()
+    np.testing.assert_allclose(
+        dev.get_autocorr_time()["model_0"], tau_h, rtol=1e-3, atol=1e-5
+    )
+    # lazily-materialized counters equal the host-backend ones
+    np.testing.assert_allclose(dev.backend.accepted, host.backend.accepted)
+    np.testing.assert_allclose(
+        dev.backend.swaps_accepted, host.backend.swaps_accepted
+    )
