@@ -48,7 +48,11 @@ except ImportError:  # pragma: no cover
     pass
 
 try:  # pragma: no cover - staged build
-    from .multipletry import MultipleTryMove, MultipleTryMoveRJ
+    from .multipletry import (
+        MultipleTryMove,
+        MultipleTryMoveRJ,
+        get_mt_computations,
+    )
     from .mtdistgen import MTDistGenMove
     from .mtdistgenrj import MTDistGenMoveRJ
 
@@ -57,6 +61,7 @@ try:  # pragma: no cover - staged build
         "MultipleTryMoveRJ",
         "MTDistGenMove",
         "MTDistGenMoveRJ",
+        "get_mt_computations",
     ]
 except ImportError:  # pragma: no cover
     pass

@@ -22,12 +22,42 @@ import jax.numpy as jnp
 from .move import Move, mh_accept
 from .tempering import tempered_log_likelihood
 
-__all__ = ["MultipleTryMove", "logsumexp"]
+__all__ = ["MultipleTryMove", "get_mt_computations", "logsumexp"]
 
 
 def logsumexp(a, axis=None):
     """Stable logsumexp (ref ``multipletry.py:25-33``)."""
     return jax.scipy.special.logsumexp(a, axis=axis)
+
+
+def get_mt_computations(logP, log_proposal_pdf, symmetric=False, xp=None):
+    """Importance weights + categorical try selection — the reference's
+    public helper with its exact signature (ref ``multipletry.py:36-59``).
+
+    ``(nbatch, num_try)`` inputs; draws selection uniforms through NumPy's
+    global RNG like the reference (the compiled sampler path uses the keyed
+    :meth:`MultipleTryMove.mt_select_kernel` instead).
+
+    Returns:
+        ``(log_importance_weights, log_sum_weights, inds_keep)``.
+    """
+    import numpy as np
+
+    if xp is None:
+        xp = np
+    logP = xp.asarray(logP)
+    if symmetric:
+        log_importance_weights = logP
+    else:
+        log_importance_weights = logP - xp.asarray(log_proposal_pdf)
+    max_w = xp.max(log_importance_weights, axis=-1)
+    log_sum_weights = max_w + xp.log(
+        xp.exp(log_importance_weights - max_w[:, None]).sum(axis=-1)
+    )
+    probs = xp.exp(log_importance_weights - log_sum_weights[:, None])
+    u = xp.asarray(np.random.rand(probs.shape[0]))
+    inds_keep = (probs.cumsum(1) > u[:, None]).argmax(1)
+    return log_importance_weights, log_sum_weights, inds_keep
 
 
 class MultipleTryMove(Move):

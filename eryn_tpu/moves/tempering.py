@@ -425,6 +425,130 @@ class TemperatureControl:
         return new_state, swaps_accepted, time
 
     # host-side convenience mirroring reference mutation-style API ------
+    def temperature_swaps(
+        self,
+        x,
+        logP,
+        logl,
+        logp,
+        inds=None,
+        blobs=None,
+        supps=None,
+        branch_supps=None,
+    ):
+        """Host-callable swap cascade with the reference's public signature
+        (ref ``tempering.py:484-561``): swaps every input highest -> lowest
+        rung and updates ``self.swaps_accepted``.
+
+        Randomness comes from a fresh key drawn through NumPy's global RNG
+        (the reference consumes ``np.random`` directly); chains match the
+        reference statistically, never bitwise.  ``logP`` is re-tempered
+        from the swapped components, which is exactly what the reference's
+        in-place re-tempering produces."""
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        swap_tree = {"logp": jnp.asarray(logp)}
+        if x is not None:
+            swap_tree["x"] = {
+                name: jnp.asarray(val) for name, val in x.items()
+            }
+        if inds is not None:
+            swap_tree["inds"] = {
+                name: jnp.asarray(val) for name, val in inds.items()
+            }
+        if blobs is not None:
+            swap_tree["blobs"] = jnp.asarray(blobs)
+        supps_holder = getattr(supps, "holder", None)
+        if supps_holder:
+            swap_tree["supps"] = {
+                k: jnp.asarray(v)
+                for k, v in supps_holder.items()
+                if k not in self.skip_swap_supp_names
+            }
+        bs_holders = {}
+        if branch_supps is not None:
+            for name, bs in branch_supps.items():
+                holder = getattr(bs, "holder", None)
+                if holder:
+                    bs_holders[name] = {
+                        k: jnp.asarray(v) for k, v in holder.items()
+                    }
+        if bs_holders:
+            swap_tree["branch_supps"] = bs_holders
+
+        betas = jnp.asarray(self.betas)
+        swap_tree, logl_new, swaps_accepted, swaps_proposed = self.swap_kernel(
+            key, swap_tree, jnp.asarray(logl), betas
+        )
+        nwalkers = np.asarray(logl).shape[-1]
+        ratios = np.asarray(swaps_accepted) / np.maximum(
+            np.asarray(swaps_proposed), 1.0
+        )
+        self.swaps_accepted = ratios * nwalkers
+        self.swaps_proposed = np.full(self.ntemps - 1, nwalkers)
+
+        logl_out = np.asarray(logl_new)
+        logp_out = np.asarray(swap_tree["logp"])
+        logP_out = np.asarray(
+            self.compute_log_posterior_tempered(logl_out, logp_out)
+        )
+        x_out = (
+            {n: np.asarray(v) for n, v in swap_tree["x"].items()}
+            if x is not None
+            else None
+        )
+        inds_out = (
+            {n: np.asarray(v) for n, v in swap_tree["inds"].items()}
+            if inds is not None
+            else None
+        )
+        blobs_out = (
+            np.asarray(swap_tree["blobs"]) if blobs is not None else None
+        )
+        if supps_holder:
+            for k, v in swap_tree["supps"].items():
+                supps[k] = np.asarray(v)
+        if bs_holders:
+            for name, holder in swap_tree["branch_supps"].items():
+                for k, v in holder.items():
+                    branch_supps[name][k] = np.asarray(v)
+        return (
+            x_out,
+            logP_out,
+            logl_out,
+            logp_out,
+            inds_out,
+            blobs_out,
+            supps,
+            branch_supps,
+        )
+
+    def temper_comps(self, state, adapt=True):
+        """Host entry point with the reference's public name and semantics
+        (ref ``tempering.py:598-649``): swap a filled ``State``, then
+        (optionally) adapt the ladder and advance ``self.time``.
+
+        The compiled sampler never calls this — segments run
+        :meth:`temper_kernel` inside the scan; this exists so user code
+        written against the reference API executes."""
+        from ..state import State
+
+        betas = state.betas if state.betas is not None else self.betas
+        work = State(state, copy=True)
+        work.betas = np.asarray(betas)
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        new_state, swaps_accepted, _ = self.temper_kernel(
+            key,
+            work,
+            jnp.asarray(self.time, dtype=jnp.int32),
+            adapt=False,
+        )
+        self.swaps_accepted = np.asarray(swaps_accepted)
+        self.swaps_proposed = np.full(self.ntemps - 1, self.nwalkers)
+        if adapt:
+            self.adapt_temps()  # advances self.time, mutates self.betas
+        new_state.betas = np.asarray(self.betas)
+        return new_state
+
     def adapt_temps(self):
         """Host-side ladder adaptation (reference-compatible mutation API,
         ref ``tempering.py:587-596``)."""

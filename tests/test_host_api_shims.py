@@ -1,0 +1,125 @@
+"""Reference host-API surface: ``TemperatureControl.temper_comps`` /
+``temperature_swaps`` (`/root/reference/src/eryn/moves/tempering.py:484-649`),
+``get_mt_computations`` (ref ``multipletry.py:36-59``), and the fail-fast
+for callback-unsupported backends."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.moves import TemperatureControl
+from eryn_tpu.moves.multipletry import get_mt_computations
+
+NDIM, NWALKERS, NTEMPS = 3, 64, 5
+
+
+def _tc():
+    return TemperatureControl(
+        effective_ndim=NDIM, nwalkers=NWALKERS, ntemps=NTEMPS
+    )
+
+
+def _state():
+    coords = {"model_0": np.random.randn(NTEMPS, NWALKERS, 1, NDIM)}
+    logl = -0.5 * (coords["model_0"] ** 2).sum(axis=(-1, -2))
+    logp = np.zeros_like(logl)
+    return State(coords, log_like=logl, log_prior=logp)
+
+
+def test_temper_comps_swaps_and_adapts():
+    tc = _tc()
+    state = _state()
+    state.betas = np.asarray(tc.betas)
+    betas0 = tc.betas.copy()
+    out = tc.temper_comps(state)
+    # state type + shapes preserved
+    assert out.log_like.shape == (NTEMPS, NWALKERS)
+    # swaps move log-likelihood values between rungs but preserve the
+    # multiset of (value, walker-coord) pairs globally
+    all_old = np.sort(np.asarray(state.log_like).ravel())
+    all_new = np.sort(np.asarray(out.log_like).ravel())
+    np.testing.assert_allclose(all_old, all_new, rtol=1e-6)
+    # coords follow their log-likelihoods
+    ll_from_coords = -0.5 * (
+        np.asarray(out.branches_coords["model_0"]) ** 2
+    ).sum(axis=(-1, -2))
+    np.testing.assert_allclose(
+        ll_from_coords, np.asarray(out.log_like), rtol=1e-5
+    )
+    # adaptation advanced the clock and moved interior betas
+    assert tc.time == 1
+    assert not np.allclose(tc.betas[1:-1], betas0[1:-1])
+    assert np.asarray(tc.swaps_accepted).shape == (NTEMPS - 1,)
+    # adapt=False leaves the clock alone
+    t_before = tc.time
+    tc.temper_comps(out, adapt=False)
+    assert tc.time == t_before
+
+
+def test_temperature_swaps_reference_signature():
+    tc = _tc()
+    state = _state()
+    x = {n: np.asarray(v) for n, v in state.branches_coords.items()}
+    inds = {n: np.asarray(v) for n, v in state.branches_inds.items()}
+    logl = np.asarray(state.log_like)
+    logp = np.asarray(state.log_prior)
+    logP = np.asarray(tc.compute_log_posterior_tempered(logl, logp))
+    out = tc.temperature_swaps(x, logP.copy(), logl.copy(), logp.copy(), inds=inds)
+    x2, logP2, logl2, logp2, inds2, blobs2, supps2, bs2 = out
+    assert blobs2 is None and supps2 is None and bs2 is None
+    np.testing.assert_allclose(
+        np.sort(logl.ravel()), np.sort(logl2.ravel()), rtol=1e-6
+    )
+    # returned logP is re-tempered from the swapped parts
+    np.testing.assert_allclose(
+        logP2,
+        np.asarray(tc.compute_log_posterior_tempered(logl2, logp2)),
+        rtol=1e-6,
+    )
+    # coords followed their walkers
+    ll_from_coords = -0.5 * (x2["model_0"] ** 2).sum(axis=(-1, -2))
+    np.testing.assert_allclose(ll_from_coords, logl2, rtol=1e-5)
+    assert np.asarray(tc.swaps_accepted).shape == (NTEMPS - 1,)
+
+
+def test_get_mt_computations_matches_reference_semantics():
+    np.random.seed(3)
+    nbatch, ntry = 200, 8
+    logP = np.random.randn(nbatch, ntry)
+    logq = np.random.randn(nbatch, ntry)
+    liw, lsw, keep = get_mt_computations(logP, logq, symmetric=False)
+    np.testing.assert_allclose(liw, logP - logq, rtol=1e-12)
+    from scipy.special import logsumexp as sp_lse
+
+    np.testing.assert_allclose(lsw, sp_lse(liw, axis=-1), rtol=1e-10)
+    assert keep.shape == (nbatch,)
+    assert np.all((keep >= 0) & (keep < ntry))
+    # symmetric mode ignores the proposal density
+    liw_s, _, _ = get_mt_computations(logP, logq, symmetric=True)
+    np.testing.assert_allclose(liw_s, logP, rtol=1e-12)
+    # selection frequencies track the importance weights (chi^2-ish check
+    # on the most-weighted try over many rows)
+    best = liw.argmax(axis=-1)
+    frac_best = (keep == best).mean()
+    expected = np.exp(liw - lsw[:, None])[np.arange(nbatch), best].mean()
+    assert abs(frac_best - expected) < 0.12
+
+
+def test_callback_fail_fast_on_unsupported_backend(monkeypatch):
+    import jax as _jax
+
+    import eryn_tpu.ensemble as ens_mod
+
+    def np_like(x):  # host NumPy likelihood -> callback mode
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+    monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+    with pytest.raises(RuntimeError, match="does not support jax.pure_callback"):
+        EnsembleSampler(NWALKERS, NDIM, np_like, pr, seed=0)
+    # escape hatch for callback-capable builds
+    monkeypatch.setenv("ERYN_TPU_FORCE_CALLBACK", "1")
+    with pytest.warns(UserWarning, match="not JAX-traceable"):
+        EnsembleSampler(NWALKERS, NDIM, np_like, pr, seed=0)
