@@ -44,12 +44,18 @@ class HMCMove(MALAMove):
             the HMC-optimal acceptance).
     """
 
+    #: optimal-scaling exponent for ``eps=None`` (HMC step size scales as
+    #: d^(-1/4) at 0.65 acceptance, Beskos et al. 2013); the constant is
+    #: deliberately conservative — dual averaging closes the gap
+    _EPS_DIM_EXP = 0.25
+    _EPS_DIM_CONST = 1.2
+
     def __init__(
         self,
-        eps=0.1,
+        eps=None,
         num_leapfrog=5,
         target_acceptance=0.65,
-        tune_steps=0,
+        tune_steps=500,
         **kwargs,
     ):
         super().__init__(
@@ -82,7 +88,7 @@ class HMCMove(MALAMove):
         )
         scale = self._current_scale(kernel_state, dtype)
         eps_vecs = {
-            n: scale * self._eps_for(n, coords[n].shape[-1], dtype)
+            n: scale * self._eps_for(n, coords[n].shape[-1], dtype, kernel_state)
             for n in names
         }
         masks = {n: inds[n][..., None] for n in names}

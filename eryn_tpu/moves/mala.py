@@ -59,12 +59,17 @@ class MALAMove(Move):
     _DA_GAMMA = 0.05
     _DA_T0 = 10.0
     _DA_KAPPA = 0.75
+    #: optimal-scaling step-size heuristic for ``eps=None``:
+    #: eps = CONST * sigma * d^(-EXP) (Roberts & Rosenthal 1998: MALA
+    #: step variance scales as d^(-1/3) at 0.574 acceptance)
+    _EPS_DIM_EXP = 1.0 / 6.0
+    _EPS_DIM_CONST = 1.65
 
     def __init__(
         self,
-        eps=0.1,
+        eps=None,
         target_acceptance=0.574,
-        tune_steps=0,
+        tune_steps=500,
         ensemble_precondition=False,
         **kwargs,
     ):
@@ -74,8 +79,45 @@ class MALAMove(Move):
         self.target_acceptance = float(target_acceptance)
         self.tune_steps = int(tune_steps)
 
-    def _eps_for(self, name, ndim, dtype):
+    def _eps_base(self, state):
+        """Dimension-aware default step sizes (``eps=None``): per-parameter
+        spread of the initial cold-temperature ensemble scaled by the
+        optimal-scaling dimension factor.  Frozen at kernel-state init (a
+        constant thereafter); dual averaging multiplies it by a global
+        scalar that freezes after ``tune_steps``, so run the adaptation
+        during burn-in."""
+        names = self.run_branches(state)
+        d_total = max(
+            sum(
+                state.branches[n].nleaves_max * state.branches[n].ndim
+                for n in names
+            ),
+            1,
+        )
+        dim_factor = float(d_total) ** (-self._EPS_DIM_EXP)
+        out = {}
+        for n in names:
+            c = state.branches_coords[n][0]
+            m = state.branches_inds[n][0][..., None].astype(c.dtype)
+            cnt = m.sum(axis=(0, 1))
+            mean = (c * m).sum(axis=(0, 1)) / jnp.maximum(cnt, 1.0)
+            var = (((c - mean) ** 2) * m).sum(axis=(0, 1)) / jnp.maximum(
+                cnt - 1.0, 1.0
+            )
+            sig = jnp.sqrt(var)
+            sig = jnp.where((cnt > 1.0) & (sig > 0.0), sig, 1.0)
+            out[n] = self._EPS_DIM_CONST * dim_factor * sig
+        return out
+
+    def _eps_for(self, name, ndim, dtype, kernel_state=None):
         eps = self.eps
+        if eps is None:
+            base = None
+            if isinstance(kernel_state, dict):
+                base = kernel_state.get("eps_base", {}).get(name)
+            if base is not None:
+                return jnp.asarray(base, dtype=dtype)
+            eps = 0.1  # no kernel state supplied (bare kernel call)
         if isinstance(eps, dict):
             eps = eps[name]
         eps = jnp.asarray(eps, dtype=dtype)
@@ -84,12 +126,17 @@ class MALAMove(Move):
     # -- dual-averaging step-size adaptation --------------------------------
     def init_kernel_state(self, state):
         dtype = state.log_like.dtype
-        return {
+        ks = {
             "log_scale": jnp.zeros((), dtype),      # current log multiplier
             "log_scale_avg": jnp.zeros((), dtype),  # averaged iterate
             "h_avg": jnp.zeros((), dtype),          # averaged error
             "t": jnp.zeros((), jnp.int32),
         }
+        if self.eps is None:
+            ks["eps_base"] = {
+                n: v.astype(dtype) for n, v in self._eps_base(state).items()
+            }
+        return ks
 
     def _adapt_scale(self, kernel_state, acc):
         """One dual-averaging update from the cold-chain mean acceptance.
@@ -120,6 +167,7 @@ class MALAMove(Move):
             ks["log_scale_avg"],
         )
         new_ks = {
+            **ks,  # preserves eps_base and subclass-added entries
             "log_scale": log_scale,
             "log_scale_avg": log_scale_avg,
             "h_avg": h_avg,
@@ -302,7 +350,9 @@ class MALAMove(Move):
                 sigma = self._complement_sigma(
                     comp(coords_p[n]), comp(inds_p[n])
                 )
-                base = self._eps_for(n, coords_p[n].shape[-1], dtype)
+                base = self._eps_for(
+                    n, coords_p[n].shape[-1], dtype, kernel_state
+                )
                 eps_tree[n] = scale * base * sigma  # (nt, 1, nl, nd)
 
             inds_blk = {n: blk(inds_p[n]) for n in all_names}
@@ -418,7 +468,7 @@ class MALAMove(Move):
         q = {}
         for n, kx in zip(names, xi_keys):
             c = coords[n]
-            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype, kernel_state)
             xi = jax.random.normal(kx, c.shape, dtype=dtype)
             step = 0.5 * eps_vec**2 * grad_x[n] + eps_vec * xi
             q[n] = self._wrap_periodic(
@@ -433,7 +483,7 @@ class MALAMove(Move):
         factors = jnp.zeros(state.log_like.shape, dtype=dtype)
         for n in names:
             c, qq = coords[n], q[n]
-            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype)
+            eps_vec = scale * self._eps_for(n, c.shape[-1], dtype, kernel_state)
             e2 = eps_vec**2
             m = inds[n][..., None]
             fwd = self._displacement(n, c, qq) - 0.5 * e2 * grad_x[n]

