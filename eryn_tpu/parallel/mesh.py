@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_group_mesh",
     "shard_state",
     "sharding_for_state",
     "constrain_state",
@@ -27,6 +28,26 @@ __all__ = [
 
 TEMP_AXIS = "temp"
 WALKER_AXIS = "walker"
+GROUP_AXIS = "group"
+
+
+def make_group_mesh(n_devices=None):
+    """1-D mesh over the independent-ensemble ``group`` axis — the
+    multi-slice/DCN scaling analog (SURVEY §5): groups never communicate,
+    so this axis tolerates slow links and maps naturally onto separate
+    slices.  Used by :class:`eryn_tpu.parallel.ParaEnsembleSampler`."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"Requested mesh over {n_devices} devices but only "
+            f"{len(devices)} available."
+        )
+    mesh_devices = mesh_utils.create_device_mesh(
+        (n_devices,), devices=devices[:n_devices]
+    )
+    return Mesh(mesh_devices, (GROUP_AXIS,))
 
 
 def make_mesh(n_devices=None, temp_parallel=None):

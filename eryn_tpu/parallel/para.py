@@ -34,8 +34,36 @@ class ParaEnsembleSampler:
     go through ordinary single-group backends.
     """
 
-    def __init__(self, ngroups, nwalkers, ndims, log_like_fn, priors, seed=None, **kwargs):
+    def __init__(
+        self,
+        ngroups,
+        nwalkers,
+        ndims,
+        log_like_fn,
+        priors,
+        seed=None,
+        mesh=None,
+        **kwargs,
+    ):
         self.ngroups = int(ngroups)
+        #: optional 1-D device mesh over the group axis (make_group_mesh):
+        #: independent ensembles land on separate devices; the vmapped step
+        #: is embarrassingly parallel, so XLA inserts no collectives
+        self.mesh = mesh
+        if mesh is not None:
+            axis_sizes = tuple(mesh.shape.values())
+            if len(axis_sizes) != 1:
+                raise ValueError(
+                    "ParaEnsembleSampler expects a 1-D group mesh "
+                    "(parallel.make_group_mesh); got axes "
+                    f"{dict(mesh.shape)}."
+                )
+            if self.ngroups % axis_sizes[0] != 0:
+                raise ValueError(
+                    f"ngroups ({self.ngroups}) must be divisible by the "
+                    f"group-mesh size ({axis_sizes[0]})."
+                )
+            self._group_axis = tuple(mesh.shape.keys())[0]
         # pallas kernels under vmap are avoided for robustness; the XLA swap
         # path vectorizes cleanly over the group axis
         tempering_kwargs = dict(kwargs.pop("tempering_kwargs", {}) or {})
@@ -146,6 +174,18 @@ class ParaEnsembleSampler:
         self._fn_cache[cache_key] = out
         return out
 
+    def _shard_groups(self, tree):
+        """Distribute the leading ``ngroups`` axis of every leaf over the
+        group mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec(self._group_axis))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), tree
+        )
+
     def run_mcmc(self, coords, nsteps, burn=None, thin_by=1, inds=None, store=True):
         """Advance all groups; returns the final batched State."""
         s = self.sampler
@@ -162,6 +202,8 @@ class ParaEnsembleSampler:
                 ),
                 proto_ks,
             )
+            state, time, ks = self._shard_groups((state, time, ks))
+            self._keys = self._shard_groups(self._keys)
             self._state = (state, time, ks)
 
         state, time, ks = self._state

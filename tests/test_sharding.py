@@ -82,14 +82,18 @@ def _make_pt_sampler(seed):
 
 def test_sharded_statistical_equivalence():
     """A sharded run is statistically equivalent to an unsharded run of the
-    same config: same acceptance / swap-acceptance / posterior moments."""
+    same config, pinned with z-scored comparisons: every statistic's
+    difference is measured in IACT-corrected Monte-Carlo standard errors,
+    so a collective that is wrong by more than a few sigma FAILS (the old
+    fixed tolerances would have passed a mildly broken sharded path)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
-    nsteps, burn = 300, 100
+    nsteps, burn = 1000, 200
+    nwalkers = 64
     results = {}
     for mode in ("unsharded", "sharded"):
         ens, priors = _make_pt_sampler(seed=77)
-        state = ens._setup_state(priors.rvs(size=(4, 64)))
+        state = ens._setup_state(priors.rvs(size=(4, nwalkers)))
         if mode == "sharded":
             mesh = make_mesh(8)
             state = shard_state(state, mesh)
@@ -103,19 +107,47 @@ def test_sharded_statistical_equivalence():
         else:
             ens.run_mcmc(state, nsteps, burn=burn)
         chain = np.asarray(ens.get_chain()["model_0"][:, 0]).reshape(-1, 3)
+        tau = float(
+            np.nanmax(np.asarray(ens.backend.get_autocorr_time()["model_0"]))
+        )
+        n_eff = chain.shape[0] / max(2.0 * tau, 1.0)
         results[mode] = dict(
             acc=float(ens.acceptance_fraction.mean()),
-            swap=np.asarray(ens.swap_acceptance_fraction),
+            swap=np.asarray(ens.swap_acceptance_fraction, dtype=float),
             mean=chain.mean(axis=0),
             std=chain.std(axis=0),
             logl=float(np.asarray(ens.get_log_like()[:, 0]).mean()),
+            n_eff=n_eff,
         )
     a, b = results["unsharded"], results["sharded"]
-    assert abs(a["acc"] - b["acc"]) < 0.05
-    np.testing.assert_allclose(a["swap"], b["swap"], atol=0.08)
-    np.testing.assert_allclose(a["mean"], b["mean"], atol=0.15)
-    np.testing.assert_allclose(a["std"], b["std"], atol=0.15)
-    assert abs(a["logl"] - b["logl"]) < 0.5
+
+    # posterior moments: z in units of the combined MC standard error
+    # (target is N(0, 1): var of the mean = 1/n_eff, of the std = 1/(2 n_eff))
+    se_mean = np.sqrt(1.0 / a["n_eff"] + 1.0 / b["n_eff"])
+    z_mean = np.abs(a["mean"] - b["mean"]) / se_mean
+    se_std = np.sqrt(0.5 / a["n_eff"] + 0.5 / b["n_eff"])
+    z_std = np.abs(a["std"] - b["std"]) / se_std
+    assert z_mean.max() < 4.0, (z_mean, a["mean"], b["mean"])
+    assert z_std.max() < 4.0, (z_std, a["std"], b["std"])
+
+    # mean cold-chain log-likelihood of a 3-D Gaussian: logl ~ -chi2_3/2,
+    # var = 3/2; same n_eff correction
+    se_logl = np.sqrt(1.5 * (1.0 / a["n_eff"] + 1.0 / b["n_eff"]))
+    z_logl = abs(a["logl"] - b["logl"]) / se_logl
+    assert z_logl < 4.0, (z_logl, a["logl"], b["logl"])
+
+    # acceptance and per-rung swap fractions: Bernoulli over
+    # nsteps * nwalkers trials, inflated x2 for temporal correlation
+    n_trials = nsteps * nwalkers
+    p = 0.5 * (a["acc"] + b["acc"])
+    se_acc = 2.0 * np.sqrt(2.0 * p * (1.0 - p) / n_trials)
+    assert abs(a["acc"] - b["acc"]) / se_acc < 4.0
+    ps = 0.5 * (a["swap"] + b["swap"])
+    se_swap = 2.0 * np.sqrt(
+        2.0 * np.clip(ps * (1.0 - ps), 1e-4, None) / n_trials
+    )
+    z_swap = np.abs(a["swap"] - b["swap"]) / se_swap
+    assert z_swap.max() < 4.0, (z_swap, a["swap"], b["swap"])
 
 
 def test_sharded_new_move_family(sampler):
