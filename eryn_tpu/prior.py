@@ -98,7 +98,9 @@ class UniformDistribution(JaxDistribution):
         return jnp.where(in_range, self.pdf_val, 0.0)
 
     def ppf(self, q):
-        return self.min_val + jnp.asarray(q) * self.diff
+        # namespace-following: NumPy input stays float64 (host quantile
+        # transforms), tracers stay traced
+        return self.min_val + q * self.diff
 
     def sample(self, key, shape=()):
         return jax.random.uniform(
@@ -153,7 +155,8 @@ class LogUniformDistribution(JaxDistribution):
         return jnp.where(in_range, val, -jnp.inf)
 
     def ppf(self, q):
-        return self.min_val * jnp.exp(jnp.asarray(q) * self._log_ratio)
+        xp = np if isinstance(q, np.ndarray) else jnp
+        return self.min_val * xp.exp(q * self._log_ratio)
 
     def sample(self, key, shape=()):
         u = jax.random.uniform(key, shape)
@@ -174,8 +177,10 @@ class NormalDistribution(JaxDistribution):
         return -0.5 * z * z - jnp.log(self.scale) - 0.5 * jnp.log(2 * jnp.pi)
 
     def ppf(self, q):
-        from jax.scipy.stats import norm as _n  # noqa: F401
+        if isinstance(q, np.ndarray):
+            from scipy.special import ndtri  # float64 host path
 
+            return self.loc + self.scale * ndtri(q)
         return self.loc + self.scale * jnp.sqrt(2.0) * jax.scipy.special.erfinv(
             2.0 * jnp.asarray(q) - 1.0
         )
@@ -391,8 +396,50 @@ class ProbDistContainer:
             return tuple(inds) in keys
         return inds[0] in keys
 
-    def ppf(self, x, groups=None):
-        raise NotImplementedError
+    def ppf(self, x, keys=None):
+        """Per-parameter inverse CDF (quantile function) — unimplemented in
+        the reference (``prior.py:394-405`` raises); provided here because
+        quantile transforms are how you build stratified/low-discrepancy
+        walker initializations.
+
+        Args:
+            x: quantiles in [0, 1], shaped ``(..., ndim)`` (or ``(...,)``
+                with ``keys`` selecting a single parameter).
+            keys: optional iterable restricting which parameter keys to
+                transform (same semantics as :meth:`logpdf`).
+
+        Returns:
+            Array shaped like ``x`` with each selected column mapped
+            through its distribution's ``ppf``.  Multivariate (tuple-key)
+            distributions are rejected — a joint quantile transform is not
+            defined per coordinate.
+        """
+        x = np.asarray(x)
+        single = x.ndim == 0 or (
+            keys is not None and len(list(keys)) == 1 and x.shape[-1:] != (self.ndim,)
+        )
+        vals = np.array(x, dtype=np.float64, ndmin=1)
+        out = np.array(vals, copy=True)
+        for inds, dist in self.priors:
+            if keys is not None and not self._key_selected(inds, keys):
+                continue
+            if len(inds) > 1:
+                raise ValueError(
+                    "ppf is per-parameter; the multivariate distribution "
+                    f"over indices {tuple(inds)} has no coordinate-wise "
+                    "quantile function."
+                )
+            if not hasattr(dist, "ppf"):
+                raise TypeError(
+                    f"Distribution for index {inds[0]} has no ppf."
+                )
+            col = vals if single else vals[..., inds[0]]
+            res = np.asarray(dist.ppf(col))
+            if single:
+                out = res
+            else:
+                out[..., inds[0]] = res
+        return out
 
     # ------------------------------------------------------------------
     def rvs(self, size=1, keys=None):

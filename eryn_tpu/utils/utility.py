@@ -54,7 +54,12 @@ def groups_from_inds_jax(inds_flat):
 
 
 def get_acf(x, axis=0, fast=False):
-    """FFT-based autocorrelation function (ref ``utility.py:43-76``)."""
+    """FFT-based autocorrelation function (ref ``utility.py:43-76``).
+
+    Real-input transform (``rfft``/``irfft``): mathematically identical to
+    the reference's complex FFT for real chains, and dramatically faster on
+    this container's NumPy build (complex ``fft`` measured ~70x slower than
+    ``rfft`` at the relevant sizes)."""
     x = np.atleast_1d(np.asarray(x, dtype=np.float64))
     m = [slice(None)] * len(x.shape)
     n = x.shape[axis]
@@ -62,9 +67,9 @@ def get_acf(x, axis=0, fast=False):
         n = int(2 ** np.floor(np.log2(n)))
         m[axis] = slice(0, n)
         x = x[tuple(m)]
-    f = np.fft.fft(x - np.mean(x, axis=axis, keepdims=True), n=2 * n, axis=axis)
+    f = np.fft.rfft(x - np.mean(x, axis=axis, keepdims=True), n=2 * n, axis=axis)
     m[axis] = slice(0, n)
-    acf = np.fft.ifft(f * np.conjugate(f), axis=axis)[tuple(m)].real
+    acf = np.fft.irfft(f * np.conjugate(f), n=2 * n, axis=axis)[tuple(m)]
     m[axis] = slice(0, 1)
     return acf / acf[tuple(m)]
 

@@ -220,3 +220,39 @@ def test_bad_rvs_distribution_raises():
     c = ProbDistContainer({0: NoDraw()})
     with pytest.raises(TypeError, match="neither rvs nor sample"):
         c.rvs(size=4)
+
+
+def test_container_ppf():
+    """ProbDistContainer.ppf (unimplemented in the reference,
+    ref prior.py:394-405): per-parameter quantile transform for stratified
+    walker initialization."""
+    import numpy as np
+    import pytest
+    from scipy import stats
+
+    from eryn_tpu.prior import (
+        ProbDistContainer,
+        mvn_dist,
+        normal_dist,
+        uniform_dist,
+    )
+
+    pr = ProbDistContainer(
+        {0: uniform_dist(-2.0, 4.0), 1: normal_dist(1.0, 2.0)}
+    )
+    q = np.random.rand(50, 2)
+    out = pr.ppf(q)
+    np.testing.assert_allclose(out[:, 0], -2.0 + 6.0 * q[:, 0], rtol=1e-10)
+    np.testing.assert_allclose(
+        out[:, 1], stats.norm(1.0, 2.0).ppf(q[:, 1]), rtol=1e-4, atol=1e-5
+    )
+    # keys= restricts the transform
+    out2 = pr.ppf(q, keys=[0])
+    np.testing.assert_allclose(out2[:, 0], out[:, 0])
+    np.testing.assert_allclose(out2[:, 1], q[:, 1])
+    # stratified init round-trips through logpdf support
+    assert np.isfinite(np.asarray(pr.logpdf(out))).all()
+    # multivariate keys have no coordinate-wise quantile fn
+    pr2 = ProbDistContainer({(0, 1): mvn_dist(np.zeros(2), np.eye(2))})
+    with pytest.raises(ValueError, match="per-parameter"):
+        pr2.ppf(q)

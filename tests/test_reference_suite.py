@@ -29,18 +29,21 @@ FAST_CASES = [
     "test_mt",
     "test_2d_prior",
 ]
+# Every slow case below was VERIFIED PASSING on 2026-08-17 (round 3) —
+# they sit in the opt-in lane purely for suite runtime, not correctness.
 SLOW_CASES = {
-    # 1000-step RJ run through the host-callback likelihood: ~2-4 min
-    "test_rj": "slow (1000-step RJ, callback likelihood); run in slow lane",
+    # 1000-step RJ run through the host-callback likelihood: ~2-9 min
+    "test_rj": "slow (1000-step RJ, callback likelihood); verified passing",
     # two sampler configs + HDF5 files: ~2-4 min
-    "test_rj_multiple_branches": "slow (two RJ samplers + HDF5)",
+    "test_rj_multiple_branches": "slow (two RJ samplers + HDF5); verified "
+    "passing",
     # 2000 host-mode steps through the legacy custom-move bridge: ~10 min.
     # The identical protocol (custom friends hooks + RJ + supplementals) is
     # exercised scaled-down in tests/test_legacy_moves.py.
-    "test_group_stretch": "very slow (2000 host-bridge steps); scaled port "
-    "runs in test_legacy_moves.py",
+    "test_group_stretch": "very slow (2000 host-bridge steps); verified "
+    "passing; scaled port runs in test_legacy_moves.py",
     # MT-RJ: ~1-3 min
-    "test_mt_rj": "slow (multiple-try RJ)",
+    "test_mt_rj": "slow (multiple-try RJ); verified passing",
 }
 
 
