@@ -490,6 +490,114 @@ class DeviceBackend(Backend):
             out[name] = np.asarray(tau) * (thin if multiply_thin else 1)
         return out
 
+    def _device_field(self, field, branch, discard, thin):
+        """Concatenated device view of one field, slice applied."""
+        import jax.numpy as jnp
+
+        parts = self._seg_arrays(field, branch)
+        if not parts:
+            return None
+        arr = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        return arr[slice(discard + thin - 1, self.iteration, thin)]
+
+    def get_evidence_estimate(
+        self,
+        discard=0,
+        thin=1,
+        return_error=True,
+        method="therodynamic",
+        **ss_kwargs,
+    ):
+        """Thermodynamic-integration evidence with the per-temperature
+        mean log-likelihood reduced ON DEVICE — only the ``(ntemps,)``
+        means cross to the host (the full logl chain would be MBs through
+        the tunnel).  Stepping-stone keeps the host path (its block
+        bootstrap needs the per-sample values)."""
+        if (
+            self._host is not None
+            or not self._segs
+            or not (method.startswith("thero") or method.startswith("thermo"))
+        ):
+            return super().get_evidence_estimate(
+                discard=discard,
+                thin=thin,
+                return_error=return_error,
+                method=method,
+                **ss_kwargs,
+            )
+        import jax.numpy as jnp
+
+        from ..utils.utility import thermodynamic_integration_log_evidence
+
+        betas_all = np.asarray(
+            self._device_field("betas", None, discard, thin)
+        )
+        if betas_all is None:
+            raise ValueError("No betas stored; cannot compute evidence.")
+        if not (betas_all == betas_all[0]).all():
+            raise ValueError(
+                "Cannot compute evidence while betas are adapting. Use "
+                "stop_adaptation or discard the adaptation phase."
+            )
+        ll = self._device_field("log_like", None, discard, thin)
+        logls = np.asarray(jnp.mean(ll, axis=(0, 2)), dtype=np.float64)
+        logZ, dlogZ = thermodynamic_integration_log_evidence(
+            betas_all[0], logls
+        )
+        if return_error:
+            return logZ, dlogZ
+        return logZ
+
+    def get_gelman_rubin_convergence_diagnostic(
+        self, discard=0, thin=1, doprint=True, **kwargs
+    ):
+        """Per-walker Gelman-Rubin with the per-walker means/variances
+        reduced ON DEVICE (NaN-aware over RJ-masked leaves); only the
+        ``(nwalkers, ncols)`` summaries cross to the host.  The pooled
+        reference mode (``per_walker=False``) needs the full trace and
+        falls back to the host path."""
+        if (
+            self._host is not None
+            or not self._segs
+            or not kwargs.get("per_walker", True)
+        ):
+            return super().get_gelman_rubin_convergence_diagnostic(
+                discard=discard, thin=thin, doprint=doprint, **kwargs
+            )
+        import jax.numpy as jnp
+
+        out = {}
+        for name in self.branch_names:
+            x = self._device_field("chain", name, discard, thin)[:, 0]
+            m = self._device_field("inds", name, discard, thin)[:, 0]
+            nsteps, nwalkers, nleaves_max, ndim = x.shape
+            vals = jnp.where(m[..., None], x, jnp.nan).reshape(
+                nsteps, nwalkers, nleaves_max * ndim
+            )
+            finite = jnp.isfinite(vals)
+            cnt = finite.sum(axis=0)  # (nwalkers, ncols)
+            safe = jnp.where(finite, vals, 0.0)
+            mean = safe.sum(axis=0) / jnp.maximum(cnt, 1)
+            var = jnp.where(finite, (vals - mean[None]) ** 2, 0.0).sum(
+                axis=0
+            ) / jnp.maximum(cnt - 1, 1)
+            mean = jnp.where(cnt > 0, mean, jnp.nan)
+            var = jnp.where(cnt > 1, var, jnp.nan)
+            cnt_h = np.asarray(cnt)
+            means = np.asarray(mean, dtype=np.float64)
+            variances = np.asarray(var, dtype=np.float64)
+            keep = cnt_h.sum(axis=0) > 0
+            with np.errstate(invalid="ignore"):
+                # same aggregation as utils.utility.psrf(per_walker=True)
+                W = np.nanmean(variances[:, keep], axis=0)
+                B = nsteps * np.nanvar(means[:, keep], axis=0, ddof=1)
+                var_est = (1.0 - 1.0 / nsteps) * W + B / nsteps
+                Rhat = np.sqrt(var_est / W)
+            out[name] = Rhat
+            if doprint:
+                print(f"Gelman-Rubin R-hat for {name}: {Rhat}")
+        return out
+
     # ------------------------------------------------------------------
     # memory management
     # ------------------------------------------------------------------

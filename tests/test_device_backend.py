@@ -363,3 +363,49 @@ def test_device_iact_matches_host_estimator(priors):
     np.testing.assert_allclose(
         dev.backend.swaps_accepted, host.backend.swaps_accepted
     )
+
+
+def test_device_evidence_and_gelman_rubin_match_host(priors):
+    """Device-reduced TI evidence and per-walker R-hat equal the host
+    backend's answers on the same chain (only small summaries cross)."""
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    host = _run(
+        Backend(), priors, nsteps=150, seed=21, coords=coords,
+    )
+    dev = _run(
+        DeviceBackend(), priors, nsteps=150, seed=21, coords=coords,
+    )
+    # freeze-adaptation requirement: discard the adapting prefix
+    # (betas still adapt through the whole short run -> both raise)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="adapting"):
+        dev.backend.get_evidence_estimate()
+    # compare on a constant-beta tail by monkey-constructing samplers with
+    # adaptation off
+    ens_h = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, backend=Backend(),
+        tempering_kwargs=dict(ntemps=NTEMPS, adaptive=False), seed=22,
+    )
+    ens_d = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors, backend=DeviceBackend(),
+        tempering_kwargs=dict(ntemps=NTEMPS, adaptive=False), seed=22,
+    )
+    ens_h.run_mcmc(coords, 150, burn=50)
+    ens_d.run_mcmc(coords, 150, burn=50)
+    zh, dzh = ens_h.backend.get_evidence_estimate()
+    zd, dzd = ens_d.backend.get_evidence_estimate()
+    np.testing.assert_allclose(zd, zh, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dzd, dzh, rtol=1e-4, atol=1e-4)
+    # stepping stone falls back to the host path and agrees with itself
+    zs_h = ens_h.backend.get_evidence_estimate(method="stepping", seed=3)
+    zs_d = ens_d.backend.get_evidence_estimate(method="stepping", seed=3)
+    np.testing.assert_allclose(zs_d[0], zs_h[0], rtol=1e-4, atol=1e-4)
+
+    rh_h = ens_h.backend.get_gelman_rubin_convergence_diagnostic(
+        doprint=False
+    )["model_0"]
+    rh_d = ens_d.backend.get_gelman_rubin_convergence_diagnostic(
+        doprint=False
+    )["model_0"]
+    np.testing.assert_allclose(rh_d, rh_h, rtol=1e-4, atol=1e-5)
