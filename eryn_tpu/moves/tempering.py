@@ -277,48 +277,150 @@ class TemperatureControl:
         swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
         return swap_tree, logl, swaps_accepted, swaps_proposed
 
+    def _try_pack_channels(self, swap_tree, logl):
+        """Pack the swap tree into ``(ntemps, D, nwalkers)`` float channels
+        for the zero-gather payload cascade, or return ``None`` when a leaf
+        cannot ride a float32 channel exactly (f64 chains, unbounded int
+        supplementals) or the packed block would blow the VMEM budget."""
+        from ..ops.pt_swap import PAYLOAD_VMEM_BUDGET, ROLLED_THRESHOLD
+
+        dtype = logl.dtype
+        if dtype != jnp.float32:
+            return None
+        ntemps, nwalkers = logl.shape
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(
+            swap_tree
+        )
+        D = 0
+        for path, leaf in leaves_with_path:
+            if leaf.shape[:2] != (ntemps, nwalkers):
+                return None
+            if leaf.dtype == jnp.bool_:
+                pass
+            elif jnp.issubdtype(leaf.dtype, jnp.integer):
+                # only the sampler's provenance index is known to be
+                # bounded (< ntemps * nwalkers); arbitrary user int
+                # supplementals could exceed f32's exact-integer range
+                if "__prov__" not in str(path[-1]) or (
+                    ntemps * nwalkers >= 2**24
+                ):
+                    return None
+            elif leaf.dtype != dtype:
+                return None
+            D += int(np.prod(leaf.shape[2:])) if leaf.ndim > 2 else 1
+        nwpad = (
+            -(-nwalkers // 128) * 128
+            if nwalkers > ROLLED_THRESHOLD
+            else nwalkers
+        )
+        if ntemps * (2 + D) * nwpad * 4 > PAYLOAD_VMEM_BUDGET:
+            return None
+
+        chans = []
+        for path, leaf in leaves_with_path:
+            flat = leaf.reshape(ntemps, nwalkers, -1).astype(dtype)
+            chans.append(jnp.moveaxis(flat, -1, 1))  # (nt, k, nw)
+        channels = jnp.concatenate(chans, axis=1)
+
+        def unpack(channels_out):
+            out_leaves = []
+            off = 0
+            for path, leaf in leaves_with_path:
+                k = int(np.prod(leaf.shape[2:])) if leaf.ndim > 2 else 1
+                sl = jnp.moveaxis(channels_out[:, off : off + k], 1, -1)
+                off += k
+                arr = sl.reshape(leaf.shape)
+                if leaf.dtype == jnp.bool_:
+                    arr = arr > 0.5
+                elif jnp.issubdtype(leaf.dtype, jnp.integer):
+                    arr = arr.astype(leaf.dtype)  # exact integers in f32
+                out_leaves.append(arr)
+            return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+        return channels, unpack
+
     def _swap_kernel_pallas(self, key, swap_tree, logl, betas, interpret=False):
         """Single-kernel cascade: the whole rung loop runs in VMEM
         (see :mod:`eryn_tpu.ops.pt_swap`).  A fresh uniform relabeling of the
         walker axis per cascade composes with per-rung random rotations to
         randomize swap partners (statistically equivalent to the reference's
-        per-rung permutations)."""
-        from ..ops.pt_swap import proposals_per_rung, pt_swap_cascade
+        per-rung permutations).
+
+        Two formulations, picked by payload size:
+
+        * **payload cascade** (default): the packed state rides the kernel's
+          VMEM channels and the walker relabeling is applied with exact
+          one-hot matmuls — no global row gather anywhere (a (ntemps *
+          nwalkers)-row gather is latency-bound at ~27 ns/row and dominated
+          the whole PT epilogue at scale);
+        * **provenance cascade** (fallback for oversized/f64/unbounded-int
+          payloads): cascade a provenance index, then apply the composed
+          permutation with one gather.
+        """
+        from ..ops.pt_swap import (
+            proposals_per_rung,
+            pt_swap_cascade,
+            pt_swap_cascade_multi,
+        )
 
         ntemps, nwalkers = logl.shape
         k_pi, k_shift, k_acc = jax.random.split(key, 3)
         pi = jax.random.permutation(k_pi, nwalkers)
         inv_pi = jnp.argsort(pi)
 
-        logl_p = logl[:, pi]
-        # provenance initialized with TRUE original flat indices
-        origin0 = (
-            jnp.arange(ntemps, dtype=logl.dtype)[:, None] * nwalkers
-            + pi[None, :].astype(logl.dtype)
-        )
         dbetas = betas[:-1] - betas[1:]
         shifts = jax.random.randint(k_shift, (ntemps - 1,), 0, nwalkers)
         raccept = jnp.log(
             jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=logl.dtype)
         )
 
-        logl_res, origin_res, sel = pt_swap_cascade(
-            logl_p, origin0, dbetas, shifts, raccept, interpret=interpret
-        )
+        packed = self._try_pack_channels(swap_tree, logl)
+        if packed is not None:
+            channels, unpack = packed
+            # E[v, w] = 1 iff v == pi[w]: X @ E relabels the walker axis
+            # (X @ E)[..., w] = X[..., pi[w]]; permutation matrices invert
+            # by transpose.  Exact for f32 payload values under HIGHEST.
+            E = jax.nn.one_hot(pi, nwalkers, dtype=logl.dtype, axis=0)
+
+            def relabel(x, mat):
+                return jnp.matmul(
+                    x, mat, precision=jax.lax.Precision.HIGHEST
+                )
+
+            logl_res, channels_res, sel = pt_swap_cascade_multi(
+                relabel(logl, E),
+                relabel(channels, E),
+                dbetas,
+                shifts,
+                raccept,
+                interpret=interpret,
+            )
+            logl_new = relabel(logl_res, E.T)
+            swap_tree = unpack(relabel(channels_res, E.T))
+        else:
+            logl_p = logl[:, pi]
+            # provenance initialized with TRUE original flat indices
+            origin0 = (
+                jnp.arange(ntemps, dtype=logl.dtype)[:, None] * nwalkers
+                + pi[None, :].astype(logl.dtype)
+            )
+            logl_res, origin_res, sel = pt_swap_cascade(
+                logl_p, origin0, dbetas, shifts, raccept, interpret=interpret
+            )
+            logl_new = logl_res[:, inv_pi]
+            flat = origin_res[:, inv_pi].astype(jnp.int32).reshape(-1)
+
+            def gather_leaf(x):
+                return x.reshape(
+                    (ntemps * nwalkers,) + x.shape[2:]
+                )[flat].reshape(x.shape)
+
+            swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
+
         swaps_accepted = sel.sum(axis=-1).astype(logl.dtype)
         # the rolled cascade skips pairings whose partner is a pad lane;
         # the pad/pairing rule lives next to the kernels so it cannot desync
         swaps_proposed = proposals_per_rung(nwalkers, shifts, logl.dtype)
-
-        logl_new = logl_res[:, inv_pi]
-        flat = origin_res[:, inv_pi].astype(jnp.int32).reshape(-1)
-
-        def gather_leaf(x):
-            return x.reshape((ntemps * nwalkers,) + x.shape[2:])[flat].reshape(
-                x.shape
-            )
-
-        swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
         return swap_tree, logl_new, swaps_accepted, swaps_proposed
 
     def ladder_adjustment_kernel(self, time, betas, ratios):

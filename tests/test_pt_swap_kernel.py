@@ -253,3 +253,94 @@ def test_rolled_cascade_matches_numpy():
     # provenance remains a permutation of the real walkers
     flat = np.asarray(out_o).astype(int).reshape(-1)
     assert sorted(flat) == list(range(ntemps * nw))
+
+
+def test_payload_cascade_matches_provenance_path():
+    """The zero-gather payload cascade (state packed into kernel channels,
+    walker relabeling via exact one-hot matmuls) must move every leaf
+    EXACTLY as the provenance+gather formulation given the same draws —
+    bools, bounded ints, and f32 coords included."""
+    from eryn_tpu.moves.tempering import TemperatureControl
+
+    for ntemps, nw in ((6, 64), (4, 700)):  # one-hot and rolled variants
+        rng = np.random.default_rng(2)
+        tc = TemperatureControl(5, nw, ntemps=ntemps, adaptive=False)
+        logl = jnp.asarray(
+            rng.standard_normal((ntemps, nw)).astype(np.float32) * 5.0
+        )
+        betas = jnp.asarray(tc.betas, dtype=jnp.float32)
+        tree = {
+            "coords": {
+                "m": jnp.asarray(
+                    rng.standard_normal((ntemps, nw, 2, 3)).astype(np.float32)
+                )
+            },
+            "inds": {"m": jnp.asarray(rng.random((ntemps, nw, 2)) < 0.5)},
+            "log_prior": jnp.zeros((ntemps, nw), jnp.float32),
+            "supps": {
+                "__prov__": jnp.arange(ntemps * nw, dtype=jnp.int32).reshape(
+                    ntemps, nw
+                )
+            },
+        }
+        key = jax.random.PRNGKey(7)
+
+        assert tc._try_pack_channels(tree, logl) is not None
+        out_pay = tc._swap_kernel_pallas(key, tree, logl, betas, interpret=True)
+
+        orig = tc._try_pack_channels
+        tc._try_pack_channels = lambda *_a, **_k: None
+        try:
+            out_prov = tc._swap_kernel_pallas(
+                key, tree, logl, betas, interpret=True
+            )
+        finally:
+            tc._try_pack_channels = orig
+
+        tree_p, logl_p, acc_p, prop_p = out_pay
+        tree_g, logl_g, acc_g, prop_g = out_prov
+        np.testing.assert_array_equal(np.asarray(logl_p), np.asarray(logl_g))
+        np.testing.assert_array_equal(np.asarray(acc_p), np.asarray(acc_g))
+        np.testing.assert_array_equal(np.asarray(prop_p), np.asarray(prop_g))
+        for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(tree_p)[0],
+            jax.tree_util.tree_flatten_with_path(tree_g)[0],
+        ):
+            assert pa == pb
+            assert la.dtype == lb.dtype, pa
+            np.testing.assert_array_equal(
+                np.asarray(la), np.asarray(lb), err_msg=str(pa)
+            )
+
+
+def test_payload_pack_fallback_conditions():
+    """Ineligible payloads (f64 logl, unbounded int leaves, oversized
+    blocks) decline the payload path instead of packing lossily."""
+    from eryn_tpu.moves.tempering import TemperatureControl
+    from eryn_tpu.ops import pt_swap
+
+    tc = TemperatureControl(5, 64, ntemps=4, adaptive=False)
+    logl32 = jnp.zeros((4, 64), jnp.float32)
+    ok_tree = {"x": jnp.zeros((4, 64, 3), jnp.float32)}
+    assert tc._try_pack_channels(ok_tree, logl32) is not None
+    # f64 ensemble -> decline
+    assert tc._try_pack_channels(ok_tree, jnp.zeros((4, 64))) is None or (
+        jnp.zeros((4, 64)).dtype == jnp.float32  # x64 disabled: f32 anyway
+    )
+    # arbitrary int leaf -> decline (could exceed f32 exact range)
+    assert (
+        tc._try_pack_channels(
+            {"idx": jnp.zeros((4, 64), jnp.int32)}, logl32
+        )
+        is None
+    )
+    # the sampler's bounded provenance channel is allowed
+    assert (
+        tc._try_pack_channels(
+            {"__prov__": jnp.zeros((4, 64), jnp.int32)}, logl32
+        )
+        is not None
+    )
+    # VMEM budget guard
+    big = {"x": jnp.zeros((4, 64, pt_swap.PAYLOAD_VMEM_BUDGET // (4 * 64)), jnp.float32)}
+    assert tc._try_pack_channels(big, logl32) is None
