@@ -110,6 +110,9 @@ class ParaEnsembleSampler:
         self._betas = []
         self._state = None
         self._fn_cache = {}
+        #: per-group running mask (ParaState.groups_running contract);
+        #: None means every group advances
+        self._groups_running = None
 
     # ------------------------------------------------------------------
     def _setup_states(self, coords, inds=None):
@@ -186,9 +189,33 @@ class ParaEnsembleSampler:
             lambda x: jax.device_put(x, sh), tree
         )
 
-    def run_mcmc(self, coords, nsteps, burn=None, thin_by=1, inds=None, store=True):
-        """Advance all groups; returns the final batched State."""
+    def run_mcmc(
+        self,
+        coords,
+        nsteps,
+        burn=None,
+        thin_by=1,
+        inds=None,
+        store=True,
+        groups_running=None,
+    ):
+        """Advance all groups; returns the final batched State.
+
+        ``groups_running``: optional ``(ngroups,)`` bool mask honoring the
+        reference's ``ParaState.groups_running`` contract (ref
+        ``state.py:588-713``, which ships the field but no runner): stopped
+        groups are frozen — their state does not advance and their stored
+        chain repeats the frozen snapshot.  The lockstep batch still
+        computes every group (SPMD has no ragged shapes); gating is a
+        ``where``-blend, so results for running groups are unaffected.
+        """
         s = self.sampler
+        if groups_running is not None:
+            self._groups_running = jnp.asarray(groups_running).astype(bool)
+            if self._groups_running.shape != (self.ngroups,):
+                raise ValueError(
+                    f"groups_running must have shape ({self.ngroups},)."
+                )
         if self._state is None or coords is not None:
             state = self._setup_states(coords, inds)
             time = jnp.zeros((self.ngroups,), dtype=jnp.int32)
@@ -207,31 +234,69 @@ class ParaEnsembleSampler:
             self._state = (state, time, ks)
 
         state, time, ks = self._state
+        running = self._groups_running
+        all_running = running is None or bool(np.asarray(running).all())
+
+        def gate(new_tree, old_tree):
+            """Freeze stopped groups: keep their previous per-group leaves."""
+            if all_running:
+                return new_tree
+            r = jnp.asarray(running)
+
+            def blend(new, old):
+                new = jnp.asarray(new)
+                mask = r.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            return jax.tree_util.tree_map(blend, new_tree, old_tree)
 
         if burn:
             # burn counts raw proposal steps; thin_by is ignored while
             # burning (same contract as EnsembleSampler.run_mcmc)
             fn = self._batched_bulk(1, int(burn), store=False)
-            self._keys, state, time, ks, _ = fn(self._keys, state, time, ks)
+            self._keys, state2, time2, ks2, _ = fn(self._keys, state, time, ks)
+            state, time, ks = gate((state2, time2, ks2), (state, time, ks))
 
         if nsteps:
+            prev_state = state
             fn = self._batched_bulk(int(nsteps), thin_by, store=store)
-            self._keys, state, time, ks, snaps = fn(self._keys, state, time, ks)
+            self._keys, state2, time2, ks2, snaps = fn(
+                self._keys, state, time, ks
+            )
+            state, time, ks = gate(
+                (state2, time2, ks2), (state, time, ks)
+            )
             if store and snaps is not None:
                 snaps = s._unpack_snaps(
                     jax.tree_util.tree_map(np.asarray, snaps)
                 )
-                # snaps leading dims: (ngroups, nstored, ...) -> store as
-                # (nstored, ngroups, ...)
+                r_host = (
+                    None if all_running else np.asarray(running)
+                )
+
+                def stored(field_new, frozen):
+                    """(ngroups, nstored, ...) -> (nstored, ngroups, ...),
+                    with stopped groups repeating their FROZEN value."""
+                    out = np.swapaxes(np.asarray(field_new), 0, 1)
+                    if r_host is not None:
+                        out = np.array(out)
+                        out[:, ~r_host] = np.asarray(frozen)[~r_host]
+                    return out
+
                 self._chain.append(
                     {
-                        n: np.swapaxes(snaps["coords"][n], 0, 1)
+                        n: stored(
+                            snaps["coords"][n],
+                            prev_state.branches[n].coords,
+                        )
                         for n in snaps["coords"]
                     }
                 )
                 if "inds" in snaps:
                     inds_seg = {
-                        n: np.swapaxes(snaps["inds"][n], 0, 1)
+                        n: stored(
+                            snaps["inds"][n], prev_state.branches[n].inds
+                        )
                         for n in snaps["inds"]
                     }
                 else:
@@ -245,9 +310,13 @@ class ParaEnsembleSampler:
                         for n, b in state.branches.items()
                     }
                 self._inds.append(inds_seg)
-                self._log_like.append(np.swapaxes(snaps["log_like"], 0, 1))
-                self._log_prior.append(np.swapaxes(snaps["log_prior"], 0, 1))
-                self._betas.append(np.swapaxes(snaps["betas"], 0, 1))
+                self._log_like.append(
+                    stored(snaps["log_like"], prev_state.log_like)
+                )
+                self._log_prior.append(
+                    stored(snaps["log_prior"], prev_state.log_prior)
+                )
+                self._betas.append(stored(snaps["betas"], prev_state.betas))
 
         self._state = (state, time, ks)
         return ParaState(
@@ -256,7 +325,11 @@ class ParaEnsembleSampler:
             log_like=state.log_like,
             log_prior=state.log_prior,
             betas=state.betas,
-            groups_running=jnp.ones((self.ngroups,), dtype=bool),
+            groups_running=(
+                jnp.ones((self.ngroups,), dtype=bool)
+                if running is None
+                else jnp.asarray(running)
+            ),
         )
 
     # ------------------------------------------------------------------

@@ -184,3 +184,40 @@ def test_para_groups_sharded_over_mesh():
             3, NWALKERS, NDIM, lambda x: -0.5 * jnp.sum(x**2), priors,
             seed=62, mesh=mesh,
         )
+
+
+def test_para_groups_running_gating():
+    """ParaState.groups_running honored by the runner (the reference ships
+    the field with no runner): stopped groups freeze — state and stored
+    chain repeat the frozen snapshot; running groups are unaffected."""
+    priors = ProbDistContainer({i: uniform_dist(-6, 6) for i in range(NDIM)})
+    para = ParaEnsembleSampler(
+        3, NWALKERS, NDIM,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors, tempering_kwargs=dict(ntemps=2), seed=63,
+    )
+    coords = priors.rvs(size=(3, 2, NWALKERS))
+    def per_group_ll(st):
+        # ParaState folds (ngroups, ntemps) together; unfold for indexing
+        return np.asarray(st.group_view({"ll": st.log_like})["ll"])
+
+    st1 = para.run_mcmc(coords, 20)
+    frozen_ll = per_group_ll(st1)
+
+    running = np.array([True, False, True])
+    st2 = para.run_mcmc(None, 30, groups_running=running)
+    np.testing.assert_array_equal(np.asarray(st2.groups_running), running)
+    # stopped group's state identical; running groups advanced
+    ll2 = per_group_ll(st2)
+    np.testing.assert_array_equal(ll2[1], frozen_ll[1])
+    assert not np.allclose(ll2[0], frozen_ll[0])
+    assert not np.allclose(ll2[2], frozen_ll[2])
+    # stored chain: stopped group repeats its frozen sample
+    ll = para.get_log_like()  # (50, ngroups, ntemps, nwalkers)
+    assert ll.shape[0] == 50
+    for step in range(20, 50):
+        np.testing.assert_array_equal(ll[step, 1], frozen_ll[1])
+    assert not np.allclose(ll[49, 0], ll[19, 0])
+    # restarting all groups resumes the stopped one
+    st3 = para.run_mcmc(None, 10, groups_running=np.ones(3, bool))
+    assert not np.allclose(per_group_ll(st3)[1], frozen_ll[1])
