@@ -854,6 +854,11 @@ class EnsembleSampler:
             move.temperature_control = self.temperature_control
             if move.periodic is None:
                 move.periodic = self.periodic
+            if hasattr(move, "wire_sampler_priors"):
+                # moves with a deferred generating distribution (e.g.
+                # ModelSwapRJMove built via the reference example's legacy
+                # signature) resolve it from the per-branch priors
+                move.wire_sampler_priors(self.priors)
             if hasattr(move, "propagate_wiring"):
                 move.propagate_wiring()
 

@@ -57,17 +57,11 @@ class ModelSwapRJMove(ReversibleJumpMove):
     concrete state).
     """
 
-    def __init__(self, generate_dist, **kwargs):
+    def __init__(self, generate_dist=None, **kwargs):
         if isinstance(generate_dist, ProbDistContainer):
             raise ValueError(
                 "ModelSwapRJMove needs at least two candidate branches: "
                 "pass {branch_name: ProbDistContainer, ...}."
-            )
-        self.generate_dist = dict(generate_dist)
-        self.model_names = list(self.generate_dist.keys())
-        if len(self.model_names) < 2:
-            raise ValueError(
-                "ModelSwapRJMove needs at least two candidate branches."
             )
         for kw in ("gibbs_sampling_setup", "proposal_branch_names"):
             if kwargs.get(kw) is not None:
@@ -77,11 +71,50 @@ class ModelSwapRJMove(ReversibleJumpMove):
                     f"ModelSwapRJMove does not support {kw}: the model "
                     "switch always updates all candidate branches jointly."
                 )
+        if generate_dist is None:
+            # deferred form: candidate branches and their rebirth
+            # distributions resolve from the sampler's per-branch priors
+            # when the move is wired (wire_sampler_priors)
+            self.generate_dist = None
+            self.model_names = None
+            super().__init__(**kwargs)
+            return
+        self.generate_dist = dict(generate_dist)
+        self.model_names = list(self.generate_dist.keys())
+        if len(self.model_names) < 2:
+            raise ValueError(
+                "ModelSwapRJMove needs at least two candidate branches."
+            )
         kwargs.setdefault("nleaves_max", {n: 1 for n in self.model_names})
         kwargs.setdefault("nleaves_min", {n: 0 for n in self.model_names})
         super().__init__(**kwargs)
 
+    def wire_sampler_priors(self, priors):
+        """Resolve a deferred candidate set from the sampler's normalized
+        per-branch priors ({branch: ProbDistContainer}).  Called by
+        :class:`~eryn_tpu.ensemble.EnsembleSampler` during move wiring; a
+        no-op when ``generate_dist`` was given explicitly."""
+        if self.generate_dist is not None:
+            return
+        if len(priors) < 2:
+            raise ValueError(
+                "ModelSwapRJMove with generate_dist=None needs a sampler "
+                f"with >= 2 branches; got {list(priors)}."
+            )
+        self.generate_dist = dict(priors)
+        self.model_names = list(priors)
+        if not self.nleaves_max:
+            self.nleaves_max = {n: 1 for n in self.model_names}
+        if not self.nleaves_min:
+            self.nleaves_min = {n: 0 for n in self.model_names}
+
     def init_kernel_state(self, state):
+        if self.model_names is None:
+            raise RuntimeError(
+                "ModelSwapRJMove was constructed with generate_dist=None "
+                "but never wired to a sampler; pass it via rj_moves= or "
+                "provide {branch: ProbDistContainer} explicitly."
+            )
         # shape-only checks work on tracers too — never skippable
         for n in self.model_names:
             if n not in state.branches:
@@ -203,6 +236,32 @@ class ModelSwapRJMove(ReversibleJumpMove):
         return new_state, acc.astype(logl.dtype), kernel_state
 
 
-#: name the reference's stale example still imports
-#: (``/root/reference/examples/two_models_swap_test.py:5``)
-BasicSymmetricModelSwapRJMove = ModelSwapRJMove
+class BasicSymmetricModelSwapRJMove(ModelSwapRJMove):
+    """Name the reference's stale example still imports
+    (``/root/reference/examples/two_models_swap_test.py:5,139``).
+
+    Accepts both this package's primary signature
+    (``{branch: ProbDistContainer}``) and the example's legacy positional
+    form ``(nleaves_max, nleaves_min)`` (per-branch lists) — in the legacy
+    form the candidate set and rebirth distributions resolve from the
+    sampler's priors at wiring time.
+    """
+
+    def __init__(self, *args, **kwargs):
+        if args and isinstance(args[0], dict):
+            super().__init__(*args, **kwargs)
+            return
+        nlmax = args[0] if len(args) > 0 else kwargs.pop("nleaves_max", None)
+        nlmin = args[1] if len(args) > 1 else kwargs.pop("nleaves_min", None)
+        for label, vals, ok in (
+            ("nleaves_max", nlmax, 1),
+            ("nleaves_min", nlmin, 0),
+        ):
+            if vals is not None and any(
+                int(v) != ok for v in np.atleast_1d(vals)
+            ):
+                raise ValueError(
+                    f"BasicSymmetricModelSwapRJMove requires {label} == "
+                    f"{ok} for every candidate branch; got {vals}."
+                )
+        super().__init__(None, **kwargs)

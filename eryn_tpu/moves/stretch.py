@@ -26,12 +26,32 @@ class StretchMove(RedBlueMove):
     ``(ndim_active - 1) log z`` (ref ``stretch.py:128-132,223-229``).  Under
     reversible jump, ``ndim_active`` is the per-walker count of active
     parameters from the ``inds`` masks.
+
+    ``use_log_proposal=True`` selects the ptemcee scaling-variable density
+    instead — the reference's own roadmap item ("add log proposal option
+    used in ptemcee", ref ``docs/source/general/todos.rst``): ``ln z``
+    uniform on ``[-ln a, ln a]`` (``g(z) ∝ 1/z``), for which detailed
+    balance on the stretch ray requires factors ``ndim_active * log z``
+    (``z^{N-1} g(1/z) / (z g(z)) = z^N``; ptemcee ``sampler.py`` uses
+    exactly ``dim * log(z)``).  The log proposal concentrates less density
+    at extreme stretches, which helps very anisotropic targets; see
+    ``tests/test_moves.py::test_stretch_log_proposal`` for the measured
+    comparison.
     """
 
-    def __init__(self, a=2.0, return_gpu=False, random_seed=None, use_pallas=None, **kwargs):
+    def __init__(
+        self,
+        a=2.0,
+        return_gpu=False,
+        random_seed=None,
+        use_pallas=None,
+        use_log_proposal=False,
+        **kwargs,
+    ):
         super().__init__(**kwargs)
         self.a = float(a)
         self.use_pallas = use_pallas
+        self.use_log_proposal = bool(use_log_proposal)
 
     # ------------------------------------------------------------------
     # fused TPU fast path
@@ -152,7 +172,13 @@ class StretchMove(RedBlueMove):
             blk = lolp[:, off : off + ns]
             u = u_all[half, :2, :, :ns]
             q, factors = stretch_propose(
-                s_blk, c_blk, blk[..., 2], u, a=self.a, interpret=interpret
+                s_blk,
+                c_blk,
+                blk[..., 2],
+                u,
+                a=self.a,
+                interpret=interpret,
+                log_proposal=self.use_log_proposal,
             )
 
             q_branches = q_to_branches(q, ns)
@@ -217,7 +243,11 @@ class StretchMove(RedBlueMove):
 
         # one z per walker, shared across branches (ref stretch.py:128-132)
         u = jax.random.uniform(key_z, (ntemps, ns), dtype=dtype)
-        zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
+        if self.use_log_proposal:
+            # ln z ~ U[-ln a, ln a] (ptemcee)
+            zz = jnp.exp((2.0 * u - 1.0) * jnp.log(self.a))
+        else:
+            zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
 
         newpos = {}
         ndim_active = jnp.zeros((ntemps, ns), dtype=dtype)
@@ -251,5 +281,9 @@ class StretchMove(RedBlueMove):
                     s_inds[name] * per_leaf[None, None, :]
                 ).sum(axis=-1)
 
-        factors = (ndim_active - 1.0) * jnp.log(zz)
+        if self.use_log_proposal:
+            # g(z) ∝ 1/z: z^{N-1} * g(1/z)/(z g(z)) = z^N
+            factors = ndim_active * jnp.log(zz)
+        else:
+            factors = (ndim_active - 1.0) * jnp.log(zz)
         return newpos, factors

@@ -651,6 +651,49 @@ class TemperatureControl:
         new_state.betas = np.asarray(self.betas)
         return new_state
 
+    def thermodynamic_integration_log_evidence(self, logls, betas=None):
+        """TI log-evidence over this control's ladder — the reference's
+        roadmap asks for evidence estimation ON the tempering module
+        (ref ``docs/source/general/todos.rst``: "add stepping-stone
+        integration" to ``eryn.moves.tempering``).
+
+        Args:
+            logls: ``(ntemps,)`` mean log-likelihood per rung (or anything
+                :func:`eryn_tpu.utils.utility.thermodynamic_integration_log_evidence`
+                accepts alongside the ladder).
+            betas: optional ladder override; defaults to the CURRENT
+                (possibly adapted) ``self.betas``.
+
+        Returns:
+            ``(log_evidence, error_estimate)``.
+        """
+        from ..utils.utility import thermodynamic_integration_log_evidence
+
+        betas = self.betas if betas is None else betas
+        return thermodynamic_integration_log_evidence(betas, logls)
+
+    def stepping_stone_log_evidence(
+        self, logls, betas=None, block_len=50, repeats=100, seed=None
+    ):
+        """Stepping-stone log-evidence over this control's ladder (the
+        accurate estimator when the ladder is coarse — see
+        ``tests/test_backends.py``; roadmap item, ref
+        ``docs/source/general/todos.rst``).
+
+        Args:
+            logls: ``(nsteps, ntemps, nwalkers)`` log-likelihood samples.
+            betas: optional ladder override; defaults to ``self.betas``.
+
+        Returns:
+            ``(log_evidence, bootstrap_error)``.
+        """
+        from ..utils.utility import stepping_stone_log_evidence
+
+        betas = self.betas if betas is None else betas
+        return stepping_stone_log_evidence(
+            betas, logls, block_len=block_len, repeats=repeats, seed=seed
+        )
+
     def adapt_temps(self):
         """Host-side ladder adaptation (reference-compatible mutation API,
         ref ``tempering.py:587-596``)."""

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["stretch_propose", "stretch_accept"]
 
 
-def _propose_kernel(a, s_ref, c_ref, ndim_ref, u_ref, q_ref, fac_ref):
+def _propose_kernel(a, log_proposal, s_ref, c_ref, ndim_ref, u_ref, q_ref, fac_ref):
     # per-temperature block: s (1, ns, D), c (1, nc, D), ndim (1, ns),
     # u (2, 1, ns) — the grid runs one program per temperature so the
     # one-hot pick matrix is only (ns, nc)
@@ -37,7 +37,11 @@ def _propose_kernel(a, s_ref, c_ref, ndim_ref, u_ref, q_ref, fac_ref):
 
     u_z = u_ref[0, 0, 0]  # (ns,)
     u_pick = u_ref[1, 0, 0]
-    zz = ((a - 1.0) * u_z + 1.0) ** 2 / a  # (ns,)
+    if log_proposal:
+        # ptemcee scaling density g(z) ∝ 1/z: ln z ~ U[-ln a, ln a]
+        zz = jnp.exp((2.0 * u_z - 1.0) * jnp.log(a))  # (ns,)
+    else:
+        zz = ((a - 1.0) * u_z + 1.0) ** 2 / a  # (ns,)
 
     # complement pick as a one-hot matmul: rint in [0, nc)
     rint = jnp.floor(u_pick * nc).astype(jnp.int32)
@@ -53,11 +57,15 @@ def _propose_kernel(a, s_ref, c_ref, ndim_ref, u_ref, q_ref, fac_ref):
 
     s = s_ref[0]
     q_ref[0] = c_temp - (c_temp - s) * zz[:, None]
-    fac_ref[0, 0] = (ndim_ref[0, 0] - 1.0) * jnp.log(zz)
+    # detailed-balance exponent: N-1 for the GW density, N for g ∝ 1/z
+    exponent = ndim_ref[0, 0] - (0.0 if log_proposal else 1.0)
+    fac_ref[0, 0] = exponent * jnp.log(zz)
 
 
-@functools.partial(jax.jit, static_argnames=("a", "interpret"))
-def stretch_propose(s, c, ndim_act, u, a=2.0, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("a", "interpret", "log_proposal")
+)
+def stretch_propose(s, c, ndim_act, u, a=2.0, interpret=False, log_proposal=False):
     """One launch, gridded over temperatures.
 
     Args:
@@ -73,7 +81,7 @@ def stretch_propose(s, c, ndim_act, u, a=2.0, interpret=False):
     nt, ns, D = s.shape
     nc = c.shape[1]
     dtype = s.dtype
-    kernel = functools.partial(_propose_kernel, float(a))
+    kernel = functools.partial(_propose_kernel, float(a), bool(log_proposal))
     q, fac = pl.pallas_call(
         kernel,
         grid=(nt,),

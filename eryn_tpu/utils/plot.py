@@ -86,6 +86,9 @@ class PlotContainer:
         branches=None,
         truths=None,
         overlay_covariance=None,
+        tempering_palette=None,
+        discard=0,
+        stop=int(1e4),
     ):
         self.fp = fp
         self.backend = backend
@@ -105,6 +108,15 @@ class PlotContainer:
         #: {branch: (ndim, ndim) covariance} 1-sigma Gaussian overlay on the
         #: corner diagonals (ref cornerplot overlay, plot.py:232-241)
         self.overlay_covariance = overlay_covariance
+        #: palette for the temperature-colored plots (ref plot.py:1229);
+        #: unknown names (e.g. seaborn's "icefire") fall back gracefully
+        self.tempering_palette = tempering_palette
+        #: default burn for produce_plots: absolute if >= 1, else a fraction
+        #: of the stored iteration count (ref plot.py:1304-1305)
+        self.discard = discard
+        #: produce_plots becomes a no-op past this many stored steps
+        #: (ref plot.py:1300-1301)
+        self.stop = stop
         # acceptance-evolution history accumulated across produce_plots
         # calls (the reference accumulates the same way, plot.py:1344-1364)
         self._steps = []
@@ -343,7 +355,7 @@ class PlotContainer:
                 sharex="col",
                 squeeze=False,
             )
-            cmap = plt.get_cmap("coolwarm")
+            colors = _palette(ntemps, self.tempering_palette)
             for d in range(nd):
                 lo, hi = None, None
                 for t in range(ntemps):
@@ -352,7 +364,7 @@ class PlotContainer:
                     if samples.size > max_samples:
                         samples = rng.choice(samples, max_samples, replace=False)
                     ax = axes[t, d]
-                    color = cmap(t / max(ntemps - 1, 1))
+                    color = colors[t]
                     if samples.size > 4 and samples.std() > 0:
                         grid = np.linspace(
                             samples.min(), samples.max(), 200
@@ -563,6 +575,14 @@ class PlotContainer:
         (ref ``plot.py:1208-1392``)."""
         if self.backend is None or self.backend.iteration <= 0:
             return
+        if self.backend.iteration > self.stop:
+            return
+        if burn == 0 and self.discard:
+            burn = (
+                int(self.discard)
+                if self.discard >= 1
+                else int(self.discard * self.backend.iteration)
+            )
         if self.thin_chain_by_ac:
             try:
                 burn, thin = self.backend.get_autocorr_thin_burn()
@@ -621,7 +641,12 @@ def _palette(n, palette=None):
     plt = _get_plt()
     if isinstance(palette, (list, tuple)):
         return list(palette)[:n]
-    cmap = plt.get_cmap(palette if isinstance(palette, str) else "coolwarm")
+    name = palette if isinstance(palette, str) else "coolwarm"
+    try:
+        cmap = plt.get_cmap(name)
+    except ValueError:
+        # seaborn palette names ("icefire", ...) are not matplotlib cmaps
+        cmap = plt.get_cmap("coolwarm")
     return [cmap(i / max(n - 1, 1)) for i in range(n)]
 
 

@@ -123,3 +123,30 @@ def test_callback_fail_fast_on_unsupported_backend(monkeypatch):
     monkeypatch.setenv("ERYN_TPU_FORCE_CALLBACK", "1")
     with pytest.warns(UserWarning, match="not JAX-traceable"):
         EnsembleSampler(NWALKERS, NDIM, np_like, pr, seed=0)
+
+
+def test_temperature_control_evidence_methods():
+    """Roadmap item (ref docs/source/general/todos.rst): evidence
+    estimation on the tempering module, delegating to the utils
+    estimators over the control's own ladder."""
+    import numpy as np
+
+    from eryn_tpu.moves.tempering import TemperatureControl
+    from eryn_tpu.utils.utility import (
+        stepping_stone_log_evidence,
+        thermodynamic_integration_log_evidence,
+    )
+
+    tc = TemperatureControl(5, 32, ntemps=8)
+    rng = np.random.default_rng(0)
+    logls = rng.standard_normal((200, tc.ntemps, 32)) - 3.0
+
+    mean_logls = logls.mean(axis=(0, 2))
+    logz_ti, err_ti = tc.thermodynamic_integration_log_evidence(mean_logls)
+    expect_ti = thermodynamic_integration_log_evidence(tc.betas, mean_logls)
+    assert np.allclose((logz_ti, err_ti), expect_ti)
+
+    logz_ss, err_ss = tc.stepping_stone_log_evidence(logls, seed=1)
+    expect_ss = stepping_stone_log_evidence(tc.betas, logls, seed=1)
+    assert np.allclose((logz_ss, err_ss), expect_ss)
+    assert np.isfinite(logz_ss) and err_ss >= 0

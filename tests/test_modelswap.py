@@ -101,7 +101,19 @@ def test_model_swap_matches_quadrature_bayes_factor():
 
 
 def test_model_swap_validation_and_alias():
-    assert BasicSymmetricModelSwapRJMove is ModelSwapRJMove
+    # the reference example's name is a subclass that ALSO accepts the
+    # legacy (nleaves_max, nleaves_min) positional form with the candidate
+    # distributions resolved from the sampler's priors at wiring time
+    assert issubclass(BasicSymmetricModelSwapRJMove, ModelSwapRJMove)
+    legacy = BasicSymmetricModelSwapRJMove([1, 1], [0, 0])
+    assert legacy.generate_dist is None
+    pr_a = ProbDistContainer({0: uniform_dist(0, 1)})
+    pr_b = ProbDistContainer({0: uniform_dist(0, 2)})
+    legacy.wire_sampler_priors({"a": pr_a, "b": pr_b})
+    assert legacy.model_names == ["a", "b"]
+    assert legacy.nleaves_max == {"a": 1, "b": 1}
+    with pytest.raises(ValueError, match="nleaves_max == 1"):
+        BasicSymmetricModelSwapRJMove([2, 1], [0, 0])
     pr = ProbDistContainer({0: uniform_dist(0, 1)})
     with pytest.raises(ValueError, match="at least two"):
         ModelSwapRJMove({"only": pr})

@@ -191,3 +191,81 @@ def test_combine_sharding_flag_mirrors_parent():
     combo.sharding_active = False
     combo.propagate_wiring()
     assert not child.sharding_active  # un-latched for single-device reuse
+
+
+def test_stretch_log_proposal(priors):
+    """Reference roadmap item (ref docs/source/general/todos.rst): the
+    ptemcee log-uniform scaling density, with a measured comparison against
+    the Goodman-Weare default."""
+    ens_log = _run([StretchMove(use_log_proposal=True)], priors, nsteps=800)
+    _check_posterior(ens_log)
+    acc_log = ens_log.acceptance_fraction.mean()
+
+    ens_gw = _run([StretchMove()], priors, nsteps=800)
+    acc_gw = ens_gw.acceptance_fraction.mean()
+
+    # both proposals mix on this target; g(z) ∝ 1/z concentrates less
+    # density at extreme stretches, so its acceptance sits at or above the
+    # GW default (ptemcee's observed behavior)
+    assert 0.1 < acc_log < 0.95
+    assert acc_log > acc_gw - 0.05
+
+
+def test_stretch_log_proposal_factor_exponent():
+    """The detailed-balance exponent must be N (not N-1) for g(z) ∝ 1/z."""
+    import jax
+
+    move_log = StretchMove(use_log_proposal=True)
+    move_gw = StretchMove()
+    key = jax.random.PRNGKey(0)
+    s = {"model_0": jnp.zeros((1, 4, 1, NDIM))}
+    c = {"model_0": jnp.ones((1, 6, 1, NDIM))}
+    inds = {"model_0": jnp.ones((1, 4, 1), dtype=bool)}
+    _, fac_log = move_log.get_proposal_kernel(key, s, c, inds)
+    _, fac_gw = move_gw.get_proposal_kernel(key, s, c, inds)
+    # same key -> different z draws per density, so compare via the implied
+    # z: factors / exponent must recover a z inside the allowed support
+    z_log = np.exp(np.asarray(fac_log) / NDIM)
+    z_gw = np.exp(np.asarray(fac_gw) / (NDIM - 1))
+    a = move_log.a
+    assert np.all((z_log >= 1 / a - 1e-6) & (z_log <= a + 1e-6))
+    assert np.all((z_gw >= 1 / a - 1e-6) & (z_gw <= a + 1e-6))
+
+
+@pytest.mark.parametrize("log_proposal", [False, True])
+def test_fused_stretch_propose_matches_formula(log_proposal):
+    """The pallas propose kernel (interpret mode on CPU) reproduces the
+    closed-form stretch for both scaling densities."""
+    from eryn_tpu.ops.stretch_kernels import stretch_propose
+
+    rng = np.random.default_rng(0)
+    nt, ns, nc, D, a = 2, 8, 8, 4, 2.0
+    s = rng.standard_normal((nt, ns, D)).astype(np.float32)
+    c = rng.standard_normal((nt, nc, D)).astype(np.float32)
+    ndim_act = rng.integers(1, D + 1, (nt, ns)).astype(np.float32)
+    u = rng.random((2, nt, ns)).astype(np.float32)
+
+    q, fac = stretch_propose(
+        jnp.asarray(s),
+        jnp.asarray(c),
+        jnp.asarray(ndim_act),
+        jnp.asarray(u),
+        a=a,
+        interpret=True,
+        log_proposal=log_proposal,
+    )
+
+    if log_proposal:
+        zz = np.exp((2.0 * u[0] - 1.0) * np.log(a))
+        expect_fac = ndim_act * np.log(zz)
+    else:
+        zz = ((a - 1.0) * u[0] + 1.0) ** 2 / a
+        expect_fac = (ndim_act - 1.0) * np.log(zz)
+    rint = np.floor(u[1] * nc).astype(int)
+    c_pick = np.take_along_axis(c, rint[:, :, None], axis=1)
+    expect_q = c_pick - (c_pick - s) * zz[:, :, None]
+
+    np.testing.assert_allclose(np.asarray(q), expect_q, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fac), expect_fac, rtol=2e-5, atol=2e-5
+    )
