@@ -452,13 +452,17 @@ class DeviceBackend(Backend):
         multiply_thin=True,
         window=50,
         average=True,
+        tol=0,
+        quiet=True,
         **kwargs,
     ):
         """Per-parameter IACT computed ON DEVICE (the chain never crosses to
         the host — only the tiny tau arrays do).  Matches the host
         estimator (:func:`eryn_tpu.utils.utility.get_integrated_act`, ref
-        ``backend.py:616-662``) up to float precision.  Falls back to the
-        host path when part of the chain has been offloaded."""
+        ``backend.py:616-662``) up to float precision, including the
+        ``tol``/``quiet`` chain-length guard (emcee ``integrated_time``
+        semantics).  Falls back to the host path when part of the chain has
+        been offloaded."""
         if self._host is not None or not self._segs:
             return super().get_autocorr_time(
                 discard=discard,
@@ -467,6 +471,8 @@ class DeviceBackend(Backend):
                 multiply_thin=multiply_thin,
                 window=window,
                 average=average,
+                tol=tol,
+                quiet=quiet,
                 **kwargs,
             )
         import jax.numpy as jnp
@@ -479,6 +485,7 @@ class DeviceBackend(Backend):
                 "accessing the results."
             )
         sl = slice(discard + thin - 1, self.iteration, thin)
+        nsteps = len(range(discard + thin - 1, self.iteration, thin))
         out = {}
         for name in self.branch_names:
             parts = self._seg_arrays("chain", name)
@@ -488,6 +495,27 @@ class DeviceBackend(Backend):
                 chain = chain[:, 0:1]
             tau = get_integrated_act_jax(chain, window=window, average=average)
             out[name] = np.asarray(tau) * (thin if multiply_thin else 1)
+        if tol > 0:
+            # the raw (pre-thin-multiplication) tau counts stored steps,
+            # same as the host estimator's guard
+            tau_max = np.nanmax(
+                [
+                    np.nanmax(np.atleast_1d(t))
+                    / (thin if multiply_thin else 1)
+                    for t in out.values()
+                ]
+            )
+            if np.isfinite(tau_max) and tau_max * tol > nsteps:
+                msg = (
+                    f"The chain is shorter than {tol} times the integrated "
+                    f"autocorrelation time ({tau_max:.1f})."
+                )
+                if quiet:
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
+                else:
+                    raise RuntimeError(msg)
         return out
 
     def _device_field(self, field, branch, discard, thin):
@@ -529,11 +557,10 @@ class DeviceBackend(Backend):
 
         from ..utils.utility import thermodynamic_integration_log_evidence
 
-        betas_all = np.asarray(
-            self._device_field("betas", None, discard, thin)
-        )
-        if betas_all is None:
+        betas_dev = self._device_field("betas", None, discard, thin)
+        if betas_dev is None:
             raise ValueError("No betas stored; cannot compute evidence.")
+        betas_all = np.asarray(betas_dev)
         if not (betas_all == betas_all[0]).all():
             raise ValueError(
                 "Cannot compute evidence while betas are adapting. Use "

@@ -60,13 +60,39 @@ def _finite_min(dtype):
 _CALLBACK_UNSUPPORTED_PLATFORMS = ("axon",)
 
 
+def _active_platform_names():
+    """Every name the active default backend answers to.  PJRT plugins can
+    report a generic client platform (the tunneled-TPU plugin's client says
+    ``"tpu"``) while the plugin's real identity only shows up in the
+    ``jax_platforms`` priority list and the client's ``platform_version``
+    string — check all three."""
+    names = {str(jax.default_backend()).lower()}
+    try:
+        platforms = str(jax.config.jax_platforms or "")
+        first = platforms.split(",")[0].strip().lower()
+        if first:
+            names.add(first)
+    except Exception:
+        pass
+    try:
+        from jax._src import xla_bridge
+
+        version = str(
+            getattr(xla_bridge.get_backend(), "platform_version", "")
+        )
+        if version:
+            names.add(version.split()[0].rstrip(";").lower())
+    except Exception:
+        pass
+    return names
+
+
 def _require_callback_support(what="log_like_fn"):
     import os
 
-    platform = jax.default_backend()
-    if platform in _CALLBACK_UNSUPPORTED_PLATFORMS and not os.environ.get(
-        "ERYN_TPU_FORCE_CALLBACK"
-    ):
+    hit = _active_platform_names() & set(_CALLBACK_UNSUPPORTED_PLATFORMS)
+    if hit and not os.environ.get("ERYN_TPU_FORCE_CALLBACK"):
+        platform = sorted(hit)[0]
         raise RuntimeError(
             f"{what} is not JAX-traceable, and the active JAX backend "
             f"({platform!r}) does not support jax.pure_callback, so the "

@@ -251,6 +251,11 @@ class BasicSymmetricModelSwapRJMove(ModelSwapRJMove):
         if args and isinstance(args[0], dict):
             super().__init__(*args, **kwargs)
             return
+        if not args and isinstance(kwargs.get("generate_dist"), dict):
+            # primary signature passed by keyword
+            super().__init__(**kwargs)
+            return
+        kwargs.pop("generate_dist", None)  # explicit None: deferred form
         nlmax = args[0] if len(args) > 0 else kwargs.pop("nleaves_max", None)
         nlmin = args[1] if len(args) > 1 else kwargs.pop("nleaves_min", None)
         for label, vals, ok in (

@@ -208,9 +208,13 @@ class ParaEnsembleSampler:
         chain repeats the frozen snapshot.  The lockstep batch still
         computes every group (SPMD has no ragged shapes); gating is a
         ``where``-blend, so results for running groups are unaffected.
+        The mask applies to THIS call only: omitting it (or passing
+        ``None``) advances every group.
         """
         s = self.sampler
-        if groups_running is not None:
+        if groups_running is None:
+            self._groups_running = None
+        else:
             self._groups_running = jnp.asarray(groups_running).astype(bool)
             if self._groups_running.shape != (self.ngroups,):
                 raise ValueError(

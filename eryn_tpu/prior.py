@@ -415,8 +415,10 @@ class ProbDistContainer:
             defined per coordinate.
         """
         x = np.asarray(x)
+        if keys is not None:
+            keys = list(keys)  # materialize: generators survive only one pass
         single = x.ndim == 0 or (
-            keys is not None and len(list(keys)) == 1 and x.shape[-1:] != (self.ndim,)
+            keys is not None and len(keys) == 1 and x.shape[-1:] != (self.ndim,)
         )
         vals = np.array(x, dtype=np.float64, ndmin=1)
         out = np.array(vals, copy=True)

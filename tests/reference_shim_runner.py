@@ -11,43 +11,18 @@ Exit code 0 iff every requested test passed.
 """
 
 import importlib.util
+import os
 import sys
 import types
 
-import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _eryn_shim import install_eryn_shim  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
-
-import eryn_tpu  # noqa: E402
-import eryn_tpu.backends  # noqa: E402
-import eryn_tpu.ensemble  # noqa: E402
-import eryn_tpu.moves  # noqa: E402
-import eryn_tpu.prior  # noqa: E402
-import eryn_tpu.state  # noqa: E402
-import eryn_tpu.utils  # noqa: E402
-import eryn_tpu.utils.utility  # noqa: E402
+install_eryn_shim()
 
 # the reference tests `import corner` at module scope but never call it
 sys.modules.setdefault("corner", types.ModuleType("corner"))
-
-ALIASES = {
-    "eryn": eryn_tpu,
-    "eryn.ensemble": eryn_tpu.ensemble,
-    "eryn.state": eryn_tpu.state,
-    "eryn.prior": eryn_tpu.prior,
-    "eryn.moves": eryn_tpu.moves,
-    "eryn.backends": eryn_tpu.backends,
-    "eryn.utils": eryn_tpu.utils,
-    "eryn.utils.utility": eryn_tpu.utils.utility,
-    "eryn.model": __import__("eryn_tpu.model", fromlist=["Model"]),
-    "eryn.pbar": __import__("eryn_tpu.pbar", fromlist=["get_progress_bar"]),
-}
-for name, mod in ALIASES.items():
-    sys.modules[name] = mod
 
 
 def main(argv):

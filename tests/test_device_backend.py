@@ -409,3 +409,17 @@ def test_device_evidence_and_gelman_rubin_match_host(priors):
         doprint=False
     )["model_0"]
     np.testing.assert_allclose(rh_d, rh_h, rtol=1e-4, atol=1e-5)
+
+
+def test_device_autocorr_tol_guard(priors):
+    """The device IACT path honors the emcee tol/quiet chain-length guard
+    exactly like the host estimator (kwargs used to be swallowed)."""
+    dev = _run(DeviceBackend(), priors, nsteps=60, seed=13)
+    with pytest.raises(RuntimeError, match="shorter than"):
+        dev.get_autocorr_time(tol=10**6, quiet=False)
+    with pytest.warns(UserWarning, match="shorter than"):
+        dev.get_autocorr_time(tol=10**6, quiet=True)
+    # same semantics after offload (host fallback)
+    dev.backend.offload()
+    with pytest.raises(RuntimeError, match="shorter than"):
+        dev.get_autocorr_time(tol=10**6, quiet=False)

@@ -150,3 +150,35 @@ def test_temperature_control_evidence_methods():
     expect_ss = stepping_stone_log_evidence(tc.betas, logls, seed=1)
     assert np.allclose((logz_ss, err_ss), expect_ss)
     assert np.isfinite(logz_ss) and err_ss >= 0
+
+
+def test_callback_fail_fast_sees_through_generic_client_name(monkeypatch):
+    """The tunneled-TPU plugin's client reports platform "tpu"; only
+    platform_version / jax_platforms say "axon".  The guard must identify
+    the plugin through those, not just jax.default_backend()."""
+    import jax as _jax
+    from jax._src import xla_bridge
+
+    from eryn_tpu.ensemble import _active_platform_names
+
+    class FakeClient:
+        platform = "tpu"
+        platform_version = "axon 0.1.0; SerializedExecutable v9"
+
+    # scope the jax patches: jax internals call get_backend themselves
+    with monkeypatch.context() as m:
+        m.setattr(_jax, "default_backend", lambda: "tpu")
+        m.setattr(xla_bridge, "get_backend", lambda *a, **k: FakeClient())
+        assert "axon" in _active_platform_names()
+
+    import eryn_tpu.ensemble as ens_mod
+
+    def np_like(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+    monkeypatch.setattr(
+        ens_mod, "_active_platform_names", lambda: {"tpu", "axon"}
+    )
+    with pytest.raises(RuntimeError, match="does not support jax.pure_callback"):
+        EnsembleSampler(NWALKERS, NDIM, np_like, pr, seed=0)

@@ -213,3 +213,13 @@ def test_model_swap_blobs_and_kwarg_guards():
     blobs = ens.get_blobs()[..., 0]
     active = ens.get_nleaves()["pulse"].astype(float)
     np.testing.assert_allclose(blobs, active)
+
+
+def test_model_swap_alias_keyword_signature():
+    """The primary {branch: dist} signature must also work as a keyword
+    through the alias class (it routes through the legacy-arg parser)."""
+    pr_a = ProbDistContainer({0: uniform_dist(0, 1)})
+    pr_b = ProbDistContainer({0: uniform_dist(0, 2)})
+    mv = BasicSymmetricModelSwapRJMove(generate_dist={"a": pr_a, "b": pr_b})
+    assert mv.model_names == ["a", "b"]
+    assert mv.nleaves_max == {"a": 1, "b": 1}

@@ -221,3 +221,21 @@ def test_para_groups_running_gating():
     # restarting all groups resumes the stopped one
     st3 = para.run_mcmc(None, 10, groups_running=np.ones(3, bool))
     assert not np.allclose(per_group_ll(st3)[1], frozen_ll[1])
+
+
+def test_para_groups_running_resets_when_omitted():
+    """The mask is per-call: omitting groups_running advances EVERY group
+    (a stale mask from an earlier call must not keep freezing groups)."""
+    priors = ProbDistContainer({i: uniform_dist(-6, 6) for i in range(NDIM)})
+    para = ParaEnsembleSampler(
+        3, NWALKERS, NDIM,
+        lambda x: -0.5 * jnp.sum(x**2),
+        priors, tempering_kwargs=dict(ntemps=2), seed=64,
+    )
+    coords = priors.rvs(size=(3, 2, NWALKERS))
+    st1 = para.run_mcmc(coords, 10, groups_running=np.array([True, False, True]))
+    ll1 = np.asarray(st1.group_view({"ll": st1.log_like})["ll"])
+    st2 = para.run_mcmc(None, 10)  # omitted -> all groups advance
+    assert bool(np.asarray(st2.groups_running).all())
+    ll2 = np.asarray(st2.group_view({"ll": st2.log_like})["ll"])
+    assert not np.allclose(ll2[1], ll1[1])

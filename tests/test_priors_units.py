@@ -256,3 +256,21 @@ def test_container_ppf():
     pr2 = ProbDistContainer({(0, 1): mvn_dist(np.zeros(2), np.eye(2))})
     with pytest.raises(ValueError, match="per-parameter"):
         pr2.ppf(q)
+
+
+def test_container_ppf_accepts_key_iterator():
+    """keys= may be any iterable, including a one-shot generator (a
+    consumed iterator must not silently deselect every entry)."""
+    import numpy as np
+
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    pr = ProbDistContainer(
+        {0: uniform_dist(-2.0, 4.0), 1: uniform_dist(0.0, 1.0)}
+    )
+    q = np.random.default_rng(0).random((20, 2))
+    out_list = pr.ppf(q, keys=[0])
+    out_gen = pr.ppf(q, keys=iter([0]))
+    np.testing.assert_allclose(out_gen, out_list)
+    # the selected column was actually transformed
+    np.testing.assert_allclose(out_gen[:, 0], -2.0 + 6.0 * q[:, 0])
