@@ -639,7 +639,12 @@ def stretch_get_proposal(move, s_all, c_all, random, gibbs_ndim=None):
         rint = random.randint(Nc, size=(ntemps, Ns))
         c_temp = np.take_along_axis(c, rint[:, :, None, None], axis=1)
         if i == 0:
-            zz = ((move.a - 1.0) * random.rand(ntemps, Ns) + 1.0) ** 2.0 / move.a
+            u = random.rand(ntemps, Ns)
+            if getattr(move, "use_log_proposal", False):
+                # ptemcee scaling density g(z) ∝ 1/z (see stretch.py)
+                zz = np.exp((2.0 * u - 1.0) * np.log(move.a))
+            else:
+                zz = ((move.a - 1.0) * u + 1.0) ** 2.0 / move.a
         if move.periodic is not None:
             diff = np.asarray(
                 move.periodic.distance(
@@ -658,9 +663,12 @@ def stretch_get_proposal(move, s_all, c_all, random, gibbs_ndim=None):
             ).reshape(ntemps, Ns, nleaves_max, ndim_here)
         newpos[name] = temp
 
-    factors = (ndim - 1.0) * np.log(zz)
-    if gibbs_ndim is not None:
-        factors = _adjust_factors(factors, ndim, gibbs_ndim)
+    # g(z) ∝ 1/z needs exponent N, the GW density N-1 (see stretch.py);
+    # under Gibbs the exponent uses the updated dimension count
+    # (ref stretch.py:55-72)
+    shift = 0.0 if getattr(move, "use_log_proposal", False) else 1.0
+    n_eff = ndim if gibbs_ndim is None else np.asarray(gibbs_ndim)
+    factors = (n_eff - shift) * np.log(zz)
     return newpos, factors
 
 

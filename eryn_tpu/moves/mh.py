@@ -39,9 +39,24 @@ class MHMove(Move):
         # reference-style subclasses implement a host-NumPy
         # ``get_proposal(branches_coords, random, branches_inds=None, ...)``
         # (ref mh.py:16-60); they run through the legacy host bridge
-        if getattr(type(self), "get_proposal", None) is not None:
+        from .move import overrides_host_api
+
+        if overrides_host_api(self, "get_proposal"):
             self.host_move = True
             self._legacy_family = "mh"
+
+    def get_proposal(self, branches_coords, random, branches_inds=None, **kwargs):
+        """Reference host-protocol hook (ref ``mh.py:16-60``): subclasses
+        return ``(q_dict, factors)``.  Abstract here, exactly as in the
+        reference — a subclass defining it runs through the legacy host
+        bridge."""
+        raise NotImplementedError(
+            "MHMove subclasses implement get_proposal (legacy host "
+            "protocol) or get_proposal_kernel (traced TPU protocol)."
+        )
+
+    # abstract in the reference: only a USER definition flags host mode
+    get_proposal.__eryn_tpu_stock__ = True
 
     def get_proposal_kernel(
         self, key, branch_coords, branch_inds, kernel_state, param_masks=None

@@ -313,6 +313,151 @@ class Move:
             )
         return jnp.asarray(logl) + jnp.asarray(logp)
 
+    # ------------------------------------------------------------------
+    # reference host-protocol helpers (the public custom-move API;
+    # reference custom ``propose``/``get_proposal`` implementations call
+    # these on ``self`` — each delegates to the vectorized host bridge in
+    # :mod:`eryn_tpu.moves.legacy`)
+    # ------------------------------------------------------------------
+    def gibbs_sampling_setup_iterator(self, all_branch_names):
+        """Yield ``(branch_names_run, inds_run)`` Gibbs splits
+        (ref ``move.py:223-246``)."""
+        from .legacy import _gibbs_iterator
+
+        yield from _gibbs_iterator(self, all_branch_names)
+
+    def setup_proposals(
+        self, branch_names_run, inds_run, branches_coords, branches_inds
+    ):
+        """Gibbs-aware proposal inputs: ``(coords, inds,
+        at_least_one_proposal)`` (ref ``move.py:248-295``)."""
+        from .legacy import _setup_proposals
+
+        return _setup_proposals(
+            branch_names_run, inds_run, branches_coords, branches_inds
+        )
+
+    def cleanup_proposals_gibbs(
+        self,
+        branch_names_run,
+        inds_run,
+        q,
+        branches_coords,
+        new_inds=None,
+        branches_inds=None,
+        new_branch_supps=None,
+        branches_supplemental=None,
+    ):
+        """Restore parameters fixed this Gibbs round; back-fill branches
+        that were not proposed (ref ``move.py:297-336``).  Mutates ``q`` /
+        ``new_inds`` / ``new_branch_supps`` in place, as the reference
+        does."""
+        import copy
+
+        from .legacy import _cleanup_proposals_gibbs
+
+        _cleanup_proposals_gibbs(branch_names_run, inds_run, q, branches_coords)
+        for key in branches_coords:
+            if new_inds is not None and key not in new_inds:
+                if branches_inds is None:
+                    raise ValueError(
+                        "new_inds given without branches_inds to back-fill "
+                        f"branch {key!r}."
+                    )
+                new_inds[key] = np.array(branches_inds[key])
+            if new_branch_supps is not None and key not in new_branch_supps:
+                if branches_supplemental is None:
+                    raise ValueError(
+                        "new_branch_supps given without "
+                        f"branches_supplemental to back-fill branch {key!r}."
+                    )
+                new_branch_supps[key] = copy.deepcopy(
+                    branches_supplemental[key]
+                )
+
+    def ensure_ordering(self, correct_key_order, q, new_inds, new_branch_supps):
+        """Reorder proposal dicts to ``correct_key_order``
+        (ref ``move.py:338-366``)."""
+        import copy
+
+        correct_key_order = list(correct_key_order)
+        if list(q.keys()) != correct_key_order:
+            q = {key: q[key] for key in correct_key_order}
+        if list(new_inds.keys()) != correct_key_order:
+            new_inds = {key: new_inds[key] for key in correct_key_order}
+        if (
+            new_branch_supps is not None
+            and list(new_branch_supps.keys()) != correct_key_order
+        ):
+            temp = {key: None for key in correct_key_order}
+            for key in new_branch_supps:
+                temp[key] = new_branch_supps[key]
+            new_branch_supps = copy.deepcopy(temp)
+        return q, new_inds, new_branch_supps
+
+    def fix_logp_gibbs(self, branch_names_run, inds_run, logp, inds):
+        """Walkers with no active leaves in this split get ``-inf`` /
+        ``0`` priors, mutating ``logp`` in place (ref ``move.py:368-402``)."""
+        from .legacy import _fix_logp_gibbs
+
+        _fix_logp_gibbs(branch_names_run, inds_run, logp, inds)
+
+    def compute_log_posterior_basic(self, logl, logp):
+        """Untempered ``logl + logp`` (ref ``move.py:443-457``)."""
+        return logl + logp
+
+    def update(self, old_state, new_state, accepted, subset=None):
+        """Merge accepted walkers from ``new_state`` into ``old_state``
+        (ref ``move.py:472-703``): coords, inds, log-like/prior, blobs.
+
+        ``subset`` is an ``(ntemps, Ns)`` walker-index array when
+        ``new_state`` covers only part of the ensemble (the red/blue
+        half); ``accepted`` is always full ``(ntemps, nwalkers)``.
+        Host-side NumPy — mutates and returns ``old_state``."""
+        accepted = np.asarray(accepted).astype(bool)
+        ntemps, nwalkers = np.asarray(old_state.log_like).shape
+        if subset is None:
+            subset = np.tile(np.arange(nwalkers), (ntemps, 1))
+        subset = np.asarray(subset)
+        acc_sub = np.take_along_axis(accepted, subset, axis=1)
+        t_idx, s_idx = np.nonzero(acc_sub)
+        w_idx = subset[t_idx, s_idx]
+
+        def merge(old, new):
+            out = np.array(old)
+            out[t_idx, w_idx] = np.asarray(new)[t_idx, s_idx]
+            return out
+
+        for name, b_new in new_state.branches.items():
+            b_old = old_state.branches[name]
+            b_old.coords = merge(b_old.coords, b_new.coords)
+            if b_old.inds is not None and b_new.inds is not None:
+                b_old.inds = merge(b_old.inds, b_new.inds)
+        old_state.log_like = merge(old_state.log_like, new_state.log_like)
+        if old_state.log_prior is not None and new_state.log_prior is not None:
+            old_state.log_prior = merge(
+                old_state.log_prior, new_state.log_prior
+            )
+        if old_state.blobs is not None and new_state.blobs is not None:
+            old_state.blobs = merge(old_state.blobs, new_state.blobs)
+        return old_state
+
+
+def stock_host_api(fn):
+    """Mark a framework-provided implementation of a reference host-API
+    method (``get_proposal`` and friends).  Host-move detection classifies
+    a move as legacy only when the method is a USER override — i.e. not
+    carrying this marker."""
+    fn.__eryn_tpu_stock__ = True
+    return fn
+
+
+def overrides_host_api(obj, name):
+    """True when ``type(obj)`` provides ``name`` and it is not a
+    stock-marked framework implementation."""
+    fn = getattr(type(obj), name, None)
+    return fn is not None and not getattr(fn, "__eryn_tpu_stock__", False)
+
 
 def state_branch_supps(state, perm=None, block=None):
     """Collect per-branch supplemental holders for likelihood evaluation,

@@ -46,8 +46,9 @@ class RedBlueMove(Move):
         # Group moves define their own (group-protocol) get_proposal and are
         # classified by GroupMove.__init__ instead.
         from .group import GroupMove
+        from .move import overrides_host_api
 
-        if getattr(type(self), "get_proposal", None) is not None and not (
+        if overrides_host_api(self, "get_proposal") and not (
             isinstance(self, GroupMove)
         ):
             self.host_move = True
@@ -56,6 +57,19 @@ class RedBlueMove(Move):
     def setup(self, branches):
         """Per-proposal setup hook (ref ``red_blue.py:84-87``)."""
         pass
+
+    def get_proposal(self, s_all, c_all, random, gibbs_ndim=None):
+        """Reference host-protocol hook (ref ``red_blue.py:60-83``):
+        subclasses return ``(q_dict, factors)`` from sample/complement
+        sets.  Abstract here, exactly as in the reference — a subclass
+        defining it runs through the legacy host bridge."""
+        raise NotImplementedError(
+            "RedBlueMove subclasses implement get_proposal (legacy host "
+            "protocol) or get_proposal_kernel (traced TPU protocol)."
+        )
+
+    # abstract in the reference: only a USER definition flags host mode
+    get_proposal.__eryn_tpu_stock__ = True
 
     def get_proposal_kernel(self, key, s_coords, c_coords, s_inds, param_masks=None):
         raise NotImplementedError

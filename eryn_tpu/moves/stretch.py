@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .red_blue import RedBlueMove
 from .tempering import tempered_log_likelihood
@@ -52,6 +53,56 @@ class StretchMove(RedBlueMove):
         self.a = float(a)
         self.use_pallas = use_pallas
         self.use_log_proposal = bool(use_log_proposal)
+
+    # ------------------------------------------------------------------
+    # reference host-protocol API (ref stretch.py:103-231) — used by
+    # legacy custom-move subclasses that call super().get_proposal(...) or
+    # self.get_new_points(...); the sampler's own hot path is the traced
+    # kernel below
+    # ------------------------------------------------------------------
+    def get_proposal(self, s_all, c_all, random, gibbs_ndim=None, **kwargs):
+        """Host stretch proposal over sample/complement dicts, returning
+        ``(q_dict, factors)`` (ref ``stretch.py:160-231``)."""
+        from .legacy import stretch_get_proposal
+
+        return stretch_get_proposal(
+            self, s_all, c_all, random, gibbs_ndim=gibbs_ndim
+        )
+
+    get_proposal.__eryn_tpu_stock__ = True
+
+    def get_new_points(
+        self, name, s, c_temp, Ns, branch_shape, branch_i, random_number_generator
+    ):
+        """Stretch one branch along the ray to its chosen complement
+        (ref ``stretch.py:103-158``).  ``self.zz`` is drawn once on the
+        first branch and shared, as in the reference."""
+        ntemps, nwalkers, nleaves_max, ndim_here = branch_shape
+        s = np.asarray(s)
+        c_temp = np.asarray(c_temp)
+        if branch_i == 0:
+            u = random_number_generator.rand(ntemps, Ns)
+            if self.use_log_proposal:
+                self.zz = np.exp((2.0 * u - 1.0) * np.log(self.a))
+            else:
+                self.zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
+        if self.periodic is not None:
+            diff = np.asarray(
+                self.periodic.distance(
+                    {name: s.reshape(ntemps * Ns, nleaves_max, ndim_here)},
+                    {name: c_temp.reshape(ntemps * Ns, nleaves_max, ndim_here)},
+                )[name]
+            ).reshape(ntemps, Ns, nleaves_max, ndim_here)
+        else:
+            diff = c_temp - s
+        temp = c_temp - diff * self.zz[:, :, None, None]
+        if self.periodic is not None:
+            temp = np.asarray(
+                self.periodic.wrap(
+                    {name: temp.reshape(ntemps * Ns, nleaves_max, ndim_here)},
+                )[name]
+            ).reshape(ntemps, Ns, nleaves_max, ndim_here)
+        return temp
 
     # ------------------------------------------------------------------
     # fused TPU fast path

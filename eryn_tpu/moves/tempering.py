@@ -624,6 +624,84 @@ class TemperatureControl:
             branch_supps,
         )
 
+    def do_swaps_indexing(
+        self,
+        i,
+        iperm_sel,
+        i1perm_sel,
+        dbeta,
+        x,
+        logP,
+        logl,
+        logp,
+        inds=None,
+        blobs=None,
+        supps=None,
+        branch_supps=None,
+    ):
+        """Apply one rung's ACCEPTED swaps in place between temperatures
+        ``i`` and ``i-1`` (reference public host API, ref
+        ``tempering.py:351-482``): ``iperm_sel`` / ``i1perm_sel`` are the
+        accepted walker indices at rungs ``i`` and ``i-1``; ``logP`` is
+        re-thermalized with ``dbeta = betas[i] - betas[i-1]``.  Arrays are
+        host NumPy and mutated in place; returns the reference's 8-tuple
+        ``(x, logP, logl, logp, inds, blobs, supps, branch_supps)``.
+
+        The compiled sampler never calls this — the traced swap cascade
+        runs inside the scan; this exists so user code written against the
+        reference API executes."""
+        iperm_sel = np.asarray(iperm_sel)
+        i1perm_sel = np.asarray(i1perm_sel)
+
+        def swap_pairwise(arr):
+            keep_hi = np.copy(arr[i, iperm_sel])
+            arr[i, iperm_sel] = arr[i - 1, i1perm_sel]
+            arr[i - 1, i1perm_sel] = keep_hi
+
+        for name in x:
+            swap_pairwise(x[name])
+            if inds is not None and name in inds:
+                swap_pairwise(inds[name])
+            if branch_supps is not None and branch_supps.get(name) is not None:
+                holder = branch_supps[name]
+                tmp_hi = holder[i, iperm_sel]
+                tmp_lo = holder[i - 1, i1perm_sel]
+                for key in self.skip_swap_supp_names:
+                    if hasattr(tmp_hi, "pop"):
+                        tmp_hi.pop(key, None)
+                    if hasattr(tmp_lo, "pop"):
+                        tmp_lo.pop(key, None)
+                holder[i, iperm_sel] = tmp_lo
+                holder[i - 1, i1perm_sel] = tmp_hi
+
+        logl_hi = np.copy(logl[i, iperm_sel])
+        logl_lo = np.copy(logl[i - 1, i1perm_sel])
+        logp_hi = np.copy(logp[i, iperm_sel])
+        logP_hi = np.copy(logP[i, iperm_sel])
+        logP_lo = np.copy(logP[i - 1, i1perm_sel])
+
+        logl[i, iperm_sel] = logl_lo
+        logp[i, iperm_sel] = logp[i - 1, i1perm_sel]
+        logP[i, iperm_sel] = logP_lo - dbeta * logl_lo
+        logl[i - 1, i1perm_sel] = logl_hi
+        logp[i - 1, i1perm_sel] = logp_hi
+        logP[i - 1, i1perm_sel] = logP_hi + dbeta * logl_hi
+
+        if blobs is not None:
+            swap_pairwise(blobs)
+        if supps is not None:
+            s_hi = supps[i, iperm_sel]
+            s_lo = supps[i - 1, i1perm_sel]
+            for key in self.skip_swap_supp_names:
+                if hasattr(s_hi, "pop"):
+                    s_hi.pop(key, None)
+                if hasattr(s_lo, "pop"):
+                    s_lo.pop(key, None)
+            supps[i, iperm_sel] = s_lo
+            supps[i - 1, i1perm_sel] = s_hi
+
+        return (x, logP, logl, logp, inds, blobs, supps, branch_supps)
+
     def temper_comps(self, state, adapt=True):
         """Host entry point with the reference's public name and semantics
         (ref ``tempering.py:598-649``): swap a filled ``State``, then

@@ -182,3 +182,186 @@ def test_callback_fail_fast_sees_through_generic_client_name(monkeypatch):
     )
     with pytest.raises(RuntimeError, match="does not support jax.pure_callback"):
         EnsembleSampler(NWALKERS, NDIM, np_like, pr, seed=0)
+
+
+def test_move_host_protocol_helpers():
+    """The reference's Move helper methods (move.py:223-402,443-457) exist
+    under their public names and operate on host arrays."""
+    from eryn_tpu.moves import StretchMove
+
+    mv = StretchMove()
+    ntemps, nw, nl, nd = 2, 8, 3, 2
+    rng = np.random.default_rng(0)
+    coords = {"a": rng.standard_normal((ntemps, nw, nl, nd))}
+    inds = {"a": rng.random((ntemps, nw, nl)) < 0.7}
+
+    # gibbs iterator with no setup yields the all-branches split
+    splits = list(mv.gibbs_sampling_setup_iterator(["a"]))
+    assert splits == [(["a"], [None])]
+
+    c_go, i_go, at_least_one = mv.setup_proposals(["a"], [None], coords, inds)
+    assert at_least_one
+    np.testing.assert_array_equal(i_go["a"], inds["a"])
+
+    # per-leaf gibbs mask restricts the proposal inds
+    leaf_mask = np.zeros((nl, nd), dtype=bool)
+    leaf_mask[0] = True
+    _, i_go2, _ = mv.setup_proposals(["a"], [leaf_mask], coords, inds)
+    assert not i_go2["a"][:, :, 1:].any()
+
+    # cleanup restores non-gibbs params and back-fills missing branches
+    q = {"a": np.array(coords["a"]) + 1.0}
+    coords2 = dict(coords)
+    coords2["b"] = rng.standard_normal((ntemps, nw, 1, nd))
+    inds2 = dict(inds)
+    inds2["b"] = np.ones((ntemps, nw, 1), dtype=bool)
+    new_inds = {"a": np.array(inds["a"])}
+    mv.cleanup_proposals_gibbs(
+        ["a"], [leaf_mask], q, coords2, new_inds=new_inds, branches_inds=inds2
+    )
+    np.testing.assert_array_equal(
+        q["a"][:, :, ~leaf_mask.any(-1)], coords["a"][:, :, ~leaf_mask.any(-1)]
+    )
+    assert "b" in q and "b" in new_inds
+
+    # ensure_ordering returns reordered dicts
+    qo, io, so = mv.ensure_ordering(["b", "a"], q, new_inds, None)
+    assert list(qo) == ["b", "a"] and list(io) == ["b", "a"] and so is None
+
+    # fix_logp_gibbs: a walker with leaves in a NON-run branch but no
+    # selected leaves in the run branch gets -inf; a walker with no
+    # leaves anywhere gets 0 (ref move.py:368-402)
+    logp = np.zeros((ntemps, nw))
+    inds_fix = {
+        "a": np.zeros((ntemps, nw, nl), dtype=bool),
+        "b": np.zeros((ntemps, nw, 1), dtype=bool),
+    }
+    inds_fix["b"][0, 0, 0] = True  # walker (0,0): leaves only in "b"
+    split = np.zeros((nl, nd), dtype=bool)
+    split[2] = True
+    mv.fix_logp_gibbs(["a"], [split], logp, inds_fix)
+    assert logp[0, 0] == -np.inf  # active elsewhere, nothing in this split
+    assert logp[1, 1] == 0.0  # empty model everywhere -> 0
+
+    assert mv.compute_log_posterior_basic(1.5, 2.5) == 4.0
+
+
+def test_move_update_merges_accepted():
+    """Move.update (ref move.py:472-703): accepted walkers from new_state
+    land in old_state, honoring a red/blue subset index array."""
+    from eryn_tpu.moves import StretchMove
+    from eryn_tpu.state import State
+
+    mv = StretchMove()
+    ntemps, nw, nl, nd = 2, 6, 1, 2
+    rng = np.random.default_rng(1)
+    mk = lambda: State(
+        {"a": rng.standard_normal((ntemps, nw, nl, nd))},
+        log_like=rng.standard_normal((ntemps, nw)),
+        log_prior=rng.standard_normal((ntemps, nw)),
+    )
+    old, new = mk(), mk()
+    old_ll = np.array(old.log_like)
+    accepted = np.zeros((ntemps, nw), dtype=bool)
+    accepted[:, 0] = True
+    out = mv.update(old, new, accepted)
+    np.testing.assert_array_equal(out.log_like[:, 0], new.log_like[:, 0])
+    np.testing.assert_array_equal(out.log_like[:, 1:], old_ll[:, 1:])
+
+    # subset form: new_state covers walkers [3, 4, 5] only
+    old2 = mk()
+    old2_ll = np.array(old2.log_like)
+    sub_coords = {"a": rng.standard_normal((ntemps, 3, nl, nd))}
+    sub = State(
+        sub_coords,
+        log_like=rng.standard_normal((ntemps, 3)),
+        log_prior=rng.standard_normal((ntemps, 3)),
+    )
+    subset = np.tile(np.array([3, 4, 5]), (ntemps, 1))
+    acc = np.zeros((ntemps, nw), dtype=bool)
+    acc[:, 4] = True
+    out2 = mv.update(old2, sub, acc, subset=subset)
+    np.testing.assert_array_equal(out2.log_like[:, 4], sub.log_like[:, 1])
+    np.testing.assert_array_equal(out2.log_like[:, 3], old2_ll[:, 3])
+    np.testing.assert_allclose(
+        np.asarray(out2.branches["a"].coords)[:, 4],
+        sub_coords["a"][:, 1],
+        rtol=1e-6,
+    )
+
+
+def test_stretch_stock_get_proposal_not_host_move():
+    """The framework-provided StretchMove.get_proposal must NOT flip the
+    move into legacy host mode (only USER overrides do), and it must
+    reproduce the stretch formula."""
+    from eryn_tpu.moves import StretchMove
+
+    mv = StretchMove()
+    assert not mv.host_move  # stock methods are marker-exempt
+
+    class UserStretch(StretchMove):
+        def get_proposal(self, s_all, c_all, random, gibbs_ndim=None):
+            return super().get_proposal(s_all, c_all, random, gibbs_ndim)
+
+    user = UserStretch()
+    assert user.host_move  # a user override still routes through the bridge
+
+    rng = np.random.RandomState(2)
+    ntemps, Ns, Nc, nl, nd = 2, 4, 5, 1, 3
+    s_all = {"a": rng.randn(ntemps, Ns, nl, nd)}
+    c_all = {"a": [rng.randn(ntemps, Nc, nl, nd)]}
+    q, factors = mv.get_proposal(s_all, c_all, np.random.RandomState(3))
+    assert q["a"].shape == (ntemps, Ns, nl, nd)
+    # recover z from the factors and check support
+    z = np.exp(np.asarray(factors) / (nl * nd - 1))
+    assert np.all((z >= 1 / mv.a - 1e-9) & (z <= mv.a + 1e-9))
+
+    # get_new_points: ray formula with the shared z
+    s = s_all["a"]
+    c_t = c_all["a"][0][:, :Ns]
+    pts = mv.get_new_points(
+        "a", s, c_t, Ns, (ntemps, Ns, nl, nd), 0, np.random.RandomState(4)
+    )
+    expect = c_t - (c_t - s) * mv.zz[:, :, None, None]
+    np.testing.assert_allclose(pts, expect, rtol=1e-12)
+
+
+def test_do_swaps_indexing_reference_semantics():
+    """TemperatureControl.do_swaps_indexing (ref tempering.py:351-482):
+    in-place pairwise walker swaps between rungs i and i-1, with logP
+    re-thermalized by dbeta."""
+    from eryn_tpu.moves.tempering import TemperatureControl
+
+    tc = TemperatureControl(2, 8, ntemps=3)
+    rng = np.random.default_rng(5)
+    ntemps, nw, nl, nd = 3, 8, 1, 2
+    x = {"a": rng.standard_normal((ntemps, nw, nl, nd))}
+    logl = rng.standard_normal((ntemps, nw))
+    logp = rng.standard_normal((ntemps, nw))
+    betas = np.asarray(tc.betas)
+    i = 1
+    dbeta = betas[i - 1] - betas[i]  # ref convention (tempering.py:522)
+    logP = logl * betas[:, None] + logp
+    x0 = {"a": np.array(x["a"])}
+    logl0, logp0, logP0 = map(np.array, (logl, logp, logP))
+
+    iperm = np.array([0, 2])
+    i1perm = np.array([5, 1])
+    tc.do_swaps_indexing(i, iperm, i1perm, dbeta, x, logP, logl, logp)
+
+    # swapped pairs moved both ways
+    np.testing.assert_array_equal(x["a"][i, iperm], x0["a"][i - 1, i1perm])
+    np.testing.assert_array_equal(x["a"][i - 1, i1perm], x0["a"][i, iperm])
+    np.testing.assert_array_equal(logl[i, iperm], logl0[i - 1, i1perm])
+    np.testing.assert_array_equal(logl[i - 1, i1perm], logl0[i, iperm])
+    # untouched walkers unchanged
+    np.testing.assert_array_equal(logl[i, 1], logl0[i, 1])
+    # logP re-thermalized: new logP at rung i equals beta_i * logl + logp
+    np.testing.assert_allclose(
+        logP[i, iperm], betas[i] * logl[i, iperm] + logp[i, iperm], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        logP[i - 1, i1perm],
+        betas[i - 1] * logl[i - 1, i1perm] + logp[i - 1, i1perm],
+        rtol=1e-12,
+    )
