@@ -538,6 +538,12 @@ class Backend:
 
         logls_all = self.get_log_like(discard=discard, thin=thin)
         betas_all = self.get_betas(discard=discard, thin=thin)
+        if betas_all.shape[0] == 0:
+            raise ValueError(
+                f"discard={discard} / thin={thin} leave no stored samples "
+                f"({self.iteration} iterations stored); cannot compute "
+                "evidence."
+            )
         if not (betas_all == betas_all[0]).all():
             raise ValueError(
                 "Cannot compute evidence while betas are adapting. Use "

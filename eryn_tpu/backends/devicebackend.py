@@ -561,6 +561,12 @@ class DeviceBackend(Backend):
         if betas_dev is None:
             raise ValueError("No betas stored; cannot compute evidence.")
         betas_all = np.asarray(betas_dev)
+        if betas_all.shape[0] == 0:
+            raise ValueError(
+                f"discard={discard} / thin={thin} leave no stored samples "
+                f"({self.iteration} iterations stored); cannot compute "
+                "evidence."
+            )
         if not (betas_all == betas_all[0]).all():
             raise ValueError(
                 "Cannot compute evidence while betas are adapting. Use "

@@ -14,6 +14,15 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 
 
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
+
 def main():
     ndim, nwalkers = 5, 100
 
@@ -30,7 +39,7 @@ def main():
 
     ensemble = EnsembleSampler(nwalkers, ndim, log_like, priors, seed=42)
     coords = priors.rvs(size=(nwalkers,))
-    ensemble.run_mcmc(coords, 2000, burn=500, progress=True)
+    ensemble.run_mcmc(coords, _steps(2000), burn=_steps(500), progress=True)
 
     chain = ensemble.get_chain()["model_0"].reshape(-1, ndim)
     print("posterior mean:", np.round(chain.mean(axis=0), 3))

@@ -20,6 +20,15 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 from eryn_tpu.moves import HMCMove, MALAMove, StretchMove
 
+
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
 NDIM = 24
 NWALKERS = 96
 RHO = 0.5
@@ -43,7 +52,7 @@ for label, move in [
     ("HMC", HMCMove(eps=0.25, num_leapfrog=12)),
 ]:
     ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=3)
-    ens.run_mcmc(start, 600, burn=200)
+    ens.run_mcmc(start, _steps(600), burn=_steps(200))
     tau = float(np.nanmax(ens.get_autocorr_time()["model_0"]))
     acc = float(ens.acceptance_fraction.mean())
     chain = ens.get_chain()["model_0"].reshape(-1, NDIM)

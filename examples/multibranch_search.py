@@ -17,6 +17,15 @@ import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 
+
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
 rng = np.random.default_rng(1)
 num = 256
 t_np = np.linspace(0.0, 10.0, num)
@@ -75,7 +84,7 @@ ens = EnsembleSampler(
 
 coords = {n: priors[n].rvs(size=(NT, NW, NLMAX[n])) for n in NLMAX}
 inds = {n: rng.random((NT, NW, NLMAX[n])) < 0.5 for n in NLMAX}
-ens.run_mcmc(State(coords, inds=inds), 1500, burn=1500, progress=False)
+ens.run_mcmc(State(coords, inds=inds), _steps(1500), burn=_steps(1500), progress=False)
 
 for name in ("gauss", "sine"):
     k = ens.get_nleaves()[name][:, 0]

@@ -14,6 +14,15 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 
 
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
+
 def main():
     ndim, nwalkers, ntemps = 3, 64, 14
 
@@ -35,12 +44,14 @@ def main():
         seed=3,
     )
     coords = priors.rvs(size=(ntemps, nwalkers))
-    ensemble.run_mcmc(coords, 2000, burn=500, progress=True)
+    ensemble.run_mcmc(coords, _steps(2000), burn=_steps(500), progress=True)
 
     logz_ss, dlogz_ss = ensemble.backend.get_evidence_estimate(
-        discard=500, method="stepping_stone"
+        discard=_steps(500), method="stepping_stone"
     )
-    logz_ti, dlogz_ti = ensemble.backend.get_evidence_estimate(discard=500)
+    logz_ti, dlogz_ti = ensemble.backend.get_evidence_estimate(
+        discard=_steps(500)
+    )
     analytic = 0.5 * ndim * np.log(2 * np.pi) - ndim * np.log(2 * lim)
     print(f"stepping-stone logZ = {logz_ss:.3f} +- {dlogz_ss:.3f}")
     print(f"thermodynamic  logZ = {logz_ti:.3f} +- {dlogz_ti:.3f}")

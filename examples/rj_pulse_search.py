@@ -14,6 +14,15 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 
 
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
+
 def main():
     rng = np.random.default_rng(0)
     t_np = np.linspace(0.0, 10.0, 200)
@@ -60,7 +69,7 @@ def main():
     coords = priors.rvs(size=(ntemps, nwalkers, nleaves_max))
     inds = np.random.rand(ntemps, nwalkers, nleaves_max) < 0.5
     state = State({"model_0": coords}, inds={"model_0": inds})
-    ensemble.run_mcmc(state, 1000, burn=1000, progress=True)
+    ensemble.run_mcmc(state, _steps(1000), burn=_steps(1000), progress=True)
 
     nleaves = ensemble.get_nleaves()["model_0"][:, 0]  # cold chain
     vals, counts = np.unique(nleaves, return_counts=True)

@@ -18,6 +18,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.utils.plot import PlotContainer
 
+
+def _steps(n):
+    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
+    small fraction; default 1.0 = the full demonstration run)."""
+    import os
+
+    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+
+
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plots_out")
 
 
@@ -39,7 +48,7 @@ def pt_gaussian():
         seed=0,
     )
     coords = priors.rvs(size=(ntemps, nwalkers))
-    ens.run_mcmc(coords, 1000, burn=300)
+    ens.run_mcmc(coords, _steps(1000), burn=_steps(300))
 
     plots = PlotContainer(
         fp="pt_gaussian",
@@ -92,7 +101,7 @@ def rj_pulses():
     coords = priors.rvs(size=(ntemps, nwalkers, nmax))
     inds = np.random.default_rng(2).random((ntemps, nwalkers, nmax)) < 0.3
     ens.run_mcmc(
-        State({"model_0": coords}, inds={"model_0": inds}), 800, burn=300
+        State({"model_0": coords}, inds={"model_0": inds}), _steps(800), burn=_steps(300)
     )
 
     plots = PlotContainer(
