@@ -29,6 +29,34 @@ import numpy as np
 
 from .backend import Backend
 
+
+def _pad_steps_to_bucket(x):
+    """Pad the step axis to the next power of two with the per-column
+    (masked) mean so the IACT estimator compiles once per LENGTH BUCKET
+    instead of once per chain length (a fresh FFT compile through the
+    remote TPU compiler costs ~10-20 s; users call ``get_autocorr_time``
+    after runs of arbitrary length).
+
+    Exactness: the estimator fills non-finite entries with the per-column
+    masked mean, its autocovariances are raw sums of centered products,
+    and the normalization is the ratio ``acf_k / acf_0``
+    (:func:`eryn_tpu.utils.utility.get_integrated_act_jax`) — so NaN pad
+    rows become the column mean, center to ~0, and contribute nothing:
+    tau over the padded chain equals tau over the raw chain to float
+    precision.  All-NaN columns stay all-NaN and still yield
+    ``tau = NaN``.  NaN (vs precomputed-mean) padding keeps the
+    per-length work to a single pad primitive; everything expensive
+    specializes on the bucket only.
+    """
+    import jax.numpy as jnp
+
+    n = int(x.shape[0])
+    bucket = 1 << max(n - 1, 1).bit_length()
+    if bucket == n:
+        return x
+    pad_widths = [(0, bucket - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad_widths, constant_values=jnp.nan)
+
 __all__ = ["DeviceBackend"]
 
 
@@ -493,7 +521,9 @@ class DeviceBackend(Backend):
             chain = chain[sl]
             if not all_temps:
                 chain = chain[:, 0:1]
-            tau = get_integrated_act_jax(chain, window=window, average=average)
+            tau = get_integrated_act_jax(
+                _pad_steps_to_bucket(chain), window=window, average=average
+            )
             out[name] = np.asarray(tau) * (thin if multiply_thin else 1)
         if tol > 0:
             # the raw (pre-thin-multiplication) tau counts stored steps,

@@ -423,3 +423,36 @@ def test_device_autocorr_tol_guard(priors):
     dev.backend.offload()
     with pytest.raises(RuntimeError, match="shorter than"):
         dev.get_autocorr_time(tol=10**6, quiet=False)
+
+
+def test_device_iact_bucketing_exact(priors):
+    """Chains of different lengths in the same power-of-two bucket give
+    taus matching the host estimator exactly (the padding that bounds the
+    per-length FFT compiles must not change the estimate)."""
+    from eryn_tpu.backends.devicebackend import _pad_steps_to_bucket
+    from eryn_tpu.utils.utility import get_integrated_act, get_integrated_act_jax
+
+    rng = np.random.default_rng(21)
+    # correlated synthetic chain, non-power-of-two length, with an
+    # RJ-style NaN column and an all-NaN column
+    n = 150
+    x = rng.standard_normal((n, 2, 8, 2, 3)).cumsum(axis=0).astype(np.float32)
+    x[:, :, 3, 0, 1] = np.nan  # one all-NaN column
+    x[::7, :, 2, 1, 0] = np.nan  # scattered NaNs
+    padded = _pad_steps_to_bucket(jnp.asarray(x))
+    assert padded.shape[0] == 256
+    tau_padded = np.asarray(get_integrated_act_jax(padded))
+    tau_raw = np.asarray(get_integrated_act_jax(jnp.asarray(x)))
+    np.testing.assert_allclose(tau_padded, tau_raw, rtol=1e-4, atol=1e-4, equal_nan=True)
+
+    # end-to-end: device backend tau == host backend tau at a length that
+    # needs padding
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    host = _run(Backend(), priors, nsteps=150, seed=23, coords=coords)
+    dev = _run(DeviceBackend(), priors, nsteps=150, seed=23, coords=coords)
+    np.testing.assert_allclose(
+        dev.get_autocorr_time()["model_0"],
+        host.get_autocorr_time()["model_0"],
+        rtol=1e-3,
+        atol=1e-5,
+    )
