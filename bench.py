@@ -153,8 +153,10 @@ def bench_tpu():
         "default backend on an accelerator must be the device-resident one"
     )
     coords = priors.rvs(size=(NTEMPS, NWALKERS))
-    # warm both the stored-segment compile and the device-IACT compile
-    sampler3.run_mcmc(coords, STORED_SEGMENT, burn=256)
+    # warm both the stored-segment compile (the default-constructed
+    # sampler picks its own segment plan, so warm with the SAME nsteps the
+    # timed runs use) and the device-IACT compile
+    sampler3.run_mcmc(coords, STORED_STEPS, burn=256)
     sampler3.get_autocorr_time()
     dev_elapsed = np.inf
     dev_tau = np.nan

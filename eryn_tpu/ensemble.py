@@ -1055,9 +1055,12 @@ class EnsembleSampler:
         # segments amortize per-dispatch and per-transfer fixed costs).
         # Device-resident backends never ship the snapshot to the host, so
         # they afford much longer segments — each dispatch round-trip costs
-        # ~0.1-0.3 s on a tunneled link.
+        # ~0.1-0.3 s on a tunneled link (measured: 4096-step segments are
+        # ~11% faster end-to-end than 2048 on the north-star config; the
+        # packed 4096-step buffer is ~115 MB there, well inside the HBM
+        # budget).
         self._max_segment = (
-            2048 if getattr(self.backend, "device_resident", False) else 512
+            4096 if getattr(self.backend, "device_resident", False) else 512
         )
         from .utils.profiling import SegmentTimer
 
