@@ -75,6 +75,24 @@ class GroupMove(Move):
         (ref ``group.py:88-96``).  Optional."""
         return
 
+    def choose_c_vals(self, name, s, s_inds=None, branch_supps=None):
+        """Get the complementary values (ref ``group.py:69-72``):
+        delegates to :meth:`find_friends`."""
+        return self.find_friends(
+            name, s, s_inds=s_inds, branch_supps=branch_supps
+        )
+
+    def get_proposal(self, s_all, random, gibbs_ndim=None, s_inds_all=None, **kwargs):
+        """Reference host-protocol hook (ref ``group.py:98-120``):
+        subclasses return ``(q_dict, factors)`` against the friends
+        complement.  Abstract here, exactly as in the reference."""
+        raise NotImplementedError(
+            "GroupMove subclasses implement get_proposal (legacy host "
+            "protocol) or group_proposal_kernel (traced TPU protocol)."
+        )
+
+    get_proposal.__eryn_tpu_stock__ = True
+
     # -- subclass hooks ---------------------------------------------------
     def setup_friends_kernel(self, branches_coords, branches_inds):
         raise NotImplementedError

@@ -271,15 +271,18 @@ def _compute_log_posterior(move, logl, logp):
     return np.asarray(logl) + np.asarray(logp)
 
 
-def _merge_accept(hs, q, logl, logp, blobs, accepted, subset=None):
+def _merge_accept(hs, q, logl, logp, blobs, accepted, subset=None, new_inds=None):
     """Merge accepted walkers into the host state (semantics of ref
     ``move.py:472-703``).  ``subset`` is an ``(ntemps, Ns)`` walker-index
     array when ``q``/``logl`` cover only a red/blue half; ``accepted`` is
-    always full ``(ntemps, nwalkers)``."""
+    always full ``(ntemps, nwalkers)``.  ``new_inds`` merges leaf-mask
+    flips for trans-dimensional proposals."""
     if subset is None:
         acc = accepted
         for n in hs["coords"]:
             hs["coords"][n][acc] = np.asarray(q[n])[acc]
+            if new_inds is not None and n in new_inds:
+                hs["inds"][n][acc] = np.asarray(new_inds[n])[acc]
         hs["log_like"][acc] = np.asarray(logl)[acc]
         hs["log_prior"][acc] = np.asarray(logp)[acc]
         if blobs is not None and hs["blobs"] is not None:
@@ -340,12 +343,20 @@ def _propose_mh(move, model, state):
         _cleanup_proposals_gibbs(branch_names_run, inds_run, q, hs["coords"])
         q = {n: q[n] for n in names}
 
-        logp = np.array(model.compute_log_prior_fn(q, inds=hs["inds"]))
-        _fix_logp_gibbs(branch_names_run, inds_run, logp, hs["inds"])
-        logl, new_blobs = model.compute_log_like_fn(
-            q, inds=hs["inds"], logp=logp
-        )
-        logl = np.array(logl)
+        mt_ll = move.__dict__.pop("mt_ll", None)
+        mt_lp = move.__dict__.pop("mt_lp", None)
+        if mt_ll is not None and mt_lp is not None:
+            # multiple-try moves already evaluated the chosen points
+            # (ref mh.py:133-155); no fix_logp_gibbs on this path, as in
+            # the reference
+            logl, logp, new_blobs = np.array(mt_ll), np.array(mt_lp), None
+        else:
+            logp = np.array(model.compute_log_prior_fn(q, inds=hs["inds"]))
+            _fix_logp_gibbs(branch_names_run, inds_run, logp, hs["inds"])
+            logl, new_blobs = model.compute_log_like_fn(
+                q, inds=hs["inds"], logp=logp
+            )
+            logl = np.array(logl)
         logP = _compute_log_posterior(move, logl, logp)
         prev_logP = _compute_log_posterior(
             move, hs["log_like"], hs["log_prior"]
@@ -672,10 +683,103 @@ def stretch_get_proposal(move, s_all, c_all, random, gibbs_ndim=None):
     return newpos, factors
 
 
+def _propose_rj(move, model, state):
+    """Reference RJ host protocol (ref ``rj.py:145-388``): branch-level
+    Gibbs splits, ``get_proposal -> (q, new_inds, factors)``, k-range edge
+    factors, multiple-try readouts, mask-aware accept-merge, and the
+    no-adaptation tempering epilogue."""
+    hs = _host_snapshot(state)
+    names = list(hs["coords"].keys())
+    ntemps, nwalkers = hs["log_like"].shape
+    accepted = np.zeros((ntemps, nwalkers), dtype=bool)
+    move.setup(_branches_view(hs))
+
+    for branch_names_run, inds_run in _gibbs_iterator(move, names):
+        run = [n for n in branch_names_run if n in move.nleaves_max]
+        if not run:
+            raise ValueError(
+                "No models are getting a reversible jump proposal. Check "
+                "nleaves_min and nleaves_max or do not use an rj proposal."
+            )
+        coords_in = {k: hs["coords"][k] for k in run}
+        inds_in = {k: hs["inds"][k] for k in run}
+        nlmax = {k: move.nleaves_max[k] for k in run}
+        nlmin = {k: move.nleaves_min.get(k, 0) for k in run}
+
+        move.current_model = model
+        move.current_state = state
+        q, new_inds, factors = move.get_proposal(
+            coords_in,
+            inds_in,
+            nlmin,
+            nlmax,
+            model.random,
+            branch_supps=hs["branch_supps"],
+            supps=hs["supp"],
+        )
+        q = {n: np.array(v) for n, v in q.items()}
+        new_inds = {n: np.array(v, dtype=bool) for n, v in new_inds.items()}
+        _cleanup_proposals_gibbs(branch_names_run, inds_run, q, hs["coords"])
+        for n in names:
+            if n not in q:
+                q[n] = np.array(hs["coords"][n])
+            if n not in new_inds:
+                new_inds[n] = np.array(hs["inds"][n])
+        q = {n: q[n] for n in names}
+        new_inds = {n: new_inds[n] for n in names}
+
+        # k-range edge factors (ref rj.py:228-271)
+        edge = np.zeros((ntemps, nwalkers))
+        log_half = np.log(0.5)
+        for n in run:
+            nmax, nmin = nlmax[n], nlmin[n]
+            if nmin > nmax:
+                raise ValueError(
+                    "nleaves_min cannot be greater than nleaves_max."
+                )
+            if nmin == nmax or nmin + 1 == nmax:
+                continue
+            old_n = hs["inds"][n].sum(axis=-1)
+            new_n = new_inds[n].sum(axis=-1)
+            edge += np.where(old_n == nmin, log_half, 0.0)
+            edge += np.where(old_n == nmax, log_half, 0.0)
+            edge -= np.where(new_n == nmin, log_half, 0.0)
+            edge -= np.where(new_n == nmax, log_half, 0.0)
+        factors = np.asarray(factors, dtype=float) + edge
+
+        # multiple-try readouts supersede recomputation (ref rj.py:297-315)
+        mt_lp = move.__dict__.pop("mt_lp", None)
+        mt_ll = move.__dict__.pop("mt_ll", None)
+        if mt_lp is not None:
+            logp = np.array(mt_lp).reshape(ntemps, nwalkers)
+        else:
+            logp = np.array(model.compute_log_prior_fn(q, inds=new_inds))
+        _fix_logp_gibbs(branch_names_run, inds_run, logp, new_inds)
+        if mt_ll is not None:
+            logl, new_blobs = np.array(mt_ll).reshape(ntemps, nwalkers), None
+        else:
+            logl, new_blobs = model.compute_log_like_fn(
+                q, inds=new_inds, logp=logp
+            )
+            logl = np.array(logl)
+
+        logP = _compute_log_posterior(move, logl, logp)
+        prev_logP = _compute_log_posterior(
+            move, hs["log_like"], hs["log_prior"]
+        )
+        lnpdiff = factors + logP - prev_logP
+        acc = lnpdiff > np.log(model.random.rand(ntemps, nwalkers))
+        _merge_accept(hs, q, logl, logp, new_blobs, acc, new_inds=new_inds)
+        accepted |= acc
+
+    return _finish(move, model, hs, accepted)
+
+
 _FAMILIES = {
     "mh": _propose_mh,
     "redblue": _propose_redblue,
     "group": _propose_group,
+    "rj": _propose_rj,
 }
 
 

@@ -35,11 +35,140 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
             generate_dist = {"model_0": generate_dist}
         self.generate_dist = generate_dist
         self.num_try = int(num_try)
+        # host-protocol flags (MultipleTryMove contract; ref
+        # multipletry.py:84-107 — rj forbids symmetric/independent)
+        self.independent = False
+        self.symmetric = False
+        self.mt_rj = True
         super().__init__(*args, **kwargs)
+        # reference-style custom MT-RJ subclasses override the special_*
+        # host hooks; they run through the legacy host bridge (RJ family)
+        from .move import overrides_host_api
+
+        if any(
+            overrides_host_api(self, hook)
+            for hook in (
+                "special_like_func",
+                "special_prior_func",
+                "special_generate_func",
+                "special_generate_logpdf",
+            )
+        ):
+            self.host_move = True
+            self._legacy_family = "rj"
 
     def run_branches(self, state):
         names = super().run_branches(state)
         return [n for n in names if n in self.generate_dist]
+
+    # ------------------------------------------------------------------
+    # reference host protocol (ref mtdistgenrj.py:29-190): the MT driver
+    # methods are shared with the in-model classes (same function objects,
+    # mirroring the reference's multiple inheritance from
+    # MultipleTryMoveRJ); the dist-backed special_* hooks below provide
+    # the RJ variants
+    # ------------------------------------------------------------------
+    from .distgenrj import DistributionGenerateRJ as _DGRJ
+    from .multipletry import MultipleTryMove as _MT, MultipleTryMoveRJ as _MTRJ
+
+    get_mt_log_posterior = _MT.get_mt_log_posterior
+    readout_adjustment = _MT.readout_adjustment
+    get_mt_proposal = _MT.get_mt_proposal
+    get_proposal = _MTRJ.get_proposal
+    get_model_change_proposal = _DGRJ.get_model_change_proposal
+    del _MT, _MTRJ, _DGRJ
+
+    def special_generate_logpdf(self, generated_coords):
+        """Proposal logpdf under the branch's distribution
+        (ref ``mtdistgenrj.py:29-38``)."""
+        import numpy as np
+
+        return np.asarray(
+            self.generate_dist[self.key_in].logpdf(generated_coords)
+        )
+
+    special_generate_logpdf.__eryn_tpu_stock__ = True
+
+    def special_generate_func(
+        self, coords, random, size=1, fill_tuple=None, fill_values=None, **kwargs
+    ):
+        """Draw ``size`` tries per walker; reverse (death) walkers get the
+        removed leaf filled into try slot 0 via ``fill_tuple``
+        (ref ``mtdistgenrj.py:41-78``)."""
+        import numpy as np
+
+        nwalkers = coords.shape[0]
+        if not isinstance(size, int):
+            raise ValueError("size must be an int.")
+        generated_coords = np.asarray(
+            self.generate_dist[self.key_in].rvs(size=(nwalkers, size))
+        )
+        if fill_values is not None:
+            generated_coords[fill_tuple] = fill_values
+        generated_logpdf = self.special_generate_logpdf(
+            generated_coords.reshape(nwalkers * size, -1)
+        ).reshape(nwalkers, size)
+        return generated_coords, generated_logpdf
+
+    special_generate_func.__eryn_tpu_stock__ = True
+
+    def set_coords_and_inds(self, generated_coords, inds_leaves_rj=None):
+        """Full coords/inds dicts for evaluating the flattened tries: each
+    walker repeated ``num_try`` times with the changing leaf replaced by
+        the generated try and its mask forced on
+        (ref ``mtdistgenrj.py:80-152``, vectorized)."""
+        import numpy as np
+
+        st = self.current_state
+        bc = np.asarray(st.branches[self.key_in].coords)
+        bi = np.asarray(st.branches[self.key_in].inds)
+        nl, nd = bc.shape[-2:]
+        flat_c = bc.reshape(-1, nl, nd)
+        flat_i = bi.reshape(-1, nl)
+        n_all = flat_c.shape[0]
+        coords_in = np.repeat(flat_c, self.num_try, axis=0)
+        inds_in = np.repeat(flat_i, self.num_try, axis=0)
+        rows = np.arange(n_all * self.num_try)
+        leaves = np.repeat(np.asarray(inds_leaves_rj, dtype=int), self.num_try)
+        coords_in[rows, leaves] = np.asarray(generated_coords).reshape(-1, nd)
+        inds_in[rows, leaves] = True
+        coords_dict = {self.key_in: coords_in[None]}
+        inds_dict = {self.key_in: inds_in[None]}
+        for key, branch in st.branches.items():
+            if key == self.key_in:
+                continue
+            okc = np.asarray(branch.coords).reshape((-1,) + branch.shape[-2:])
+            oki = np.asarray(branch.inds).reshape(-1, branch.shape[-2])
+            coords_dict[key] = np.repeat(okc, self.num_try, axis=0)[None]
+            inds_dict[key] = np.repeat(oki, self.num_try, axis=0)[None]
+        return coords_dict, inds_dict
+
+    set_coords_and_inds.__eryn_tpu_stock__ = True
+
+    def special_like_func(self, generated_coords, inds_leaves_rj=None, **kwargs):
+        """Likelihood per try with the changing leaf swapped in
+        (ref ``mtdistgenrj.py:154-171``)."""
+        import numpy as np
+
+        coords_in, inds_in = self.set_coords_and_inds(
+            generated_coords, inds_leaves_rj=inds_leaves_rj
+        )
+        ll = self.current_model.compute_log_like_fn(coords_in, inds=inds_in)[0]
+        return np.asarray(ll)[0].reshape(-1, self.num_try)
+
+    special_like_func.__eryn_tpu_stock__ = True
+
+    def special_prior_func(self, generated_coords, inds_leaves_rj=None, **kwargs):
+        """Prior per try (ref ``mtdistgenrj.py:173-190``)."""
+        import numpy as np
+
+        coords_in, inds_in = self.set_coords_and_inds(
+            generated_coords, inds_leaves_rj=inds_leaves_rj
+        )
+        lp = self.current_model.compute_log_prior_fn(coords_in, inds=inds_in)
+        return np.asarray(lp).reshape(-1, self.num_try)
+
+    special_prior_func.__eryn_tpu_stock__ = True
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         names = [

@@ -211,6 +211,334 @@ class MultipleTryMove(Move):
     def _current_target_coords(self, state):
         raise NotImplementedError
 
+    # ------------------------------------------------------------------
+    # reference host protocol (the public custom-MT API; reference custom
+    # moves override the ``special_*`` hooks and the stock
+    # ``get_mt_proposal`` drives them — ref ``multipletry.py:113-505``).
+    # Host NumPy; the compiled sampler path uses the ``*_kernel`` hooks
+    # above instead.
+    # ------------------------------------------------------------------
+    def special_like_func(
+        self, generated_coords, *args, inds_leaves_rj=None, **kwargs
+    ):
+        """Likelihood per try, ``(nbatch, num_try)`` (ref
+        ``multipletry.py:113-134``).  Abstract, as in the reference."""
+        raise NotImplementedError
+
+    special_like_func.__eryn_tpu_stock__ = True
+
+    def special_prior_func(self, generated_coords, *args, **kwargs):
+        """Prior per try (ref ``multipletry.py:135-156``)."""
+        raise NotImplementedError
+
+    special_prior_func.__eryn_tpu_stock__ = True
+
+    def special_generate_func(
+        self, coords, random, size=1, *args, fill_tuple=None,
+        fill_values=None, **kwargs
+    ):
+        """Draw tries + their proposal logpdf (ref
+        ``multipletry.py:157-185``)."""
+        raise NotImplementedError
+
+    special_generate_func.__eryn_tpu_stock__ = True
+
+    def special_generate_logpdf(self, coords):
+        """Proposal logpdf of ``coords`` (ref ``multipletry.py:186-199``)."""
+        raise NotImplementedError
+
+    special_generate_logpdf.__eryn_tpu_stock__ = True
+
+    def get_mt_log_posterior(self, ll, lp, betas=None):
+        """Tempered try posterior (ref ``multipletry.py:200-224``)."""
+        import numpy as np
+
+        ll = np.asarray(ll)
+        if betas is not None:
+            betas = np.asarray(betas)
+            ll = (
+                betas[..., None] * ll if ll.ndim > betas.ndim else betas * ll
+            )
+        return ll + np.asarray(lp)
+
+    def readout_adjustment(self, out_vals, all_vals_prop, aux_all_vals):
+        """User hook to read proposal internals (ref
+        ``multipletry.py:225-237``)."""
+        pass
+
+    def get_mt_proposal(
+        self,
+        coords,
+        random,
+        args_generate=(),
+        kwargs_generate={},
+        args_like=(),
+        kwargs_like={},
+        args_prior=(),
+        kwargs_prior={},
+        betas=None,
+        ll_in=None,
+        lp_in=None,
+        inds_leaves_rj=None,
+        inds_reverse_rj=None,
+    ):
+        """Host multiple-try proposal over flat independent walkers
+        (reference public API, ref ``multipletry.py:238-505``): generate
+        ``num_try`` candidates per walker through the ``special_*`` hooks,
+        importance-select one, build the auxiliary reference set
+        (independent / rj-nested / regenerated), and return
+        ``(chosen points, factors)``.  Sets ``self.mt_ll`` / ``self.mt_lp``
+        and the reference's readout attributes.
+
+        Deviation from the reference (documented): in the regenerated
+        (non-independent, non-symmetric, non-rj) branch the reference
+        subtracts an undefined ``aux_log_proposal_pdf_sub`` (NameError at
+        ``multipletry.py:460``); the correct quantity — and what this
+        implementation uses — is the auxiliary set's own proposal logpdf.
+        """
+        import warnings
+
+        import numpy as np
+
+        rj = getattr(self, "mt_rj", False) or getattr(self, "rj", False)
+        if rj:
+            if (
+                ll_in is None
+                or lp_in is None
+                or inds_leaves_rj is None
+                or inds_reverse_rj is None
+            ):
+                raise ValueError(
+                    "If using rj, must provide ll_in, lp_in, "
+                    "inds_leaves_rj, and inds_reverse_rj."
+                )
+            fill_tuple = (inds_reverse_rj, np.zeros_like(inds_reverse_rj))
+            fill_values = coords[inds_reverse_rj]
+        else:
+            fill_tuple = None
+            fill_values = None
+
+        generated_points, log_proposal_pdf = self.special_generate_func(
+            coords,
+            random,
+            *args_generate,
+            size=self.num_try,
+            fill_values=fill_values,
+            fill_tuple=fill_tuple,
+            **kwargs_generate,
+        )
+        generated_points = np.asarray(generated_points)
+        log_proposal_pdf = np.asarray(log_proposal_pdf, dtype=np.float64)
+
+        ll = np.asarray(
+            self.special_like_func(
+                generated_points,
+                *args_like,
+                inds_leaves_rj=inds_leaves_rj,
+                **kwargs_like,
+            ),
+            dtype=np.float64,
+        )
+        if np.any(np.isnan(ll)):
+            warnings.warn("Getting nans for ll in multiple try.")
+            ll[np.isnan(ll)] = -1e300
+
+        lp = np.asarray(
+            self.special_prior_func(
+                generated_points,
+                *args_prior,
+                inds_leaves_rj=inds_leaves_rj,
+                **kwargs_prior,
+            ),
+            dtype=np.float64,
+        )
+
+        if rj:
+            # proposal density for already-existing leaves is their prior,
+            # cancelling prior-vs-proposal outside (ref multipletry.py:352)
+            log_proposal_pdf = log_proposal_pdf + lp_in[:, None]
+
+        logP = self.get_mt_log_posterior(ll, lp, betas=betas)
+
+        (
+            log_importance_weights,
+            log_sum_weights,
+            inds_keep,
+        ) = get_mt_computations(
+            logP, log_proposal_pdf, symmetric=self.symmetric
+        )
+        inds_keep = np.asarray(inds_keep)
+        if rj:
+            inds_keep[np.asarray(inds_reverse_rj)] = 0
+        inds_tuple = (np.arange(len(inds_keep)), inds_keep)
+
+        lp_out = lp[inds_tuple]
+        ll_out = ll[inds_tuple]
+        logP_out = logP[inds_tuple]
+        self.mt_lp = lp_out
+        self.mt_ll = ll_out
+        generated_points_out = generated_points[inds_tuple].copy()
+        log_proposal_pdf_out = log_proposal_pdf[inds_tuple]
+
+        if self.independent:
+            # tries are reusable; substitute the current point into the
+            # chosen slot (ref multipletry.py:380-419)
+            aux_ll = ll.copy()
+            aux_lp = lp.copy()
+            aux_log_proposal_pdf_sub = np.asarray(
+                self.special_generate_logpdf(coords)
+            )
+            if ll_in is None or lp_in is None:
+                raise ValueError(
+                    "independent=True requires ll_in and lp_in (the "
+                    "current points' Likelihood/prior)."
+                )
+            aux_ll[inds_tuple] = np.asarray(ll_in)
+            aux_lp[inds_tuple] = np.asarray(lp_in)
+            aux_logP = self.get_mt_log_posterior(aux_ll, aux_lp, betas=betas)
+            aux_log_proposal_pdf = log_proposal_pdf.copy()
+            aux_log_proposal_pdf[inds_tuple] = aux_log_proposal_pdf_sub
+            aux_log_importance_weights = aux_logP - aux_log_proposal_pdf
+        elif rj:
+            # reference set = repeats of the one-less-leaf model
+            # (ref multipletry.py:421-433)
+            aux_ll = np.repeat(np.asarray(ll_in)[:, None], self.num_try, -1)
+            aux_lp = np.repeat(np.asarray(lp_in)[:, None], self.num_try, -1)
+            aux_log_proposal_pdf = aux_lp.copy()
+            aux_logP = self.get_mt_log_posterior(aux_ll, aux_lp, betas=betas)
+            aux_log_importance_weights = aux_logP - aux_log_proposal_pdf
+        else:
+            # regenerate the reference set anchored on the chosen points
+            # (ref multipletry.py:435-463; NameError fixed, see docstring)
+            (
+                aux_generated_points,
+                aux_log_proposal_pdf,
+            ) = self.special_generate_func(
+                generated_points_out,
+                random,
+                *args_generate,
+                size=self.num_try,
+                fill_tuple=inds_tuple,
+                fill_values=generated_points_out,
+                **kwargs_generate,
+            )
+            aux_ll = np.asarray(
+                self.special_like_func(
+                    np.asarray(aux_generated_points), *args_like, **kwargs_like
+                ),
+                dtype=np.float64,
+            )
+            aux_lp = np.asarray(
+                self.special_prior_func(np.asarray(aux_generated_points)),
+                dtype=np.float64,
+            )
+            aux_log_proposal_pdf = np.asarray(
+                aux_log_proposal_pdf, dtype=np.float64
+            )
+            aux_logP = self.get_mt_log_posterior(aux_ll, aux_lp, betas=betas)
+            if not self.symmetric:
+                aux_log_importance_weights = aux_logP - aux_log_proposal_pdf
+            else:
+                aux_log_importance_weights = aux_logP
+
+        aux_logP_out = aux_logP[inds_tuple]
+        max_aux = np.max(aux_log_importance_weights, axis=-1)
+        aux_log_sum_weights = max_aux + np.log(
+            np.exp(aux_log_importance_weights - max_aux[:, None]).sum(-1)
+        )
+        aux_log_proposal_pdf_out = aux_log_proposal_pdf[inds_tuple]
+
+        # lnpdiff = factors + logP_out - aux_logP_out reduces to the weight
+        # sum ratio (ref multipletry.py:466-476)
+        factors = (aux_logP_out - aux_log_sum_weights) - (
+            logP_out - log_sum_weights
+        )
+
+        if rj:
+            inds_reverse_rj = np.asarray(inds_reverse_rj)
+            factors[inds_reverse_rj] *= -1
+            self.mt_ll[inds_reverse_rj] = np.asarray(ll_in)[inds_reverse_rj]
+            self.mt_lp[inds_reverse_rj] = np.asarray(lp_in)[inds_reverse_rj]
+            self.inds_reverse_rj = inds_reverse_rj
+            self.inds_forward_rj = np.delete(
+                np.arange(coords.shape[0]), inds_reverse_rj
+            )
+
+        self.aux_logP_out = aux_logP_out
+        self.logP_out = logP_out
+        self.aux_ll = aux_ll
+        self.aux_lp = aux_lp
+        self.log_sum_weights = log_sum_weights
+        self.aux_log_sum_weights = aux_log_sum_weights
+
+        self.readout_adjustment(
+            [logP_out, ll_out, lp_out, log_proposal_pdf_out, log_sum_weights],
+            [logP, ll, lp, log_proposal_pdf, log_sum_weights],
+            [
+                aux_logP,
+                aux_ll,
+                aux_lp,
+                aux_log_proposal_pdf,
+                aux_log_sum_weights,
+            ],
+        )
+        return generated_points_out, factors
+
+    def get_proposal(self, branches_coords, random, branches_inds=None, **kwargs):
+        """Host MT proposal with the reference's MH-protocol signature
+        (ref ``multipletry.py:516-594``): flatten walkers, run
+        :meth:`get_mt_proposal`, reshape; sets ``self.mt_ll`` /
+        ``self.mt_lp`` for the bridge to reuse."""
+        import numpy as np
+
+        if len(branches_coords) > 1:
+            raise ValueError(
+                "Can only propose change to one model at a time with MT."
+            )
+        key_in = list(branches_coords.keys())[0]
+        self.key_in = key_in
+        if branches_inds is None:
+            branches_inds = {
+                key_in: np.ones(
+                    branches_coords[key_in].shape[:-1], dtype=bool
+                )
+            }
+        if np.any(branches_inds[key_in].sum(axis=-1) > 1):
+            raise ValueError(
+                "MT base proposals require exactly one active leaf."
+            )
+        ntemps, nwalkers = branches_coords[key_in].shape[:2]
+        nl = branches_coords[key_in].shape[2]
+        m = branches_inds[key_in]
+        betas_here = None
+        if self.temperature_control is not None:
+            betas_here = np.repeat(
+                np.asarray(self.temperature_control.betas)[:, None],
+                nwalkers * nl,
+            ).reshape(m.shape)[m]
+        ll_here = np.repeat(
+            np.asarray(self.current_state.log_like)[:, :, None], nl, axis=-1
+        )[m]
+        lp_here = np.repeat(
+            np.asarray(self.current_state.log_prior)[:, :, None], nl, axis=-1
+        )[m]
+
+        generated_points, factors = self.get_mt_proposal(
+            np.asarray(branches_coords[key_in])[m],
+            random,
+            betas=betas_here,
+            ll_in=ll_here,
+            lp_in=lp_here,
+        )
+        self.mt_ll = self.mt_ll.reshape(ntemps, nwalkers)
+        self.mt_lp = self.mt_lp.reshape(ntemps, nwalkers)
+        return (
+            {key_in: generated_points.reshape(ntemps, nwalkers, 1, -1)},
+            factors.reshape(ntemps, nwalkers),
+        )
+
+    get_proposal.__eryn_tpu_stock__ = True
+
 
 class MultipleTryMoveRJ(MultipleTryMove):
     """Generic nested-RJ multiple-try mixin (ref ``multipletry.py:597-776``);
@@ -231,3 +559,135 @@ class MultipleTryMoveRJ(MultipleTryMove):
             "subclass MTDistGenMoveRJ or adapt its _propose_impl rather "
             "than calling the in-model mt_select_kernel."
         )
+
+    def get_proposal(
+        self,
+        branches_coords,
+        branches_inds,
+        nleaves_min_all,
+        nleaves_max_all,
+        random,
+        **kwargs,
+    ):
+        """Host RJ multiple-try proposal with the reference's RJ-protocol
+        signature (ref ``multipletry.py:598-776``): one branch, +1/-1 leaf
+        changes from :meth:`get_model_change_proposal`, death proposals
+        treated as inverted birth tries (the removed leaf fills try slot
+        0), and the one-less-leaf model as the auxiliary base.  Returns
+        ``(q, new_inds, factors)``; sets ``self.mt_ll`` / ``self.mt_lp``.
+
+        Deviation from the reference (documented): the reverse walkers'
+        one-less-leaf Likelihood call passes the REVERSE walkers' priors
+        (the reference passes the full-ensemble ``lp_here``, whose shape
+        cannot match its subset batch — ``multipletry.py:744``)."""
+        import numpy as np
+
+        if len(branches_coords) > 1:
+            raise ValueError(
+                "Can only propose change to one model at a time with MT."
+            )
+        key_in = list(branches_coords.keys())[0]
+        self.key_in = key_in
+        if branches_inds is None:
+            raise ValueError("In MT RJ proposal, branches_inds cannot be None.")
+
+        coords_b = np.asarray(branches_coords[key_in])
+        inds_b = np.asarray(branches_inds[key_in], dtype=bool)
+        ntemps, nwalkers, nleaves_max, ndim = coords_b.shape
+
+        betas_here = None
+        if self.temperature_control is not None:
+            betas_here = np.repeat(
+                np.asarray(self.temperature_control.betas)[:, None],
+                nwalkers,
+                axis=-1,
+            ).flatten()
+        ll_here = np.array(self.current_state.log_like, dtype=float).flatten()
+        lp_here = np.array(self.current_state.log_prior, dtype=float).flatten()
+
+        nleaves_min = nleaves_min_all[key_in]
+        nleaves_max_v = nleaves_max_all[key_in]
+        if nleaves_min == nleaves_max_v:
+            raise ValueError(
+                "MT RJ proposal requires that nleaves_min != nleaves_max."
+            )
+        if nleaves_min > nleaves_max_v:
+            raise ValueError(
+                "nleaves_min is greater than nleaves_max. Not allowed."
+            )
+
+        all_inds_for_change = self.get_model_change_proposal(
+            inds_b, random, nleaves_min, nleaves_max_v
+        )
+
+        inds_leaves_rj = np.zeros(ntemps * nwalkers, dtype=int)
+        coords_in = np.zeros((ntemps * nwalkers, ndim))
+        inds_reverse_rj = None
+        new_inds = {n: np.array(v) for n, v in branches_inds.items()}
+        q = {n: np.array(v) for n, v in branches_coords.items()}
+        for change, idx in all_inds_for_change.items():
+            if change not in ("+1", "-1"):
+                raise ValueError("MT RJ is only implemented for +1/-1 moves.")
+            t_i, w_i, l_i = idx[:, 0], idx[:, 1], idx[:, 2]
+            inds_leaves_rj[t_i * nwalkers + w_i] = l_i
+            coords_in[t_i * nwalkers + w_i] = coords_b[(t_i, w_i, l_i)]
+            new_inds[key_in][(t_i, w_i, l_i)] = change == "+1"
+            if change == "-1":
+                inds_reverse_rj = t_i * nwalkers + w_i
+
+        if inds_reverse_rj is not None and inds_reverse_rj.size:
+            # Likelihood/prior of the one-less-leaf model for the removers
+            # (their mask already has the leaf off in new_inds)
+            rev_coords = {}
+            rev_inds = {}
+            for key, branch in self.current_state.branches.items():
+                bc = np.asarray(branch.coords)
+                nl_k, nd_k = bc.shape[-2:]
+                rev_coords[key] = bc.reshape(-1, nl_k, nd_k)[inds_reverse_rj][
+                    None, :
+                ]
+                im = (
+                    new_inds[key]
+                    if key == key_in
+                    else np.asarray(branch.inds)
+                )
+                rev_inds[key] = im.reshape(-1, nl_k)[inds_reverse_rj][None, :]
+            lp_rev = np.asarray(
+                self.current_model.compute_log_prior_fn(
+                    rev_coords, inds=rev_inds
+                )
+            )[0]
+            ll_rev = np.asarray(
+                self.current_model.compute_log_like_fn(
+                    rev_coords, inds=rev_inds, logp=lp_rev[None, :]
+                )[0]
+            )[0]
+            ll_here[inds_reverse_rj] = ll_rev
+            lp_here[inds_reverse_rj] = lp_rev
+        elif inds_reverse_rj is None:
+            inds_reverse_rj = np.array([], dtype=int)
+
+        generated_points, factors = self.get_mt_proposal(
+            coords_in,
+            random,
+            betas=betas_here,
+            ll_in=ll_here,
+            lp_in=lp_here,
+            inds_leaves_rj=inds_leaves_rj,
+            inds_reverse_rj=inds_reverse_rj,
+        )
+
+        self.mt_ll = self.mt_ll.reshape(ntemps, nwalkers)
+        self.mt_lp = self.mt_lp.reshape(ntemps, nwalkers)
+
+        inds_forward_rj = np.delete(
+            np.arange(coords_in.shape[0]), inds_reverse_rj
+        )
+        add = all_inds_for_change.get("+1")
+        if add is not None and add.size:
+            t_i, w_i, l_i = add[:, 0], add[:, 1], add[:, 2]
+            q[key_in][(t_i, w_i, l_i)] = generated_points[inds_forward_rj]
+
+        return q, new_inds, np.asarray(factors).reshape(ntemps, nwalkers)
+
+    get_proposal.__eryn_tpu_stock__ = True

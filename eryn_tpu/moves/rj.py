@@ -99,6 +99,38 @@ class ReversibleJumpMove(Move):
         self.fix_change = fix_change
         self.dr = dr
         self.dr_max_iter = dr_max_iter
+        # reference-style custom RJ subclasses implement the host
+        # ``get_proposal`` / ``get_model_change_proposal`` protocol
+        # (ref rj.py:87-143); they run through the legacy host bridge
+        from .move import overrides_host_api
+
+        if overrides_host_api(self, "get_proposal") or overrides_host_api(
+            self, "get_model_change_proposal"
+        ):
+            self.host_move = True
+            self._legacy_family = "rj"
+
+    def get_proposal(
+        self, all_coords, all_inds, nleaves_min_all, nleaves_max_all, random, **kwargs
+    ):
+        """Reference host-protocol hook (ref ``rj.py:87-120``): subclasses
+        return ``(q, new_inds, factors)``.  Abstract here, exactly as in
+        the reference — a subclass defining it runs through the legacy
+        host bridge."""
+        raise NotImplementedError(
+            "ReversibleJumpMove subclasses implement get_proposal (legacy "
+            "host protocol) or get_proposal_kernel (traced TPU protocol)."
+        )
+
+    get_proposal.__eryn_tpu_stock__ = True
+
+    def get_model_change_proposal(self, inds, random, nleaves_min, nleaves_max):
+        """Reference host-protocol helper (ref ``rj.py:122-143``): pick
+        birth/death slots per walker.  Abstract here, as in the
+        reference."""
+        raise NotImplementedError
+
+    get_model_change_proposal.__eryn_tpu_stock__ = True
 
     def get_proposal_kernel(self, key, name, coords, inds):
         raise NotImplementedError

@@ -315,3 +315,190 @@ def test_legacy_mixed_with_builtin_moves():
     assert abs(ch.std() - 1.0) < 0.25
     for m in s.moves:
         assert m.num_proposals > 0  # both moves actually ran
+
+
+def test_legacy_mt_custom_special_like_func():
+    """Reference custom-MT protocol: a subclass overriding special_*
+    host hooks (ref multipletry.py:113-199) runs through the host bridge,
+    with the stock get_proposal/get_mt_proposal driving the hooks; the
+    chain recovers the (modified) target."""
+    from eryn_tpu.moves import MTDistGenMove
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    calls = {"like": 0, "prior": 0}
+
+    class MyMT(MTDistGenMove):
+        # override the Likelihood hook: sharpen the target (sigma = 0.5)
+        def special_like_func(self, generated_coords, **kwargs):
+            calls["like"] += 1
+            pts = np.asarray(generated_coords)
+            return (-0.5 * np.sum((pts / 0.5) ** 2, axis=-1)).reshape(
+                -1, self.num_try
+            )
+
+        def special_prior_func(self, generated_coords, **kwargs):
+            calls["prior"] += 1
+            pts = np.asarray(generated_coords)
+            inside = np.all(np.abs(pts) < 5.0, axis=-1)
+            return np.where(inside, -np.log(10.0) * NDIM, -np.inf).reshape(
+                -1, self.num_try
+            )
+
+    gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+    move = MyMT(gen, num_try=8, independent=True)
+    assert move.host_move and move._legacy_family == "mh"
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(), moves=move, seed=7
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 250, burn=100)
+    assert calls["like"] > 0 and calls["prior"] > 0
+    ch = np.asarray(s.get_chain()["model_0"])[100:]
+    # the OVERRIDDEN likelihood (sigma=0.5) governs the posterior
+    assert abs(ch.mean()) < 0.15
+    assert abs(ch.std() - 0.5) < 0.15
+    acc = s.acceptance_fraction.mean()
+    assert 0.05 < acc <= 1.0
+
+
+def test_stock_mtdistgen_not_host_move():
+    """The stock MTDistGenMove (kernel path) must NOT be classified as a
+    legacy host move — only user overrides of the special_* hooks are."""
+    from eryn_tpu.moves import MTDistGenMove
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+    move = MTDistGenMove(gen, num_try=4, independent=True)
+    assert not move.host_move
+
+
+def test_mt_host_get_proposal_matches_kernel_statistics():
+    """The stock host get_proposal (reference protocol) and the compiled
+    kernel path sample the same posterior."""
+    from eryn_tpu.moves import MTDistGenMove
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+
+    class ForcedHostMT(MTDistGenMove):
+        # no hook overrides: force host mode explicitly to exercise the
+        # stock host protocol end-to-end
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.host_move = True
+            self._legacy_family = "mh"
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s_host = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(),
+            moves=ForcedHostMT(gen, num_try=6, independent=True), seed=11,
+        )
+    s_host.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 250, burn=100)
+    ch_h = np.asarray(s_host.get_chain()["model_0"])[100:]
+
+    s_kern = EnsembleSampler(
+        NWALKERS, NDIM, log_like, _priors(),
+        moves=MTDistGenMove(gen, num_try=6, independent=True), seed=11,
+    )
+    s_kern.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 250, burn=100)
+    ch_k = np.asarray(s_kern.get_chain()["model_0"])[100:]
+
+    # same unit-Gaussian target from both protocols
+    assert abs(ch_h.mean() - ch_k.mean()) < 0.2
+    assert abs(ch_h.std() - ch_k.std()) < 0.2
+    assert abs(ch_h.std() - 1.0) < 0.2
+
+
+def test_legacy_rj_custom_protocol():
+    """Reference custom-RJ protocol (ref rj.py:87-143): a subclass
+    overriding get_model_change_proposal runs through the host bridge;
+    with a flat likelihood the k-posterior is uniform over the allowed
+    leaf counts (sharp test of the factors + edge factors)."""
+    from eryn_tpu.moves import DistributionGenerateRJ
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    calls = {"n": 0}
+
+    class MyRJ(DistributionGenerateRJ):
+        def get_model_change_proposal(self, inds, random, nmin, nmax):
+            calls["n"] += 1
+            return super().get_model_change_proposal(inds, random, nmin, nmax)
+
+    pr = ProbDistContainer({0: uniform_dist(-3, 3), 1: uniform_dist(-3, 3)})
+    move = MyRJ({"model_0": pr}, nleaves_max={"model_0": 2},
+                nleaves_min={"model_0": 0})
+    assert move.host_move and move._legacy_family == "rj"
+
+    def flat_ll(coords, inds):
+        return jnp.zeros(())
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, {"model_0": 2}, flat_ll, {"model_0": pr},
+            nleaves_max={"model_0": 2}, nleaves_min={"model_0": 0},
+            rj_moves=move, fill_zero_leaves_val=0.0, seed=17,
+        )
+    coords = {"model_0": pr.rvs(size=(1, NWALKERS, 2))}
+    inds = {"model_0": np.random.default_rng(0).random((1, NWALKERS, 2)) < 0.5}
+    from eryn_tpu import State
+    s.run_mcmc(State(coords, inds=inds), 400, burn=100)
+    assert calls["n"] > 0
+    k = np.asarray(s.get_inds()["model_0"]).sum(axis=-1).ravel()
+    freqs = np.array([(k == i).mean() for i in range(3)])
+    # flat likelihood + prior rebirth => uniform over k in {0, 1, 2}
+    assert np.all(np.abs(freqs - 1 / 3) < 0.1), freqs
+
+
+def test_stock_distgenrj_not_host_move():
+    from eryn_tpu.moves import DistributionGenerateRJ
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    pr = ProbDistContainer({0: uniform_dist(-3, 3)})
+    move = DistributionGenerateRJ(
+        {"model_0": pr}, nleaves_max={"model_0": 2},
+        nleaves_min={"model_0": 0},
+    )
+    assert not move.host_move
+
+
+def test_legacy_mt_rj_custom_special_like_func():
+    """Reference custom MT-RJ protocol: a subclass overriding the
+    special_* hooks runs through the RJ host bridge (death-try inversion,
+    one-less-leaf auxiliary base); with a flat likelihood the k-posterior
+    is uniform over the allowed leaf counts."""
+    from eryn_tpu.moves import MTDistGenMoveRJ
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    calls = {"like": 0}
+
+    class MyMTRJ(MTDistGenMoveRJ):
+        def special_like_func(self, generated_coords, inds_leaves_rj=None, **kw):
+            calls["like"] += 1
+            # flat likelihood regardless of coords
+            return np.zeros(
+                (np.asarray(generated_coords).shape[0], self.num_try)
+            )
+
+    pr = ProbDistContainer({0: uniform_dist(-3, 3), 1: uniform_dist(-3, 3)})
+    move = MyMTRJ({"model_0": pr}, nleaves_max={"model_0": 2},
+                  nleaves_min={"model_0": 0}, num_try=4)
+    assert move.host_move and move._legacy_family == "rj"
+
+    def flat_ll(coords, inds):
+        return jnp.zeros(())
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, {"model_0": 2}, flat_ll, {"model_0": pr},
+            nleaves_max={"model_0": 2}, nleaves_min={"model_0": 0},
+            rj_moves=move, fill_zero_leaves_val=0.0, seed=29,
+        )
+    coords = {"model_0": pr.rvs(size=(1, NWALKERS, 2))}
+    inds = {"model_0": np.random.default_rng(1).random((1, NWALKERS, 2)) < 0.5}
+    from eryn_tpu import State
+    s.run_mcmc(State(coords, inds=inds), 400, burn=100)
+    assert calls["like"] > 0
+    k = np.asarray(s.get_inds()["model_0"]).sum(axis=-1).ravel()
+    freqs = np.array([(k == i).mean() for i in range(3)])
+    assert np.all(np.abs(freqs - 1 / 3) < 0.1), freqs
