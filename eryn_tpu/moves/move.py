@@ -100,6 +100,13 @@ class Move:
         self.prevent_swaps = prevent_swaps
         self.skip_supp_names_update = list(skip_supp_names_update)
         self.proposal_branch_names = proposal_branch_names
+        # a reference-style move that overrides propose() itself (rather
+        # than a get_proposal hook) can only run on the host — the compiled
+        # scan calls propose_kernel and would silently skip the override
+        cls_propose = type(self).propose
+        if not getattr(cls_propose, "__eryn_tpu_stock__", False):
+            self.host_move = True
+            self._legacy_family = "custom-propose"
         # API parity with the reference's device switch (ref move.py:98-111):
         # on TPU everything runs on-device under jit, so the flag is inert
         self.use_gpu = bool(kwargs.pop("use_gpu", False))
@@ -305,6 +312,9 @@ class Move:
         self.num_proposals += 1
         return state, accepted_np
 
+    # only a USER propose() override flags host mode (see __init__)
+    propose.__eryn_tpu_stock__ = True
+
     # compatibility no-ops -------------------------------------------------
     def compute_log_posterior_tempered(self, logl, logp, betas=None):
         if self.temperature_control is not None:
@@ -428,11 +438,40 @@ class Move:
             out[t_idx, w_idx] = np.asarray(new)[t_idx, s_idx]
             return out
 
+        def merge_supp(old_supp, new_supp):
+            """Accepted walkers take the new holder's array entries (ref
+            ``move.py:559-657``), skipping ``skip_supp_names_update``.
+            Host-side object holders are left to the sampler's
+            swap-tracking machinery."""
+            if old_supp is None or new_supp is None:
+                return
+            old_h = getattr(old_supp, "holder", None)
+            new_h = getattr(new_supp, "holder", None)
+            if old_h is None or new_h is None:
+                return
+            for key, new_arr in new_h.items():
+                if key in self.skip_supp_names_update or key not in old_h:
+                    continue
+                old_arr = np.array(old_h[key])
+                new_arr = np.asarray(new_arr)
+                if old_arr.shape[:2] != (ntemps, nwalkers):
+                    continue
+                old_arr[t_idx, w_idx] = new_arr[t_idx, s_idx]
+                old_h[key] = old_arr
+
         for name, b_new in new_state.branches.items():
             b_old = old_state.branches[name]
             b_old.coords = merge(b_old.coords, b_new.coords)
             if b_old.inds is not None and b_new.inds is not None:
                 b_old.inds = merge(b_old.inds, b_new.inds)
+            merge_supp(
+                getattr(b_old, "branch_supplemental", None),
+                getattr(b_new, "branch_supplemental", None),
+            )
+        merge_supp(
+            getattr(old_state, "supplemental", None),
+            getattr(new_state, "supplemental", None),
+        )
         old_state.log_like = merge(old_state.log_like, new_state.log_like)
         if old_state.log_prior is not None and new_state.log_prior is not None:
             old_state.log_prior = merge(

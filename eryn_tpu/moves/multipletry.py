@@ -388,11 +388,29 @@ class MultipleTryMove(Move):
             aux_log_proposal_pdf_sub = np.asarray(
                 self.special_generate_logpdf(coords)
             )
-            if ll_in is None or lp_in is None:
-                raise ValueError(
-                    "independent=True requires ll_in and lp_in (the "
-                    "current points' Likelihood/prior)."
-                )
+            # current points' Likelihood/prior: given directly, or through
+            # the reference's fallback hooks (ref multipletry.py:389-402
+            # names special_generate_like/special_generate_prior, which no
+            # class defines there either — here they are consulted when
+            # present, else a descriptive error replaces the AttributeError)
+            if ll_in is None:
+                if hasattr(self, "special_generate_like"):
+                    ll_in = np.asarray(self.special_generate_like(coords))
+                else:
+                    raise ValueError(
+                        "independent=True requires ll_in (or a "
+                        "special_generate_like hook) for the current "
+                        "points' Likelihood."
+                    )
+            if lp_in is None:
+                if hasattr(self, "special_generate_prior"):
+                    lp_in = np.asarray(self.special_generate_prior(coords))
+                else:
+                    raise ValueError(
+                        "independent=True requires lp_in (or a "
+                        "special_generate_prior hook) for the current "
+                        "points' prior."
+                    )
             aux_ll[inds_tuple] = np.asarray(ll_in)
             aux_lp[inds_tuple] = np.asarray(lp_in)
             aux_logP = self.get_mt_log_posterior(aux_ll, aux_lp, betas=betas)
@@ -408,8 +426,14 @@ class MultipleTryMove(Move):
             aux_logP = self.get_mt_log_posterior(aux_ll, aux_lp, betas=betas)
             aux_log_importance_weights = aux_logP - aux_log_proposal_pdf
         else:
-            # regenerate the reference set anchored on the chosen points
-            # (ref multipletry.py:435-463; NameError fixed, see docstring)
+            # regenerate the reference set anchored on the chosen points,
+            # with the CURRENT point x in the chosen slot: standard MTM
+            # (Liu, Liang & Wong 2000) draws y*_{1..k-1} ~ T(y, .) and sets
+            # y*_k = x, so aux_logP_out = logP(x) and the acceptance
+            # reduces to the weight-sum ratio.  (The reference fills the
+            # slot with y, multipletry.py:448 — combined with its undefined
+            # aux_log_proposal_pdf_sub the branch is unusable there; the
+            # fix here matches the kernel path, mt_select_kernel above.)
             (
                 aux_generated_points,
                 aux_log_proposal_pdf,
@@ -419,7 +443,7 @@ class MultipleTryMove(Move):
                 *args_generate,
                 size=self.num_try,
                 fill_tuple=inds_tuple,
-                fill_values=generated_points_out,
+                fill_values=coords,
                 **kwargs_generate,
             )
             aux_ll = np.asarray(

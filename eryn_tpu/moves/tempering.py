@@ -643,7 +643,8 @@ class TemperatureControl:
         ``i`` and ``i-1`` (reference public host API, ref
         ``tempering.py:351-482``): ``iperm_sel`` / ``i1perm_sel`` are the
         accepted walker indices at rungs ``i`` and ``i-1``; ``logP`` is
-        re-thermalized with ``dbeta = betas[i] - betas[i-1]``.  Arrays are
+        re-thermalized with ``dbeta = betas[i-1] - betas[i]`` (the
+        reference's convention, ref ``tempering.py:522``).  Arrays are
         host NumPy and mutated in place; returns the reference's 8-tuple
         ``(x, logP, logl, logp, inds, blobs, supps, branch_supps)``.
 

@@ -19,6 +19,7 @@ import time
 import warnings
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
@@ -27,13 +28,7 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 from eryn_tpu.moves import MHMove
 
-
-def _steps(n):
-    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
-    small fraction; default 1.0 = the full demonstration run)."""
-    import os
-
-    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+from _common import example_steps as _steps
 
 
 NDIM, NWALKERS = 4, 64

@@ -7,19 +7,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 
-
-def _steps(n):
-    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
-    small fraction; default 1.0 = the full demonstration run)."""
-    import os
-
-    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+from _common import example_steps as _steps
 
 
 

@@ -13,21 +13,19 @@ import numpy as np
 
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.utils.plot import PlotContainer
 
-
-def _steps(n):
-    """Scale step counts by ERYN_TPU_EXAMPLE_SCALE (CI smoke runs set a
-    small fraction; default 1.0 = the full demonstration run)."""
-    import os
-
-    return max(4, int(n * float(os.environ.get("ERYN_TPU_EXAMPLE_SCALE", "1"))))
+from _common import example_steps as _steps
 
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plots_out")
+# default to the CURRENT directory so smoke runs (cwd=tmp) stay hermetic
+OUT = os.environ.get(
+    "ERYN_TPU_EXAMPLE_OUTDIR", os.path.join(os.getcwd(), "plots_out")
+)
 
 
 def pt_gaussian():

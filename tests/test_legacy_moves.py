@@ -502,3 +502,112 @@ def test_legacy_mt_rj_custom_special_like_func():
     k = np.asarray(s.get_inds()["model_0"]).sum(axis=-1).ravel()
     freqs = np.array([(k == i).mean() for i in range(3)])
     assert np.all(np.abs(freqs - 1 / 3) < 0.1), freqs
+
+
+def test_legacy_mt_regenerated_aux_unbiased():
+    """The regenerated-auxiliary MT branch (independent=False,
+    symmetric=False — the default flags) must satisfy detailed balance:
+    the chosen auxiliary slot holds the CURRENT point, so the chain
+    samples the correct posterior.  (The reference's own version of this
+    branch dies on a NameError; before the fix this path double-counted
+    the posterior ratio.)"""
+    from eryn_tpu.moves import MTDistGenMove
+    from eryn_tpu.prior import ProbDistContainer, uniform_dist
+
+    gen = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(NDIM)})
+
+    class ForcedHostMT(MTDistGenMove):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.host_move = True
+            self._legacy_family = "mh"
+
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(),
+            moves=ForcedHostMT(gen, num_try=5), seed=31,  # default flags
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 300, burn=100)
+    ch = np.asarray(s.get_chain()["model_0"])[100:]
+    assert abs(ch.mean()) < 0.15
+    assert abs(ch.std() - 1.0) < 0.15  # double-counting would widen this
+
+
+def test_custom_propose_override_runs_on_host():
+    """A reference-style move overriding propose() itself must be detected
+    and actually driven (the compiled scan would silently skip it)."""
+    from eryn_tpu.moves import Move
+
+    calls = {"n": 0}
+
+    class MyPropose(Move):
+        def propose(self, model, state):
+            calls["n"] += 1
+            # trivial random-walk MH written against the reference API
+            q = {
+                n: np.asarray(c) + 0.5 * model.random.randn(*np.asarray(c).shape)
+                for n, c in state.branches_coords.items()
+            }
+            logp = np.asarray(model.compute_log_prior_fn(q, inds=state.branches_inds))
+            logl, _ = model.compute_log_like_fn(q, inds=state.branches_inds, logp=logp)
+            logl = np.asarray(logl)
+            logP = logl + logp
+            prev = np.asarray(state.log_like) + np.asarray(state.log_prior)
+            acc = (logP - prev) > np.log(model.random.rand(*prev.shape))
+            new_state = type(state)(
+                q, log_like=logl, log_prior=logp, inds=state.branches_inds
+            )
+            state = self.update(state, new_state, acc)
+            if self.accepted is None:
+                self.accepted = np.zeros_like(acc, dtype=float)
+            self.accepted += acc
+            self.num_proposals += 1
+            return state, acc
+
+    move = MyPropose()
+    assert move.host_move and move._legacy_family == "custom-propose"
+    with pytest.warns(UserWarning, match="host extension protocol"):
+        s = EnsembleSampler(
+            NWALKERS, NDIM, log_like, _priors(), moves=move, seed=33
+        )
+    s.run_mcmc(_priors().rvs(size=(1, NWALKERS)), 200, burn=100)
+    assert calls["n"] > 0
+    ch = np.asarray(s.get_chain()["model_0"])[100:]
+    assert abs(ch.mean()) < 0.25
+    assert abs(ch.std() - 1.0) < 0.25
+
+
+def test_move_update_merges_branch_supplementals():
+    """Move.update carries accepted walkers' supplemental array entries
+    (ref move.py:559-657); skip_supp_names_update entries stay."""
+    from eryn_tpu.moves import StretchMove
+    from eryn_tpu import BranchSupplemental, State
+
+    ntemps, nw, nl, nd = 1, 4, 1, 2
+    rng = np.random.default_rng(3)
+
+    def mk(tag):
+        supp = BranchSupplemental(
+            {
+                "cache": np.full((ntemps, nw, nl, 3), tag, dtype=float),
+                "keep": np.full((ntemps, nw, nl), tag, dtype=float),
+            },
+            base_shape=(ntemps, nw, nl),
+        )
+        return State(
+            {"a": rng.standard_normal((ntemps, nw, nl, nd))},
+            log_like=rng.standard_normal((ntemps, nw)),
+            log_prior=np.zeros((ntemps, nw)),
+            branch_supplemental={"a": supp},
+        )
+
+    mv = StretchMove(skip_supp_names_update=["keep"])
+    old, new = mk(0.0), mk(1.0)
+    acc = np.zeros((ntemps, nw), dtype=bool)
+    acc[0, 1] = True
+    out = mv.update(old, new, acc)
+    supp = out.branches["a"].branch_supplemental
+    cache = np.asarray(supp.holder["cache"])
+    assert (cache[0, 1] == 1.0).all()  # accepted walker took the new entry
+    assert (cache[0, 0] == 0.0).all()  # rejected walker kept the old
+    assert (np.asarray(supp.holder["keep"]) == 0.0).all()  # skip list held
