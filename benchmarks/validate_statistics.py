@@ -270,6 +270,11 @@ def main():
     results = [
         check_move("StretchMove", [StretchMove()], 1),
         check_move("StretchMove + PT (cold chain)", [StretchMove()], 2, ntemps=4),
+        check_move(
+            "StretchMove log-proposal",
+            [StretchMove(use_log_proposal=True)],
+            20,
+        ),
         check_move("WalkMove", [WalkMove()], 3),
         check_move("KDEMove", [KDEMove()], 4),
         check_move("DEMove", [DEMove()], 5),
