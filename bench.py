@@ -379,6 +379,67 @@ def bench_reference_cpu_rj():
         return FALLBACK_REF["rj_steps_per_sec"]
 
 
+def _tpu_unavailable(text):
+    """Match the transient axon-tunnel outage signatures (the remote TPU
+    service occasionally refuses/wedges; a FRESH process retry recovers —
+    in-process retries cannot, the backend registry caches the failure)."""
+    needles = (
+        "UNAVAILABLE",
+        "Unable to initialize backend",
+        "TPU backend setup/compile error",
+        "DEADLINE_EXCEEDED",
+    )
+    return any(n in text for n in needles)
+
+
+def _supervise():
+    """Re-exec the benchmark in child processes until one succeeds.
+
+    The axon tunnel is shared infrastructure: init or compile can fail
+    transiently (observed: 'UNAVAILABLE: TPU backend setup/compile error').
+    Each attempt is a fresh process (a wedged PJRT client cannot be revived
+    in-process); non-TPU errors and final exhaustion propagate loudly."""
+    import subprocess
+
+    delays = [0, 60, 120, 300, 600, 600]
+    env = dict(os.environ, ERYN_TPU_BENCH_CHILD="1")
+    last = None
+    for i, delay in enumerate(delays):
+        if delay:
+            time.sleep(delay)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                # healthy run: ~10-15 min; a wedged compile hangs forever
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"[bench supervisor] attempt {i + 1} timed out (wedged "
+                "compile service?) — retrying in a fresh process\n"
+            )
+            continue
+        last = proc
+        if proc.returncode == 0 and proc.stdout.strip():
+            # relay ONLY the child's final JSON line
+            print(proc.stdout.strip().splitlines()[-1])
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        err_text = (proc.stderr or "") + (proc.stdout or "")
+        sys.stderr.write(
+            f"[bench supervisor] attempt {i + 1} failed "
+            f"(rc={proc.returncode})\n{err_text[-1500:]}\n"
+        )
+        if not _tpu_unavailable(err_text):
+            break  # real failure: do not mask it behind retries
+    if last is not None:
+        sys.stderr.write(last.stderr[-4000:])
+    return last.returncode if last is not None and last.returncode else 1
+
+
 def main():
     (
         store_false,
@@ -439,4 +500,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ERYN_TPU_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())

@@ -1484,8 +1484,15 @@ class EnsembleSampler:
             self._snap_layout = (fp_layout, u8_layout)
 
         def stored_block(carry, _):
-            carry, outs = jax.lax.scan(one_step, carry, None, length=thin_by)
-            accepted, rj_accepted, swaps = (o[-1] for o in outs)
+            if thin_by == 1:
+                # flat path: a nested length-1 scan adds per-step loop
+                # machinery XLA does not always elide
+                carry, (accepted, rj_accepted, swaps) = one_step(carry, None)
+            else:
+                carry, outs = jax.lax.scan(
+                    one_step, carry, None, length=thin_by
+                )
+                accepted, rj_accepted, swaps = (o[-1] for o in outs)
             key, state, time, m_acc, m_np, rj_acc_c, rj_np, mstates = carry
             if store:
                 # keep the transfer lean: accept counts fit uint8 (bounded by
