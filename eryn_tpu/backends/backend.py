@@ -584,6 +584,35 @@ class Backend:
                 print(f"Gelman-Rubin R-hat for {name}: {Rhat}")
         return out
 
+    def get_rank_normalized_rhat(
+        self, discard=0, thin=1, doprint=False, return_parts=False
+    ):
+        """Rank-normalized split-R-hat per branch (Vehtari et al. 2021) —
+        beyond the reference: its classic Gelman-Rubin diagnostic
+        (:meth:`get_gelman_rubin_convergence_diagnostic`) compares chain
+        means only, so chains agreeing in location but not scale pass it.
+        Convergence rule of thumb: max R-hat < 1.01."""
+        from ..utils.utility import rank_normalized_rhat
+
+        chain = self.get_chain(discard=discard, thin=thin, temp_index=0)
+        inds = self.get_inds(discard=discard, thin=thin, temp_index=0)
+        out = {}
+        for name, arr in chain.items():
+            m = inds[name]
+            nsteps, nwalkers, nleaves_max, ndim = arr.shape
+            vals = np.where(m[..., None], arr, np.nan).reshape(
+                nsteps, nwalkers, nleaves_max * ndim
+            )
+            keep = ~np.all(np.isnan(vals), axis=(0, 1))
+            res = rank_normalized_rhat(
+                vals[:, :, keep], int(keep.sum()), return_parts=return_parts
+            )
+            out[name] = res
+            if doprint:
+                rhat = res[0] if return_parts else res
+                print(f"rank-normalized R-hat for {name}: {rhat}")
+        return out
+
     def get_info(self, discard=0, thin=1):
         """Bundle of everything stored (ref ``backend.py:1093-1153``)."""
         samples = self.get_chain(discard=discard, thin=thin)

@@ -6,6 +6,7 @@ from .utility import (
     get_integrated_act,
     groups_from_inds,
     psrf,
+    rank_normalized_rhat,
     stepping_stone_log_evidence,
     thermodynamic_integration_log_evidence,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "thermodynamic_integration_log_evidence",
     "stepping_stone_log_evidence",
     "psrf",
+    "rank_normalized_rhat",
 ]
 
 try:  # pragma: no cover - staged build

@@ -338,3 +338,96 @@ def psrf(chains, ndim=None, per_walker=True):
         var_est = (1.0 - 1.0 / nsteps) * W + B / nsteps
         Rhat = np.sqrt(var_est / W)
     return Rhat
+
+
+def _split_chains(chains):
+    """Split each chain in half along the step axis -> twice the chains.
+
+    ``chains``: (nsteps, nchains, ndim).  Odd leading steps are dropped
+    (Vehtari et al. 2021 §3: splitting detects within-chain trends)."""
+    nsteps = chains.shape[0]
+    half = nsteps // 2
+    if half < 2:
+        raise ValueError(
+            f"rank-normalized R-hat needs >= 4 steps, got {nsteps}."
+        )
+    trimmed = chains[nsteps - 2 * half :]
+    return np.concatenate([trimmed[:half], trimmed[half:]], axis=1)
+
+
+def _rank_normalize(x):
+    """Fractional-rank z-scores over the POOLED draws of one parameter.
+
+    ``x``: (nsteps, nchains).  NaNs (RJ-masked entries) keep NaN.  Ranks use
+    scipy's average method; the blom offset (r - 3/8)/(S + 1/4) then the
+    normal quantile, per Vehtari et al. 2021 eq. (14)."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    flat = x.reshape(-1)
+    finite = np.isfinite(flat)
+    out = np.full(flat.shape, np.nan)
+    s = int(finite.sum())
+    if s:
+        r = rankdata(flat[finite], method="average")
+        out[finite] = ndtri((r - 0.375) / (s + 0.25))
+    return out.reshape(x.shape)
+
+
+def _basic_rhat(z):
+    """Split-R-hat of already-transformed draws ``z`` (nsteps, nchains)."""
+    n = z.shape[0]
+    with np.errstate(invalid="ignore"):
+        means = np.nanmean(z, axis=0)
+        variances = np.nanvar(z, axis=0, ddof=1)
+        W = np.nanmean(variances)
+        B = n * np.nanvar(means, ddof=1)
+        return float(np.sqrt(((n - 1.0) / n * W + B / n) / W))
+
+
+def rank_normalized_rhat(chains, ndim=None, return_parts=False):
+    """Rank-normalized split-R-hat (Vehtari, Gelman, Simpson, Carpenter &
+    Bürkner 2021, "Rank-normalization, folding, and localization") — the
+    modern replacement for the classic Gelman-Rubin diagnostic the
+    reference ships (``psrf``; ref ``utility.py:279-330``).  Beyond the
+    reference: the classic statistic compares chain MEANS, so chains that
+    agree in location but disagree in scale — or heavy-tailed targets with
+    undefined moments — pass it silently.  This computes
+
+    - **bulk R-hat**: split-R-hat of the rank-normalized draws, and
+    - **tail R-hat**: the same after folding about the pooled median
+      (sensitive to scale/tail disagreement),
+
+    and reports the elementwise maximum.  Convergence rule of thumb:
+    max R-hat < 1.01.
+
+    Args:
+        chains: ``(nsteps, nwalkers, ndim)`` samples; every walker is a
+            chain.  NaNs (RJ-masked entries) are ignored.
+        ndim: optional parameter-count check.
+        return_parts: also return the ``(bulk, tail)`` arrays.
+
+    Returns:
+        ``(ndim,)`` max(bulk, tail) R-hat per parameter; with
+        ``return_parts=True``, ``(rhat, bulk, tail)``.
+    """
+    chains = np.asarray(chains, dtype=np.float64)
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    nsteps, nwalkers, nd = chains.shape
+    if ndim is not None and int(ndim) != nd:
+        raise ValueError(
+            f"ndim={ndim} does not match the chains' parameter count {nd}."
+        )
+    split = _split_chains(chains)  # (half, 2*nwalkers, ndim)
+    bulk = np.empty(nd)
+    tail = np.empty(nd)
+    for d in range(nd):
+        x = split[..., d]
+        bulk[d] = _basic_rhat(_rank_normalize(x))
+        folded = np.abs(x - np.nanmedian(x))
+        tail[d] = _basic_rhat(_rank_normalize(folded))
+    rhat = np.maximum(bulk, tail)
+    if return_parts:
+        return rhat, bulk, tail
+    return rhat

@@ -442,3 +442,75 @@ def test_module_level_plot_functions(tmp_path):
     assert os.path.exists(tmp_path / "base" / "corner_m.png")
     assert os.path.exists(tmp_path / "temp" / "ridgeplot_m.png")
     assert os.path.exists(tmp_path / "rj" / "leaves_m.png")
+
+
+def test_rank_normalized_rhat():
+    """Vehtari et al. 2021 split-R-hat: converged chains pass; chains
+    agreeing in mean but not scale FAIL here while the classic mean-based
+    psrf passes silently (the motivating failure mode)."""
+    from eryn_tpu.utils.utility import psrf, rank_normalized_rhat
+
+    rng = np.random.default_rng(11)
+    good = rng.standard_normal((1000, 8, 2))
+    rhat, bulk, tail = rank_normalized_rhat(good, return_parts=True)
+    assert rhat.shape == (2,)
+    assert np.all(rhat < 1.02), rhat
+    assert np.all(bulk <= rhat + 1e-12) and np.all(tail <= rhat + 1e-12)
+
+    # location disagreement: bulk R-hat catches it
+    shifted = good.copy()
+    shifted[:, 0] += 3.0
+    assert np.all(rank_normalized_rhat(shifted) > 1.2)
+
+    # scale disagreement, identical means: classic psrf passes (B compares
+    # means only), rank-normalized tail R-hat fails
+    scale = good.copy()
+    scale[:, :4] *= 5.0
+    classic = psrf(scale)
+    rhat_s, bulk_s, tail_s = rank_normalized_rhat(scale, return_parts=True)
+    assert np.all(classic < 1.05), classic
+    assert np.all(tail_s > 1.05), (bulk_s, tail_s)
+
+    # within-chain trend: splitting catches it even per-walker
+    drift = good + np.linspace(0, 5, 1000)[:, None, None]
+    assert np.all(rank_normalized_rhat(drift) > 1.2)
+
+    # NaN (RJ-masked) entries are ignored
+    nanish = good.copy()
+    nanish[::7, 3, 0] = np.nan
+    assert np.all(rank_normalized_rhat(nanish) < 1.02)
+
+    with pytest.raises(ValueError, match="ndim"):
+        rank_normalized_rhat(good, ndim=9)
+    with pytest.raises(ValueError, match=">= 4 steps"):
+        rank_normalized_rhat(good[:3])
+
+
+def test_backend_rank_normalized_rhat():
+    """Backend getter: per-branch dict, NaN-masked dead leaves handled."""
+    from eryn_tpu.backends import Backend
+
+    rng = np.random.default_rng(5)
+    nsteps, ntemps, nwalkers, nlmax, ndim = 64, 2, 6, 2, 2
+    b = Backend()
+    b.reset(
+        nwalkers,
+        {"m": ndim},
+        nleaves_max={"m": nlmax},
+        ntemps=ntemps,
+        branch_names=["m"],
+    )
+    b.grow(nsteps)
+    coords = rng.standard_normal((nsteps, ntemps, nwalkers, nlmax, ndim))
+    inds = np.ones((nsteps, ntemps, nwalkers, nlmax), dtype=bool)
+    inds[..., 1] = False  # second leaf dead everywhere
+    b.save_segment(
+        coords={"m": coords},
+        inds={"m": inds},
+        log_like=rng.standard_normal((nsteps, ntemps, nwalkers)),
+        log_prior=np.zeros((nsteps, ntemps, nwalkers)),
+    )
+    out = b.get_rank_normalized_rhat()
+    assert set(out) == {"m"}
+    assert out["m"].shape == (ndim,)  # dead leaf columns dropped
+    assert np.all(out["m"] < 1.15)
