@@ -12,7 +12,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from scipy.special import logsumexp  # noqa: F401  (module-level re-export, ref utility.py:4)
+
 __all__ = [
+    "logsumexp",
     "groups_from_inds",
     "groups_from_inds_jax",
     "get_acf",
