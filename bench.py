@@ -45,6 +45,16 @@ STORED_SEGMENT = 2048
 STORED_STEPS = 2 * STORED_SEGMENT
 RJ_NSTEPS = 2000
 
+# Last-resort degraded mode (supervisor sets this after exhausting TPU
+# retries on outage signatures): run the same benchmark on the host CPU so
+# the round still emits its one JSON line, explicitly flagged.  Shapes are
+# cut down — this container has a single vCPU.
+FORCE_CPU = bool(os.environ.get("ERYN_TPU_BENCH_FORCE_CPU"))
+if FORCE_CPU:
+    NSTEPS = 1000
+    STORED_STEPS = STORED_SEGMENT
+    RJ_NSTEPS = 200
+
 
 def _pulse_data(npts=128):
     import numpy as np
@@ -149,7 +159,7 @@ def bench_tpu():
         seed=2,
     )
     default_backend_type = type(sampler3.backend).__name__
-    assert isinstance(sampler3.backend, DeviceBackend), (
+    assert FORCE_CPU or isinstance(sampler3.backend, DeviceBackend), (
         "default backend on an accelerator must be the device-resident one"
     )
     coords = priors.rvs(size=(NTEMPS, NWALKERS))
@@ -435,12 +445,42 @@ def _supervise():
         )
         if not _tpu_unavailable(err_text):
             break  # real failure: do not mask it behind retries
+    else:
+        # Every attempt died on an outage signature: the tunnel is gone for
+        # the round.  Emit the one JSON line from a degraded CPU run rather
+        # than no artifact at all (the line carries an explicit flag).
+        sys.stderr.write(
+            "[bench supervisor] TPU unavailable after all retries — "
+            "falling back to a flagged host-CPU benchmark\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(env, ERYN_TPU_BENCH_FORCE_CPU="1"),
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            proc = None
+        if proc is not None and proc.returncode == 0 and proc.stdout.strip():
+            print(proc.stdout.strip().splitlines()[-1])
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        if proc is not None:
+            last = proc
     if last is not None:
         sys.stderr.write(last.stderr[-4000:])
     return last.returncode if last is not None and last.returncode else 1
 
 
 def main():
+    if FORCE_CPU:
+        import jax
+
+        # sitecustomize pre-imports jax targeting the axon tunnel; env vars
+        # are too late, the config update is not (same trick as conftest)
+        jax.config.update("jax_platforms", "cpu")
     (
         store_false,
         stored_sps,
@@ -452,12 +492,16 @@ def main():
         default_backend_type,
     ) = bench_tpu()
     rj_sps = bench_tpu_rj()
-    try:
-        e_sps, e_wsps = bench_tpu_config_e()
-    except Exception:
-        # None serializes as valid JSON null; NaN would break the
-        # one-parseable-line contract for strict consumers
+    if FORCE_CPU:
+        # the 20x1000 stress config is not meaningful on one vCPU
         e_sps, e_wsps = None, None
+    else:
+        try:
+            e_sps, e_wsps = bench_tpu_config_e()
+        except Exception:
+            # None serializes as valid JSON null; NaN would break the
+            # one-parseable-line contract for strict consumers
+            e_sps, e_wsps = None, None
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
     print(
@@ -493,6 +537,11 @@ def main():
                     "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
                     "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
                     "ref_rj_steps_per_sec": round(ref_rj, 2),
+                    **(
+                        {"degraded": "tpu_unavailable_cpu_fallback"}
+                        if FORCE_CPU
+                        else {}
+                    ),
                 },
             }
         )
