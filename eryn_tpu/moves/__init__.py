@@ -35,8 +35,9 @@ except ImportError:  # pragma: no cover
 try:  # pragma: no cover - staged build
     from .group import GroupMove
     from .groupstretch import GroupStretchMove
+    from .rbgroupstretch import RedBlueGroupStretchMove
 
-    __all__ += ["GroupMove", "GroupStretchMove"]
+    __all__ += ["GroupMove", "GroupStretchMove", "RedBlueGroupStretchMove"]
 except ImportError:  # pragma: no cover
     pass
 

@@ -146,8 +146,16 @@ class RedBlueMove(Move):
                 s_inds = {n: blk(inds_p[n], off, ns) for n in names}
 
                 key, kprop, kacc = jax.random.split(key, 3)
+                prop_kwargs = {}
+                if getattr(self, "_needs_c_inds", False):
+                    # RJ-aware kernels (RedBlueGroupStretchMove) select
+                    # complements from ACTIVE leaves only
+                    prop_kwargs["c_inds"] = {
+                        n: comp(inds_p[n], off, ns) for n in names
+                    }
                 q, factors = self.get_proposal_kernel(
-                    kprop, s_coords, c_coords, s_inds, param_masks
+                    kprop, s_coords, c_coords, s_inds, param_masks,
+                    **prop_kwargs,
                 )
 
                 # gibbs parameter masking: non-selected (leaf, param) entries
