@@ -42,6 +42,7 @@ from eryn_tpu.moves import (
     KDEMove,
     MALAMove,
     MTDistGenMove,
+    RedBlueGroupStretchMove,
     StretchMove,
     WalkMove,
 )
@@ -308,6 +309,9 @@ def main():
             12,
         ),
         check_move("GroupStretchMove", [GroupStretchMove(n_iter_update=50)], 13),
+        check_move(
+            "RedBlueGroupStretchMove", [RedBlueGroupStretchMove()], 21
+        ),
         check_move(
             "DelayedRejection(Gaussian)",
             [DelayedRejection(GaussianMove({"model_0": 1.5 * np.ones(NDIM)}), max_iter=2)],

@@ -849,6 +849,25 @@ class EnsembleSampler:
             self.rj_moves = []
             self.rj_weights = []
             self.has_reversible_jump = False
+        if self.has_reversible_jump:
+            from .moves.rbgroupstretch import RedBlueGroupStretchMove
+
+            # the reference's own warning (ref ensemble.py:505-514) — plus
+            # the fix it asks for, which the reference does not have
+            if any(
+                type(m) is StretchMove
+                for m in self.moves
+            ):
+                warnings.warn(
+                    "Using the plain StretchMove for in-model proposals "
+                    "under reversible jump is not advised: the stretch ray "
+                    "targets the complement walker's same leaf slot, which "
+                    "may be inactive (dormant coordinates). Use "
+                    "RedBlueGroupStretchMove instead — it stretches each "
+                    "active leaf toward an ACTIVE complement leaf with "
+                    "exact detailed balance.",
+                    stacklevel=2,
+                )
         if dr_moves:
             # The reference ships the DR-on-rejected-RJ-births machinery but
             # raises on this path (ref rj.py:350-374) — for good reason:

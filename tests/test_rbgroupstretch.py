@@ -167,3 +167,29 @@ def test_periodic_wrap():
     ens.run_mcmc(coords, 300, burn=100)
     chain = ens.get_chain()["model_0"][:, 0, :, :, 0]
     assert (chain >= 0).all() and (chain <= 2 * np.pi).all()
+
+
+def test_plain_stretch_under_rj_warns():
+    """The reference warns that its stretch uses the wrong complementary
+    parameters under RJ (ref ensemble.py:505-514); ours points at the fix.
+    RedBlueGroupStretchMove itself must NOT trigger the warning."""
+    import warnings
+
+    pr = ProbDistContainer({0: uniform_dist(-1.0, 1.0)})
+
+    def ll(coords, inds):
+        return jnp.zeros(())
+
+    with pytest.warns(UserWarning, match="RedBlueGroupStretchMove"):
+        EnsembleSampler(
+            8, 1, ll, pr, nleaves_max=2, nleaves_min=0, rj_moves=True,
+            moves=StretchMove(live_dangerously=True),
+            fill_zero_leaves_val=0.0,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        EnsembleSampler(
+            8, 1, ll, pr, nleaves_max=2, nleaves_min=0, rj_moves=True,
+            moves=RedBlueGroupStretchMove(live_dangerously=True),
+            fill_zero_leaves_val=0.0,
+        )
