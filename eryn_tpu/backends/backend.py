@@ -613,6 +613,35 @@ class Backend:
                 print(f"rank-normalized R-hat for {name}: {rhat}")
         return out
 
+    def get_effective_sample_size(
+        self, discard=0, thin=1, doprint=False, return_parts=False
+    ):
+        """Bulk/tail effective sample size per branch (Vehtari et al.
+        2021) — the mixing companion to :meth:`get_rank_normalized_rhat`;
+        beyond the reference, whose only mixing diagnostic is the IACT.
+        Rule of thumb: both ESS components should exceed ~100 per
+        parameter."""
+        from ..utils.utility import effective_sample_size
+
+        chain = self.get_chain(discard=discard, thin=thin, temp_index=0)
+        inds = self.get_inds(discard=discard, thin=thin, temp_index=0)
+        out = {}
+        for name, arr in chain.items():
+            m = inds[name]
+            nsteps, nwalkers, nleaves_max, ndim = arr.shape
+            vals = np.where(m[..., None], arr, np.nan).reshape(
+                nsteps, nwalkers, nleaves_max * ndim
+            )
+            keep = ~np.all(np.isnan(vals), axis=(0, 1))
+            res = effective_sample_size(
+                vals[:, :, keep], int(keep.sum()), return_parts=return_parts
+            )
+            out[name] = res
+            if doprint:
+                ess = res[0] if return_parts else res
+                print(f"effective sample size for {name}: {ess}")
+        return out
+
     def get_info(self, discard=0, thin=1):
         """Bundle of everything stored (ref ``backend.py:1093-1153``)."""
         samples = self.get_chain(discard=discard, thin=thin)

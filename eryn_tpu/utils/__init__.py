@@ -6,6 +6,7 @@ from .utility import (
     get_integrated_act,
     groups_from_inds,
     psrf,
+    effective_sample_size,
     rank_normalized_rhat,
     stepping_stone_log_evidence,
     thermodynamic_integration_log_evidence,
@@ -26,6 +27,7 @@ __all__ = [
     "thermodynamic_integration_log_evidence",
     "stepping_stone_log_evidence",
     "psrf",
+    "effective_sample_size",
     "rank_normalized_rhat",
 ]
 

@@ -16,6 +16,7 @@ from scipy.special import logsumexp  # noqa: F401  (module-level re-export, ref 
 
 __all__ = [
     "logsumexp",
+    "effective_sample_size",
     "groups_from_inds",
     "groups_from_inds_jax",
     "get_acf",
@@ -24,6 +25,7 @@ __all__ = [
     "thermodynamic_integration_log_evidence",
     "stepping_stone_log_evidence",
     "psrf",
+    "rank_normalized_rhat",
 ]
 
 
@@ -434,3 +436,103 @@ def rank_normalized_rhat(chains, ndim=None, return_parts=False):
     if return_parts:
         return rhat, bulk, tail
     return rhat
+
+
+def _ess_of(z):
+    """Multi-chain effective sample size of already-transformed draws
+    ``z`` (nsteps, nchains), per Vehtari et al. 2021 §3.2 (the Stan
+    estimator): between/within-variance-corrected combined
+    autocorrelations, Geyer initial-positive pair sums with the monotone
+    adjustment.  Non-finite entries (RJ-masked) are filled with the chain
+    mean (zero autocovariance contribution, the IACT estimator's
+    convention); all-NaN chains are dropped."""
+    z = np.asarray(z, dtype=np.float64)
+    n, m = z.shape
+    finite = np.isfinite(z)
+    keep = finite.any(axis=0)
+    z, finite = z[:, keep], finite[:, keep]
+    m = z.shape[1]
+    if n < 4 or m < 2:
+        return np.nan
+    counts = finite.sum(axis=0)
+    means = np.where(finite, z, 0.0).sum(axis=0) / counts
+    z = np.where(finite, z, means[None, :])
+
+    variances = z.var(axis=0, ddof=1)
+    W = variances.mean()
+    B_over_n = means.var(ddof=1) if m > 1 else 0.0
+    var_plus = W * (n - 1.0) / n + B_over_n
+    if not np.isfinite(var_plus) or var_plus <= 0.0 or W <= 0.0:
+        return np.nan
+
+    # per-chain biased autocovariance via FFT, averaged over chains
+    f = np.fft.rfft(z - z.mean(axis=0, keepdims=True), n=2 * n, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=2 * n, axis=0)[:n] / n
+    rho = 1.0 - (W - acov.mean(axis=1)) / var_plus
+
+    # Geyer initial positive sequence on pair sums, then monotone
+    L = (n - 1) // 2
+    pairs = rho[0 : 2 * L : 2] + rho[1 : 2 * L : 2]
+    nonpos = np.nonzero(pairs <= 0.0)[0]
+    trunc = nonpos[0] if nonpos.size else L
+    if trunc == 0:
+        tau = 1.0
+    else:
+        tau = -1.0 + 2.0 * np.minimum.accumulate(pairs[:trunc]).sum()
+    tau = max(tau, 1.0 / np.log10(max(n * m, 10)))
+    return n * m / tau
+
+
+def effective_sample_size(chains, ndim=None, return_parts=False):
+    """Bulk and tail effective sample size (Vehtari, Gelman, Simpson,
+    Carpenter & Bürkner 2021) — the companion to
+    :func:`rank_normalized_rhat`, beyond the reference (its only mixing
+    diagnostic is the per-parameter IACT, ref ``utility.py:79-144``,
+    which ignores between-chain disagreement and tail behavior).
+
+    - **bulk ESS**: multi-chain ESS of the rank-normalized split draws —
+      sampling efficiency for location summaries (means/medians);
+    - **tail ESS**: the minimum ESS of the 5% / 95% quantile indicator
+      draws — efficiency for interval estimates, which heavy tails
+      degrade first.
+
+    Rule of thumb: both should exceed ~100 per parameter.
+
+    Args:
+        chains: ``(nsteps, nwalkers, ndim)`` samples; every walker is a
+            chain.  NaNs (RJ-masked entries) are ignored.
+        ndim: optional parameter-count check.
+        return_parts: also return the ``(bulk, tail)`` arrays.
+
+    Returns:
+        ``(ndim,)`` min(bulk, tail) ESS per parameter; with
+        ``return_parts=True``, ``(ess, bulk, tail)``.
+    """
+    chains = np.asarray(chains, dtype=np.float64)
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    nsteps, nwalkers, nd = chains.shape
+    if ndim is not None and int(ndim) != nd:
+        raise ValueError(
+            f"ndim={ndim} does not match the chains' parameter count {nd}."
+        )
+    split = _split_chains(chains)  # (half, 2*nwalkers, ndim)
+    bulk = np.empty(nd)
+    tail = np.empty(nd)
+    for d in range(nd):
+        x = split[..., d]
+        if not np.isfinite(x).any():
+            bulk[d] = tail[d] = np.nan
+            continue
+        bulk[d] = _ess_of(_rank_normalize(x))
+        with np.errstate(invalid="ignore"):
+            qs = np.nanquantile(x, [0.05, 0.95])
+        tails = []
+        for q in qs:
+            ind = np.where(np.isfinite(x), (x <= q).astype(np.float64), np.nan)
+            tails.append(_ess_of(ind))
+        tail[d] = np.nanmin(tails) if not np.all(np.isnan(tails)) else np.nan
+    ess = np.fmin(bulk, tail)
+    if return_parts:
+        return ess, bulk, tail
+    return ess

@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.moves import RedBlueGroupStretchMove
 
 from _common import example_steps as _steps
 
@@ -55,6 +56,10 @@ def main():
         priors,
         nleaves_max=nleaves_max,
         nleaves_min=0,
+        # the RJ-correct in-model stretch: each active leaf stretches toward
+        # an ACTIVE complement leaf (plain StretchMove would target the
+        # same leaf slot, which may be dormant — the sampler warns)
+        moves=RedBlueGroupStretchMove(),
         rj_moves=True,
         tempering_kwargs=dict(ntemps=ntemps),
         fill_zero_leaves_val=float(-0.5 * np.sum((data_np / sigma) ** 2)),

@@ -514,3 +514,78 @@ def test_backend_rank_normalized_rhat():
     assert set(out) == {"m"}
     assert out["m"].shape == (ndim,)  # dead leaf columns dropped
     assert np.all(out["m"] < 1.15)
+
+
+def test_effective_sample_size():
+    """Vehtari bulk/tail ESS: ~n*m for iid draws, the AR(1) analytic
+    reduction (1-phi)/(1+phi), NaN (RJ-masked) tolerance, and the
+    backend getter."""
+    from eryn_tpu.utils.utility import effective_sample_size
+
+    rng = np.random.default_rng(3)
+    n, m = 600, 16
+
+    # iid draws: ESS close to the total draw count
+    iid = rng.standard_normal((n, m, 2))
+    ess, bulk, tail = effective_sample_size(iid, return_parts=True)
+    assert np.all(bulk > 0.6 * n * m) and np.all(bulk < 1.6 * n * m)
+    assert np.all(tail > 0.3 * n * m)
+
+    # AR(1) with phi = 0.9: ESS/(n*m) ~ (1-phi)/(1+phi) ~ 0.0526
+    phi = 0.9
+    x = np.zeros((n, m))
+    e = rng.standard_normal((n, m)) * np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + e[t]
+    _, bulk_ar, _ = effective_sample_size(x[..., None], return_parts=True)
+    ratio = bulk_ar[0] / (n * m)
+    assert 0.5 * 0.0526 < ratio < 2.0 * 0.0526, ratio
+
+    # chains disagreeing in location -> tiny ESS (B dominates)
+    shifted = iid[..., 0].copy()
+    shifted[:, : m // 2] += 6.0
+    _, bulk_s, _ = effective_sample_size(shifted[..., None], return_parts=True)
+    assert bulk_s[0] < 0.05 * n * m
+
+    # RJ-style NaNs: scattered + one all-NaN chain must not crash
+    masked = iid[..., 0].copy()
+    masked[::5, 3] = np.nan
+    masked[:, 7] = np.nan
+    out = effective_sample_size(masked[..., None])
+    assert np.isfinite(out[0]) and out[0] > 0
+
+    # all-NaN parameter -> NaN
+    allnan = np.full((n, m, 1), np.nan)
+    assert np.isnan(effective_sample_size(allnan)[0])
+
+
+def test_backend_effective_sample_size():
+    """Backend getter: per-branch dict, dead leaves dropped, iid chains
+    give ESS near the stored draw count."""
+    from eryn_tpu.backends import Backend
+
+    rng = np.random.default_rng(6)
+    nsteps, ntemps, nwalkers, nlmax, ndim = 128, 2, 8, 2, 2
+    b = Backend()
+    b.reset(
+        nwalkers,
+        {"m": ndim},
+        nleaves_max={"m": nlmax},
+        ntemps=ntemps,
+        branch_names=["m"],
+    )
+    b.grow(nsteps)
+    coords = rng.standard_normal((nsteps, ntemps, nwalkers, nlmax, ndim))
+    inds = np.ones((nsteps, ntemps, nwalkers, nlmax), dtype=bool)
+    inds[..., 1] = False  # second leaf dead everywhere
+    b.save_segment(
+        coords={"m": coords},
+        inds={"m": inds},
+        log_like=rng.standard_normal((nsteps, ntemps, nwalkers)),
+        log_prior=np.zeros((nsteps, ntemps, nwalkers)),
+    )
+    out = b.get_effective_sample_size()
+    assert set(out) == {"m"}
+    assert out["m"].shape == (ndim,)  # dead leaf columns dropped
+    total = nsteps * nwalkers
+    assert np.all(out["m"] > 0.25 * total)
