@@ -296,3 +296,47 @@ def test_bare_model_carrier_guards():
         m.current_key()
     with _pytest.raises(RuntimeError, match="get_model"):
         m.get_eval_context()
+
+
+def test_sharded_rbgroupstretch_rj():
+    """RedBlueGroupStretchMove (complement concat + batched searchsorted)
+    compiles and runs over the mesh in an RJ configuration, and the
+    flat-likelihood invariant (uniform coords over the prior) holds."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from eryn_tpu import State
+    from eryn_tpu.moves import RedBlueGroupStretchMove
+
+    ndim, nlmax, nwalkers, ntemps = 2, 2, 32, 4
+    pr = ProbDistContainer({i: uniform_dist(-1.0, 1.0) for i in range(ndim)})
+
+    def ll(coords, inds):
+        return jnp.zeros(())
+
+    ens = EnsembleSampler(
+        nwalkers, ndim, ll, pr,
+        nleaves_max=nlmax, nleaves_min=0,
+        moves=RedBlueGroupStretchMove(live_dangerously=True),
+        rj_moves=True,
+        fill_zero_leaves_val=0.0,
+        tempering_kwargs=dict(ntemps=ntemps),
+        seed=33,
+    )
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(33)
+    coords = pr.rvs(size=(ntemps, nwalkers, nlmax))
+    inds = rng.random((ntemps, nwalkers, nlmax)) < 0.5
+    state = ens._setup_state(State({"model_0": coords}, inds={"model_0": inds}))
+    state = shard_state(state, mesh)
+    assert len(state.log_like.sharding.device_set) == 8
+
+    state = ens.run_mcmc(state, 400, burn=100)
+    jax.block_until_ready(state.log_like)
+    assert len(state.log_like.sharding.device_set) == 8
+
+    chain = ens.get_chain()["model_0"]
+    inds_c = ens.get_inds()["model_0"]
+    act = chain[inds_c]
+    # flat likelihood: active coords uniform over the prior
+    assert abs(act.mean()) < 0.05
+    assert abs(act.var() - 1.0 / 3.0) < 0.04
