@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu.moves import RedBlueGroupStretchMove
 
 from _common import example_steps as _steps
 
@@ -70,6 +71,7 @@ ens = EnsembleSampler(
     branch_names=["gauss", "sine"],
     nleaves_max=NLMAX,
     nleaves_min={"gauss": 0, "sine": 0},
+    moves=RedBlueGroupStretchMove(),  # RJ-correct in-model stretch
     rj_moves="iterate_branches",
     tempering_kwargs=dict(ntemps=NT),
     fill_zero_leaves_val=float(-0.5 * np.sum((y / sigma) ** 2)),

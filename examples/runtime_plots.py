@@ -16,6 +16,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from eryn_tpu.moves import RedBlueGroupStretchMove
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.utils.plot import PlotContainer
 
@@ -91,6 +92,7 @@ def rj_pulses():
         priors,
         nleaves_max=nmax,
         nleaves_min=0,
+        moves=RedBlueGroupStretchMove(),  # RJ-correct in-model stretch
         rj_moves=True,
         tempering_kwargs=dict(ntemps=ntemps),
         fill_zero_leaves_val=float(-0.5 * np.sum((data_np / sigma) ** 2)),
