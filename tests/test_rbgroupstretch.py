@@ -193,3 +193,21 @@ def test_plain_stretch_under_rj_warns():
             moves=RedBlueGroupStretchMove(live_dangerously=True),
             fill_zero_leaves_val=0.0,
         )
+
+
+def test_gibbs_param_masks(priors):
+    """Parameter-level Gibbs runs: masked factors stay consistent with the
+    masked proposal, posterior stays exact."""
+    m1 = np.zeros((1, NDIM), dtype=bool)
+    m1[:, :2] = True
+    m2 = np.zeros((1, NDIM), dtype=bool)
+    m2[:, 2:] = True
+    move = RedBlueGroupStretchMove(
+        gibbs_sampling_setup=[("model_0", m1), ("model_0", m2)]
+    )
+    ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=12)
+    coords = 0.5 * np.random.default_rng(12).standard_normal((NWALKERS, NDIM))
+    ens.run_mcmc(coords, 600, burn=400)
+    chain = ens.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
+    assert np.abs(chain.mean(axis=0)).max() < 0.25
+    assert np.abs(np.cov(chain.T) - _COV).max() < 0.5
