@@ -456,3 +456,20 @@ def test_device_iact_bucketing_exact(priors):
         rtol=1e-3,
         atol=1e-5,
     )
+
+
+def test_device_modern_diagnostics_match_host(priors):
+    """Rank-normalized R-hat and bulk/tail ESS agree between the
+    device-resident and host backends on identical chains."""
+    coords = priors.rvs(size=(NTEMPS, NWALKERS))
+    host = _run(Backend(dtype=np.float32), priors, nsteps=80, coords=coords)
+    dev = _run(DeviceBackend(dtype=np.float32), priors, nsteps=80, coords=coords)
+
+    r_h = host.backend.get_rank_normalized_rhat()["model_0"]
+    r_d = dev.backend.get_rank_normalized_rhat()["model_0"]
+    np.testing.assert_allclose(r_d, r_h, rtol=1e-5)
+
+    e_h = host.backend.get_effective_sample_size()["model_0"]
+    e_d = dev.backend.get_effective_sample_size()["model_0"]
+    np.testing.assert_allclose(e_d, e_h, rtol=1e-5)
+    assert np.all(np.isfinite(e_d)) and np.all(e_d > 0)
