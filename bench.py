@@ -412,9 +412,19 @@ def _supervise():
     import subprocess
 
     delays = [0, 60, 120, 300, 600, 600]
+    # global budget for the TPU attempts: a wedged compile service makes
+    # each attempt eat its full per-attempt timeout, and the driver will
+    # not wait 6+ hours — leave room for the CPU fallback to still run
+    deadline = time.monotonic() + 2.5 * 3600
     env = dict(os.environ, ERYN_TPU_BENCH_CHILD="1")
     last = None
+    outage_only = True  # False once a real (non-outage) failure is seen
     for i, delay in enumerate(delays):
+        if time.monotonic() + delay > deadline:
+            sys.stderr.write(
+                "[bench supervisor] TPU retry budget exhausted — moving on\n"
+            )
+            break
         if delay:
             time.sleep(delay)
         try:
@@ -424,7 +434,7 @@ def _supervise():
                 capture_output=True,
                 text=True,
                 # healthy run: ~10-15 min; a wedged compile hangs forever
-                timeout=3600,
+                timeout=min(3600, max(60, deadline - time.monotonic())),
             )
         except subprocess.TimeoutExpired:
             sys.stderr.write(
@@ -444,11 +454,13 @@ def _supervise():
             f"(rc={proc.returncode})\n{err_text[-1500:]}\n"
         )
         if not _tpu_unavailable(err_text):
+            outage_only = False
             break  # real failure: do not mask it behind retries
-    else:
-        # Every attempt died on an outage signature: the tunnel is gone for
-        # the round.  Emit the one JSON line from a degraded CPU run rather
-        # than no artifact at all (the line carries an explicit flag).
+    if outage_only:
+        # Every TPU attempt died on an outage signature (or timed out /
+        # exhausted the retry budget): the tunnel is gone for the round.
+        # Emit the one JSON line from a degraded CPU run rather than no
+        # artifact at all (the line carries an explicit flag).
         sys.stderr.write(
             "[bench supervisor] TPU unavailable after all retries — "
             "falling back to a flagged host-CPU benchmark\n"

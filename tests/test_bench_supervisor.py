@@ -96,3 +96,38 @@ def test_failed_cpu_fallback_still_fails_loudly(bench, monkeypatch, capsys):
 
     assert bench._supervise() != 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_wedged_tunnel_budget_still_reaches_cpu_fallback(
+    bench, monkeypatch, capsys
+):
+    """Every TPU attempt hangs (TimeoutExpired) and the retry budget runs
+    out — the CPU fallback must still produce the artifact."""
+    calls = []
+
+    def fake_run(argv, env=None, timeout=None, **kwargs):
+        calls.append(dict(env))
+        if env.get("ERYN_TPU_BENCH_FORCE_CPU"):
+            line = json.dumps(
+                {"metric": "m", "value": 1.0, "unit": "steps/s",
+                 "vs_baseline": 0.1,
+                 "extra": {"degraded": "tpu_unavailable_cpu_fallback"}}
+            )
+            return subprocess.CompletedProcess(argv, 0, line + "\n", "")
+        raise subprocess.TimeoutExpired(argv, timeout)
+
+    clock = {"t": 0.0}
+
+    def fake_monotonic():
+        clock["t"] += 4000.0  # every step eats more than an hour
+        return clock["t"]
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda *_: None)
+    monkeypatch.setattr(bench.time, "monotonic", fake_monotonic)
+
+    assert bench._supervise() == 0
+    cpu_attempts = [c for c in calls if c.get("ERYN_TPU_BENCH_FORCE_CPU")]
+    assert len(cpu_attempts) == 1
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["extra"]["degraded"] == "tpu_unavailable_cpu_fallback"
