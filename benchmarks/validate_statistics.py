@@ -43,6 +43,7 @@ from eryn_tpu.moves import (
     MALAMove,
     MTDistGenMove,
     RedBlueGroupStretchMove,
+    SliceMove,
     StretchMove,
     WalkMove,
 )
@@ -312,6 +313,7 @@ def main():
         check_move(
             "RedBlueGroupStretchMove", [RedBlueGroupStretchMove()], 21
         ),
+        check_move("SliceMove", [SliceMove()], 22, nsteps=1500),
         check_move(
             "DelayedRejection(Gaussian)",
             [DelayedRejection(GaussianMove({"model_0": 1.5 * np.ones(NDIM)}), max_iter=2)],

@@ -104,6 +104,13 @@ except ImportError:  # pragma: no cover
     pass
 
 try:
+    from .slice import SliceMove
+
+    __all__ += ["SliceMove"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:
     from .modelswap import BasicSymmetricModelSwapRJMove, ModelSwapRJMove
 
     __all__ += ["ModelSwapRJMove", "BasicSymmetricModelSwapRJMove"]
