@@ -340,3 +340,29 @@ def test_sharded_rbgroupstretch_rj():
     # flat likelihood: active coords uniform over the prior
     assert abs(act.mean()) < 0.05
     assert abs(act.var() - 1.0 / 3.0) < 0.04
+
+
+def test_sharded_slice_move():
+    """SliceMove's lockstep while-loops (stepping-out + shrinkage) compile
+    and run SPMD over the mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from eryn_tpu.moves import SliceMove
+
+    ndim, nwalkers, ntemps = 3, 32, 4
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nwalkers, ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        pr,
+        moves=SliceMove(),
+        tempering_kwargs=dict(ntemps=ntemps),
+        seed=44,
+    )
+    mesh = make_mesh(8)
+    state = ens._setup_state(pr.rvs(size=(ntemps, nwalkers)))
+    state = shard_state(state, mesh)
+    state, _ = ens._run_bulk(state, 1, 20, store=False)
+    jax.block_until_ready(state.log_like)
+    assert len(state.log_like.sharding.device_set) == 8
+    assert np.all(np.isfinite(np.asarray(state.log_like)))
