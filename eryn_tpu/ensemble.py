@@ -850,8 +850,6 @@ class EnsembleSampler:
             self.rj_weights = []
             self.has_reversible_jump = False
         if self.has_reversible_jump:
-            from .moves.rbgroupstretch import RedBlueGroupStretchMove
-
             # the reference's own warning (ref ensemble.py:505-514) — plus
             # the fix it asks for, which the reference does not have
             if any(

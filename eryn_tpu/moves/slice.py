@@ -57,9 +57,10 @@ class SliceMove(Move):
 
     Args:
         mu: initial direction scale (self-tunes; see ``tune_steps``).
-        max_expand: stepping-out budget per walker (total left+right
-            expansions; the randomized split keeps the capped procedure
-            exact).
+        max_expand: stepping-out cap per walker: ``max_expand - 1`` total
+            interval expansions, split randomly between the left and right
+            ends (the randomized split keeps Neal's capped procedure
+            exact).  ``max_expand=1`` therefore allows no expansion.
         max_shrink: shrinkage iteration cap (truncation keeps the current
             point; with a tuned ``mu`` the loop resolves in a few steps).
         tune_steps: number of proposals that adapt ``mu`` (0 disables).
@@ -109,11 +110,6 @@ class SliceMove(Move):
     def _propose_impl(self, key, state, ctx, kernel_state):
         ntemps, nwalkers = state.log_like.shape
         dtype = state.log_like.dtype
-        if nwalkers < 2 * self.nsplits:
-            raise RuntimeError(
-                "SliceMove needs at least two complement walkers per block "
-                f"(nwalkers={nwalkers}, nsplits={self.nsplits})."
-            )
 
         coords = dict(state.branches_coords)
         inds = dict(state.branches_inds)
@@ -135,6 +131,12 @@ class SliceMove(Move):
             for i in range(self.nsplits)
         ]
         offsets = [sum(sizes[:i]) for i in range(self.nsplits)]
+        if nwalkers - max(sizes) < 2:
+            raise RuntimeError(
+                "SliceMove needs at least two complement walkers per block "
+                f"(nwalkers={nwalkers}, nsplits={self.nsplits} leaves a "
+                f"complement of {nwalkers - max(sizes)})."
+            )
         all_names = list(coords.keys())
 
         for names, param_masks in self.gibbs_iterations_for(state):
@@ -187,6 +189,16 @@ class SliceMove(Move):
                         e = e * jnp.asarray(mask)[None, None, :, :]
                     eta[n] = e.astype(dtype)
 
+                # walkers with an identically-zero direction (RJ k=0, or a
+                # Gibbs split masking out all their params) have nothing to
+                # sample: the tempered posterior is constant along lam, so
+                # they would otherwise drain the full expansion budget as
+                # phantom "expansions" and poison the mu adaptation.  They
+                # sit this block out entirely.
+                act = jnp.zeros((ntemps, ns), dtype=bool)
+                for n in names:
+                    act = act | (eta[n] != 0).any(axis=(2, 3))
+
                 # frozen non-moved branch blocks for the evaluations
                 fixed = {
                     n: blk(coords_p[n], off, ns)
@@ -214,13 +226,19 @@ class SliceMove(Move):
                 prev_logp = blk(logp_p, off, ns)
                 logP0 = tempered_log_likelihood(prev_logl, betas) + prev_logp
                 key, ky, kJ, ku0, kshr = jax.random.split(key, 5)
-                y = logP0 + jnp.log(
-                    jax.random.uniform(ky, (ntemps, ns), dtype=dtype)
+                # log1p(-u) maps u in [0, 1) to log of (0, 1]: u == 0.0
+                # (probability ~2^-24 per draw in float32) must not give
+                # y = -inf, which would accept an arbitrary point of the
+                # fully stepped-out interval unconditionally.
+                y = logP0 + jnp.log1p(
+                    -jax.random.uniform(ky, (ntemps, ns), dtype=dtype)
                 )
 
                 # ---- stepping out (Neal 2003, randomized capped budget) ----
                 J = jax.random.randint(kJ, (ntemps, ns), 0, self.max_expand)
                 K = (self.max_expand - 1) - J
+                J = jnp.where(act, J, 0)
+                K = jnp.where(act, K, 0)
                 u0 = jax.random.uniform(ku0, (ntemps, ns), dtype=dtype)
                 L0 = -u0
                 R0 = L0 + 1.0
@@ -256,7 +274,7 @@ class SliceMove(Move):
                     L,
                     R,
                     jnp.zeros((ntemps, ns), dtype),  # selected lambda
-                    jnp.zeros((ntemps, ns), dtype=bool),  # done
+                    ~act,  # done: zero-direction walkers sit out
                     prev_logl,
                     prev_logp,
                     zeros_like_blobs,
@@ -325,7 +343,7 @@ class SliceMove(Move):
                         jnp.where(db, bl_sel, blk(blobs_p, off, ns)),
                         off,
                     )
-                acc_p = unblk(acc_p, done | blk(acc_p, off, ns), off)
+                acc_p = unblk(acc_p, (done & act) | blk(acc_p, off, ns), off)
 
             coords = {n: coords_p[n][:, inv_perm] for n in all_names}
             logl = logl_p[:, inv_perm]

@@ -149,3 +149,49 @@ def test_nwalkers_guard(priors):
     ens = EnsembleSampler(3, NDIM, log_like, priors, moves=SliceMove(), seed=1)
     with pytest.raises(RuntimeError, match="complement"):
         ens.run_mcmc(np.zeros((3, NDIM)), 2)
+
+
+def test_nsplits_one_guard(priors):
+    """nsplits=1 leaves an empty complement — must raise, not emit
+    garbage directions from undefined-range index draws."""
+    ens = EnsembleSampler(
+        8, NDIM, log_like, priors, moves=SliceMove(nsplits=1), seed=1
+    )
+    with pytest.raises(RuntimeError, match="complement"):
+        ens.run_mcmc(np.zeros((8, NDIM)), 2)
+
+
+def test_empty_walkers_sit_out():
+    """Walkers with zero active leaves have an identically-zero slice
+    direction: they must not count as accepted, and must not drain the
+    expansion budget as phantom expansions that blow up the mu
+    adaptation."""
+    nlmax, ndim, nw = 2, 2, 32
+    pr = ProbDistContainer({i: uniform_dist(-1.0, 1.0) for i in range(ndim)})
+
+    def ll(coords, inds):
+        return jnp.zeros(())
+
+    move = SliceMove(tune_steps=150)
+    ens = EnsembleSampler(
+        nw, ndim, ll, pr,
+        nleaves_max=nlmax, nleaves_min=0,
+        moves=move,
+        fill_zero_leaves_val=0.0,
+        seed=13,
+    )
+    # no RJ moves: the leaf masks are frozen — half the walkers stay
+    # permanently empty (k=0), half fully active
+    coords = pr.rvs(size=(1, nw, nlmax))
+    inds = np.zeros((1, nw, nlmax), dtype=bool)
+    inds[:, nw // 2 :, :] = True
+    state = State({"model_0": coords}, inds={"model_0": inds})
+    ens.run_mcmc(state, 200)
+
+    # per-walker acceptance: empty walkers never accepted, active ~always
+    acc = np.asarray(ens.backend.accepted, dtype=float) / 200.0
+    assert acc[0, : nw // 2].max() == 0.0, acc[0, : nw // 2]
+    assert acc[0, nw // 2 :].min() > 0.9, acc[0, nw // 2 :]
+    # mu adapted sanely: phantom expansions would grow it geometrically
+    mu = float(np.asarray(ens._kernel_states[0]["mu"]))
+    assert 0.01 < mu < 50.0, mu
