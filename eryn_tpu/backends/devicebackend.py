@@ -661,6 +661,83 @@ class DeviceBackend(Backend):
                 print(f"Gelman-Rubin R-hat for {name}: {Rhat}")
         return out
 
+    def _modern_diag_cols(self, name, discard, thin):
+        """Cold-chain columns for the modern diagnostics, on device.
+
+        Returns ``(vals, keep)``: the NaN-masked ``(nsteps, nwalkers,
+        nleaves_max * ndim)`` device array and the host-side bool mask of
+        columns with at least one active sample (the host getters' ``keep``
+        selection) — only ``keep`` (a few bytes) crosses the tunnel here.
+        """
+        import jax.numpy as jnp
+
+        x = self._device_field("chain", name, discard, thin)[:, 0]
+        m = self._device_field("inds", name, discard, thin)[:, 0]
+        nsteps, nwalkers, nleaves_max, ndim = x.shape
+        vals = jnp.where(m[..., None], x, jnp.nan).reshape(
+            nsteps, nwalkers, nleaves_max * ndim
+        )
+        keep = np.asarray(jnp.isfinite(vals).any(axis=(0, 1)))
+        return vals, keep
+
+    def get_rank_normalized_rhat(
+        self, discard=0, thin=1, doprint=False, return_parts=False
+    ):
+        """Rank-normalized split-R-hat computed ON DEVICE (only the
+        per-parameter R-hat arrays cross to the host); same estimator as
+        the host backend (:func:`eryn_tpu.utils.utility.rank_normalized_rhat`).
+        Falls back to the host path when part of the chain was offloaded."""
+        if self._host is not None or not self._segs:
+            return super().get_rank_normalized_rhat(
+                discard=discard,
+                thin=thin,
+                doprint=doprint,
+                return_parts=return_parts,
+            )
+        from ..utils.utility import rank_normalized_rhat_jax
+
+        out = {}
+        for name in self.branch_names:
+            vals, keep = self._modern_diag_cols(name, discard, thin)
+            res = rank_normalized_rhat_jax(vals, return_parts=return_parts)
+            if return_parts:
+                out[name] = tuple(np.asarray(r)[keep] for r in res)
+            else:
+                out[name] = np.asarray(res)[keep]
+            if doprint:
+                rhat = out[name][0] if return_parts else out[name]
+                print(f"rank-normalized R-hat for {name}: {rhat}")
+        return out
+
+    def get_effective_sample_size(
+        self, discard=0, thin=1, doprint=False, return_parts=False
+    ):
+        """Bulk/tail effective sample size computed ON DEVICE (only the
+        per-parameter ESS arrays cross to the host); same estimator as the
+        host backend (:func:`eryn_tpu.utils.utility.effective_sample_size`).
+        Falls back to the host path when part of the chain was offloaded."""
+        if self._host is not None or not self._segs:
+            return super().get_effective_sample_size(
+                discard=discard,
+                thin=thin,
+                doprint=doprint,
+                return_parts=return_parts,
+            )
+        from ..utils.utility import effective_sample_size_jax
+
+        out = {}
+        for name in self.branch_names:
+            vals, keep = self._modern_diag_cols(name, discard, thin)
+            res = effective_sample_size_jax(vals, return_parts=return_parts)
+            if return_parts:
+                out[name] = tuple(np.asarray(r)[keep] for r in res)
+            else:
+                out[name] = np.asarray(res)[keep]
+            if doprint:
+                ess = out[name][0] if return_parts else out[name]
+                print(f"effective sample size for {name}: {ess}")
+        return out
+
     # ------------------------------------------------------------------
     # memory management
     # ------------------------------------------------------------------

@@ -26,6 +26,8 @@ __all__ = [
     "stepping_stone_log_evidence",
     "psrf",
     "rank_normalized_rhat",
+    "rank_normalized_rhat_jax",
+    "effective_sample_size_jax",
 ]
 
 
@@ -533,6 +535,165 @@ def effective_sample_size(chains, ndim=None, return_parts=False):
             tails.append(_ess_of(ind))
         tail[d] = np.nanmin(tails) if not np.all(np.isnan(tails)) else np.nan
     ess = np.fmin(bulk, tail)
+    if return_parts:
+        return ess, bulk, tail
+    return ess
+
+
+_MODERN_DIAG_FNS = None
+
+
+def _modern_diag_fns():
+    """Build (once) the jitted device kernels behind
+    :func:`rank_normalized_rhat_jax` / :func:`effective_sample_size_jax`.
+
+    Same math as the host estimators above (Vehtari et al. 2021), expressed
+    with static shapes so a :class:`~eryn_tpu.backends.DeviceBackend` chain
+    never crosses to the host: the scipy ``rankdata(method="average")`` tie
+    handling becomes two ``searchsorted`` passes over the sorted pooled
+    draws, the Geyer initial-positive truncation becomes a cumulative
+    positivity mask, and dropped all-NaN chains become zero-weight masks.
+    jit caches one compilation per (nsteps, nchains, ncols) shape.
+    """
+    global _MODERN_DIAG_FNS
+    if _MODERN_DIAG_FNS is not None:
+        return _MODERN_DIAG_FNS
+    import jax
+    from jax.scipy.special import ndtri
+
+    def rank_z(flat):
+        # fractional-rank z-scores of the pooled draws of one parameter;
+        # NaN (RJ-masked) entries sort to +inf and stay NaN in the output
+        finite = jnp.isfinite(flat)
+        S = finite.sum()
+        big = jnp.where(finite, flat, jnp.inf)
+        srt = jnp.sort(big)
+        left = jnp.searchsorted(srt, big, side="left")
+        right = jnp.searchsorted(srt, big, side="right")
+        r = 0.5 * (left + right + 1).astype(flat.dtype)
+        z = ndtri((r - 0.375) / (S + 0.25))
+        return jnp.where(finite, z, jnp.nan)
+
+    def basic_rhat(z):
+        n = z.shape[0]
+        means = jnp.nanmean(z, axis=0)
+        variances = jnp.nanvar(z, axis=0, ddof=1)
+        W = jnp.nanmean(variances)
+        B = n * jnp.nanvar(means, ddof=1)
+        return jnp.sqrt(((n - 1.0) / n * W + B / n) / W)
+
+    def ess_of(z):
+        n, m = z.shape
+        dtype = z.dtype
+        finite = jnp.isfinite(z)
+        chain_keep = finite.any(axis=0)
+        kf = chain_keep.astype(dtype)
+        mk = kf.sum()
+        counts = jnp.maximum(finite.sum(axis=0), 1)
+        means = jnp.where(finite, z, 0.0).sum(axis=0) / counts
+        zf = jnp.where(finite, z, means[None, :])
+        zf = jnp.where(chain_keep[None, :], zf, 0.0)
+        variances = zf.var(axis=0, ddof=1)
+        W = (variances * kf).sum() / mk
+        mbar = (means * kf).sum() / mk
+        B_over_n = (kf * (means - mbar) ** 2).sum() / jnp.maximum(mk - 1.0, 1.0)
+        var_plus = W * (n - 1.0) / n + B_over_n
+        f = jnp.fft.rfft(zf - zf.mean(axis=0, keepdims=True), n=2 * n, axis=0)
+        acov = jnp.fft.irfft(f * jnp.conj(f), n=2 * n, axis=0)[:n] / n
+        acov_mean = (acov * kf[None, :]).sum(axis=1) / mk
+        rho = 1.0 - (W - acov_mean) / var_plus
+        # Geyer initial positive pair sums with the monotone adjustment:
+        # the data-dependent truncation index becomes a prefix mask
+        L = (n - 1) // 2
+        pairs = rho[0 : 2 * L : 2] + rho[1 : 2 * L : 2]
+        ok = jnp.cumprod((pairs > 0.0).astype(dtype))
+        tau_sum = (jnp.minimum.accumulate(pairs) * ok).sum()
+        tau = jnp.where(pairs[0] > 0.0, -1.0 + 2.0 * tau_sum, 1.0)
+        tau = jnp.maximum(
+            tau, 1.0 / jnp.log10(jnp.maximum(n * mk, 10.0))
+        )
+        ess = n * mk / tau
+        bad = (
+            (mk < 2.0)
+            | ~jnp.isfinite(var_plus)
+            | (var_plus <= 0.0)
+            | (W <= 0.0)
+        )
+        return jnp.where(bad, jnp.nan, ess)
+
+    def rhat_col(x2):
+        bulk = basic_rhat(rank_z(x2.ravel()).reshape(x2.shape))
+        folded = jnp.abs(x2 - jnp.nanmedian(x2))
+        tail = basic_rhat(rank_z(folded.ravel()).reshape(x2.shape))
+        return bulk, tail
+
+    def ess_col(x2):
+        finite = jnp.isfinite(x2)
+        any_f = finite.any()
+        bulk = ess_of(rank_z(x2.ravel()).reshape(x2.shape))
+        qs = jnp.nanquantile(x2, jnp.array([0.05, 0.95], dtype=x2.dtype))
+        t0 = ess_of(jnp.where(finite, (x2 <= qs[0]).astype(x2.dtype), jnp.nan))
+        t1 = ess_of(jnp.where(finite, (x2 <= qs[1]).astype(x2.dtype), jnp.nan))
+        tail = jnp.nanmin(jnp.stack([t0, t1]))
+        return (
+            jnp.where(any_f, bulk, jnp.nan),
+            jnp.where(any_f, tail, jnp.nan),
+        )
+
+    def split(vals):
+        # _split_chains with static shapes: drop leading odd steps, halve
+        nsteps = vals.shape[0]
+        half = nsteps // 2
+        trimmed = vals[nsteps - 2 * half :]
+        return jnp.concatenate([trimmed[:half], trimmed[half:]], axis=1)
+
+    def rhat_all(vals):
+        bulk, tail = jax.vmap(rhat_col, in_axes=2)(split(vals))
+        return jnp.maximum(bulk, tail), bulk, tail
+
+    def ess_all(vals):
+        bulk, tail = jax.vmap(ess_col, in_axes=2)(split(vals))
+        return jnp.fmin(bulk, tail), bulk, tail
+
+    _MODERN_DIAG_FNS = (jax.jit(rhat_all), jax.jit(ess_all))
+    return _MODERN_DIAG_FNS
+
+
+def rank_normalized_rhat_jax(chains, return_parts=False):
+    """Device-side :func:`rank_normalized_rhat` — the chain stays on
+    device; only the ``(ncols,)`` R-hat arrays cross to the host.
+
+    Args:
+        chains: ``(nsteps, nwalkers, ncols)`` device array (NaNs for
+            RJ-masked entries).
+        return_parts: also return the ``(bulk, tail)`` arrays.
+    """
+    chains = jnp.asarray(chains)
+    if chains.shape[0] // 2 < 2:
+        raise ValueError(
+            f"rank-normalized R-hat needs >= 4 steps, got {chains.shape[0]}."
+        )
+    rhat, bulk, tail = _modern_diag_fns()[0](chains)
+    if return_parts:
+        return rhat, bulk, tail
+    return rhat
+
+
+def effective_sample_size_jax(chains, return_parts=False):
+    """Device-side :func:`effective_sample_size` — the chain stays on
+    device; only the ``(ncols,)`` ESS arrays cross to the host.
+
+    Args:
+        chains: ``(nsteps, nwalkers, ncols)`` device array (NaNs for
+            RJ-masked entries).
+        return_parts: also return the ``(bulk, tail)`` arrays.
+    """
+    chains = jnp.asarray(chains)
+    if chains.shape[0] // 2 < 2:
+        raise ValueError(
+            f"effective sample size needs >= 4 steps, got {chains.shape[0]}."
+        )
+    ess, bulk, tail = _modern_diag_fns()[1](chains)
     if return_parts:
         return ess, bulk, tail
     return ess

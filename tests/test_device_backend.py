@@ -460,7 +460,9 @@ def test_device_iact_bucketing_exact(priors):
 
 def test_device_modern_diagnostics_match_host(priors):
     """Rank-normalized R-hat and bulk/tail ESS agree between the
-    device-resident and host backends on identical chains."""
+    device-resident (on-device reduction, only per-parameter arrays cross)
+    and host backends on identical chains — including return_parts and the
+    host fallback after offload."""
     coords = priors.rvs(size=(NTEMPS, NWALKERS))
     host = _run(Backend(dtype=np.float32), priors, nsteps=80, coords=coords)
     dev = _run(DeviceBackend(dtype=np.float32), priors, nsteps=80, coords=coords)
@@ -473,3 +475,57 @@ def test_device_modern_diagnostics_match_host(priors):
     e_d = dev.backend.get_effective_sample_size()["model_0"]
     np.testing.assert_allclose(e_d, e_h, rtol=1e-5)
     assert np.all(np.isfinite(e_d)) and np.all(e_d > 0)
+
+    # return_parts shapes and values agree component-wise (slightly looser:
+    # f32-vs-f64 median folding can re-rank exact-tie pairs straddling the
+    # pooled median, a harmless O(1e-5) perturbation of one component)
+    parts_h = host.backend.get_rank_normalized_rhat(return_parts=True)["model_0"]
+    parts_d = dev.backend.get_rank_normalized_rhat(return_parts=True)["model_0"]
+    for a, b in zip(parts_d, parts_h):
+        np.testing.assert_allclose(a, b, rtol=2e-4)
+    parts_h = host.backend.get_effective_sample_size(return_parts=True)["model_0"]
+    parts_d = dev.backend.get_effective_sample_size(return_parts=True)["model_0"]
+    for a, b in zip(parts_d, parts_h):
+        np.testing.assert_allclose(a, b, rtol=2e-3)
+
+    # after offload the host fallback serves the same answers
+    dev.backend.offload()
+    np.testing.assert_allclose(
+        dev.backend.get_rank_normalized_rhat()["model_0"], r_h, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        dev.backend.get_effective_sample_size()["model_0"], e_h, rtol=1e-5
+    )
+
+
+def test_modern_diag_jax_rj_masked_columns():
+    """The device kernels behind the modern diagnostics reproduce the host
+    estimators on RJ-style NaN-masked chains: exact tie ranks (rejected-
+    step duplicates), partially- and fully-masked columns."""
+    from eryn_tpu.utils.utility import (
+        effective_sample_size,
+        effective_sample_size_jax,
+        rank_normalized_rhat,
+        rank_normalized_rhat_jax,
+    )
+
+    rng = np.random.default_rng(5)
+    n, w, d = 120, 12, 5
+    x = np.cumsum(rng.normal(size=(n, w, d)), axis=0) * 0.1 + rng.normal(
+        size=(1, w, d)
+    )
+    dup = rng.random((n, w, d)) < 0.3
+    x[1:][dup[1:]] = x[:-1][dup[1:]]  # exact MCMC-rejection ties
+    x[rng.random((n, w, d)) < 0.4] = np.nan  # RJ-masked entries
+    x[:, :, -1] = np.nan  # an all-masked column
+    x32 = x.astype(np.float32)
+
+    r_h = rank_normalized_rhat(x32.astype(np.float64))
+    r_d = np.asarray(rank_normalized_rhat_jax(jnp.asarray(x32)))
+    np.testing.assert_allclose(r_d[:-1], r_h[:-1], rtol=1e-5)
+    assert np.isnan(r_d[-1]) and np.isnan(r_h[-1])
+
+    e_h = effective_sample_size(x32.astype(np.float64))
+    e_d = np.asarray(effective_sample_size_jax(jnp.asarray(x32)))
+    np.testing.assert_allclose(e_d[:-1], e_h[:-1], rtol=1e-4)
+    assert np.isnan(e_d[-1]) and np.isnan(e_h[-1])
