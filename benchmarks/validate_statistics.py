@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.prior import normal_dist
 from eryn_tpu.moves import (
+    ChEESHMCMove,
     DelayedRejection,
     ModelSwapRJMove,
     DEMove,
@@ -137,7 +138,11 @@ def check_gradient_efficiency(tag="gradient-move efficiency"):
     same target (VERDICT r2 weak-point #2)."""
     stretch_tau = _MOVE_STATS["StretchMove"]["tau"]
     ok = True
-    for name, band in (("MALAMove", (0.40, 0.80)), ("HMCMove", (0.45, 0.90))):
+    for name, band in (
+        ("MALAMove", (0.40, 0.80)),
+        ("HMCMove", (0.45, 0.90)),
+        ("ChEESHMCMove", (0.45, 0.90)),
+    ):
         st = _MOVE_STATS[name]
         in_band = band[0] <= st["acc"] <= band[1]
         faster = st["tau"] < stretch_tau
@@ -322,6 +327,7 @@ def main():
         ),
         check_move("MALAMove", [MALAMove()], 15, nsteps=1500),
         check_move("HMCMove", [HMCMove()], 16, nsteps=800),
+        check_move("ChEESHMCMove", [ChEESHMCMove()], 23, nsteps=800),
         check_gradient_efficiency(),
         check_rj("RJ k-posterior vs quadrature"),
         check_modelswap("Product-space Bayes factor"),

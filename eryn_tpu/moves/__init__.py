@@ -89,6 +89,13 @@ except ImportError:  # pragma: no cover
     pass
 
 try:
+    from .chees import ChEESHMCMove
+
+    __all__ += ["ChEESHMCMove"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:
     from .de import DEMove, DESnookerMove
 
     __all__ += ["DEMove", "DESnookerMove"]

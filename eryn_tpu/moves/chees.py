@@ -1,0 +1,284 @@
+"""ChEES-HMC — self-tuning trajectory lengths, the TPU-native NUTS.
+
+No reference equivalent (the reference cannot take gradients through its
+NumPy likelihoods; see :mod:`eryn_tpu.moves.mala`).  NUTS — the usual
+answer to "how long should an HMC trajectory be?" — is a poor fit for
+SIMD ensembles: every walker recurses to a different tree depth, so a
+lockstep batch pays the deepest walker's cost every step while the
+per-walker control flow defeats XLA's batching.  ChEES-HMC (Hoffman,
+Radul & Sountsov 2021, "An Adaptive-MCMC Scheme for Setting Trajectory
+Lengths in Hamiltonian Monte Carlo") was designed at Google for exactly
+this setting: ALL walkers share one jittered trajectory length per
+proposal (a single ``lax.while_loop``, fully batched), and the length
+bound adapts by Adam ascent on the ChEES criterion
+
+    ChEES = (1/4) E[ (||x' - E x'||^2 - ||x - E x||^2)^2 ],
+
+the change in the estimator of the expected squared jump distance of the
+*centered second moment* — maximizing it drives the trajectory toward the
+length that decorrelates the slowest (largest-variance) direction.  The
+criterion needs cross-chain expectations; an ensemble sampler gets them
+for free from its walker population (here: the cold-temperature walkers).
+
+Step size adapts simultaneously by the dual-averaging machinery inherited
+from :class:`~eryn_tpu.moves.mala.MALAMove` (the pairing used in the
+paper).  Both freeze after ``tune_steps`` proposals, after which the move
+is plain jittered-length HMC — detailed balance is exact from that point
+on (run the tuning inside burn-in), and the jitter keeps NUTS's
+robustness to periodic orbits (Neal 2011 §3.2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import HMCMove
+from .tempering import tempered_log_likelihood
+
+__all__ = ["ChEESHMCMove"]
+
+
+def _halton2(t):
+    """t-th element of the base-2 Halton (van der Corput) sequence in
+    (0, 1) — the low-discrepancy trajectory jitter the ChEES paper uses
+    (variance reduction over i.i.d. uniforms); computed by reversing the
+    32 bits of ``t + 1``."""
+    i = (t + 1).astype(jnp.uint32)
+    i = ((i & 0x55555555) << 1) | ((i >> 1) & 0x55555555)
+    i = ((i & 0x33333333) << 2) | ((i >> 2) & 0x33333333)
+    i = ((i & 0x0F0F0F0F) << 4) | ((i >> 4) & 0x0F0F0F0F)
+    i = ((i & 0x00FF00FF) << 8) | ((i >> 8) & 0x00FF00FF)
+    i = (i << 16) | (i >> 16)
+    return i.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) * (
+        2.0**-32
+    )
+
+
+class ChEESHMCMove(HMCMove):
+    """HMC with ChEES-adapted jittered trajectory lengths.
+
+    Per proposal: draw the shared jitter ``u`` from the Halton sequence,
+    integrate ``L = clip(ceil(u * T / eps), 1, max_leapfrog)`` leapfrog
+    steps for every walker in one ``lax.while_loop`` (the batch pays
+    ``L`` gradient evaluations, not ``max_leapfrog``), then update
+    ``log T`` by Adam on the per-walker ChEES gradient estimate
+
+        g_i = alpha_i * (d_new_i - d_old_i) * <x'_i - mean x', p'_i> * u
+
+    (``alpha`` the acceptance probability, ``p'`` the final momentum,
+    ``d`` the centered squared radius over the cold-chain ensemble).
+
+    Args:
+        eps: leapfrog step size (scalar / per-branch / ``None`` for the
+            dimension-aware heuristic), as :class:`HMCMove`.
+        max_leapfrog: static cap on leapfrog steps per proposal (bounds
+            the compiled loop; the adapted trajectory clips against it).
+        init_num_leapfrog: initial trajectory length in units of steps.
+        adam_lr: Adam learning rate for ``log T`` (paper default 0.025).
+        target_acceptance / tune_steps: dual-averaging step-size
+            adaptation, inherited (0.651 is the paper's target).
+
+    Notes:
+        Periodic parameters enter the ChEES statistic unwrapped — the
+        criterion is a tuning heuristic only, so exactness is unaffected.
+        RJ-masked leaves carry zero momentum and zero centered
+        coordinates, so empty slots contribute nothing to the criterion.
+    """
+
+    def __init__(
+        self,
+        eps=None,
+        max_leapfrog=32,
+        init_num_leapfrog=5,
+        adam_lr=0.025,
+        target_acceptance=0.651,
+        tune_steps=500,
+        **kwargs,
+    ):
+        super().__init__(
+            eps=eps,
+            num_leapfrog=int(max_leapfrog),
+            target_acceptance=target_acceptance,
+            tune_steps=tune_steps,
+            **kwargs,
+        )
+        self.max_leapfrog = int(max_leapfrog)
+        self.init_num_leapfrog = int(init_num_leapfrog)
+        self.adam_lr = float(adam_lr)
+        if not 1 <= self.init_num_leapfrog <= self.max_leapfrog:
+            raise ValueError(
+                f"init_num_leapfrog must lie in [1, max_leapfrog], got "
+                f"{init_num_leapfrog} with max_leapfrog={max_leapfrog}."
+            )
+
+    def init_kernel_state(self, state):
+        ks = super().init_kernel_state(state)
+        dtype = state.log_like.dtype
+        names = self.run_branches(state)
+        # scalar "time" step: geometric mean of the per-parameter step
+        # sizes — converts the tuned trajectory TIME into a step count
+        logs = [
+            jnp.log(
+                jnp.maximum(
+                    jnp.abs(
+                        self._eps_for(n, state.branches[n].ndim, dtype, ks)
+                    ),
+                    1e-12,
+                )
+            ).ravel()
+            for n in names
+        ]
+        eps_time = jnp.exp(jnp.concatenate(logs).mean()).astype(dtype)
+        ks["eps_time_base"] = eps_time
+        ks["log_T"] = jnp.log(self.init_num_leapfrog * eps_time).astype(dtype)
+        ks["adam_m"] = jnp.zeros((), dtype)
+        ks["adam_v"] = jnp.zeros((), dtype)
+        return ks
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
+            state, ctx
+        )
+        ks = kernel_state if isinstance(kernel_state, dict) else {}
+        scale = self._current_scale(ks, dtype)
+        eps_vecs = {
+            n: scale * self._eps_for(n, coords[n].shape[-1], dtype, ks)
+            for n in names
+        }
+        masks = {n: inds[n][..., None] for n in names}
+
+        if ks:
+            u = _halton2(ks["t"]).astype(dtype)
+            eps_time = scale * ks["eps_time_base"]
+            T = jnp.exp(ks["log_T"])
+            L = jnp.clip(
+                jnp.ceil(u * T / eps_time), 1, self.max_leapfrog
+            ).astype(jnp.int32)
+        else:  # bare kernel call: fixed-length fallback, no adaptation
+            key, k_u = jax.random.split(key)
+            u = jax.random.uniform(k_u, (), dtype=dtype)
+            T = None
+            L = jnp.asarray(self.init_num_leapfrog, jnp.int32)
+
+        key, k_p, k_acc = jax.random.split(key, 3)
+        p_keys = jax.random.split(k_p, len(names))
+        p0 = {
+            n: jnp.where(
+                masks[n], jax.random.normal(kp, coords[n].shape, dtype), 0.0
+            )
+            for n, kp in zip(names, p_keys)
+        }
+
+        def kinetic(p):
+            total = jnp.zeros(state.log_like.shape, dtype=dtype)
+            for n in names:
+                total = total + 0.5 * jnp.where(masks[n], p[n] ** 2, 0.0).sum(
+                    axis=(-2, -1)
+                )
+            return total
+
+        def half_kick(p, g):
+            return {
+                n: p[n] + 0.5 * eps_vecs[n] * jnp.where(masks[n], g[n], 0.0)
+                for n in names
+            }
+
+        def drift(x, p):
+            return {
+                n: self._wrap_periodic(
+                    n, x[n] + eps_vecs[n] * jnp.where(masks[n], p[n], 0.0)
+                )
+                for n in names
+            }
+
+        (_, aux0), g0 = grad_fn(coords)
+
+        def cond(carry):
+            return carry[0] < L
+
+        def body(carry):
+            i, x, p, g, _aux = carry
+            p = half_kick(p, g)
+            x = drift(x, p)
+            (_, aux), g = grad_fn(x)
+            p = half_kick(p, g)
+            return (i + 1, x, p, g, aux)
+
+        _, x1, p1, _g1, (ll1, lp1, blobs1) = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), coords, p0, g0, aux0)
+        )
+        factors = kinetic(p0) - kinetic(p1)
+
+        if self.tune_steps > 0 and ks:
+            ks = self._adapt_traj_length(
+                ks, state, names, masks, coords, x1, p1, factors, ll1, lp1,
+                betas, u, T, eps_time, dtype,
+            )
+
+        return self._accept_and_merge(
+            k_acc, state, names, coords, x1, factors, ll1, lp1, blobs1,
+            betas, dtype, ks,
+        )
+
+    def _adapt_traj_length(
+        self, ks, state, names, masks, coords, x1, p1, factors, ll1, lp1,
+        betas, u, T, eps_time, dtype,
+    ):
+        """One Adam ascent step on ``log T`` from the cold-chain ChEES
+        gradient estimate; frozen (identity) once ``t >= tune_steps``."""
+        logP_new = tempered_log_likelihood(ll1, betas) + lp1
+        logP_old = (
+            tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        )
+        lnpdiff = factors + logP_new - logP_old
+        alpha = jnp.nan_to_num(jnp.exp(jnp.minimum(lnpdiff, 0.0)))[0]
+
+        nwalkers = state.log_like.shape[1]
+        x_old = jnp.concatenate(
+            [
+                jnp.where(masks[n][0], coords[n][0], 0.0).reshape(
+                    nwalkers, -1
+                )
+                for n in names
+            ],
+            axis=-1,
+        )
+        x_new = jnp.concatenate(
+            [
+                jnp.where(masks[n][0], x1[n][0], 0.0).reshape(nwalkers, -1)
+                for n in names
+            ],
+            axis=-1,
+        )
+        p_new = jnp.concatenate(
+            [p1[n][0].reshape(nwalkers, -1) for n in names], axis=-1
+        )
+        xc_o = x_old - x_old.mean(axis=0, keepdims=True)
+        xc_n = x_new - x_new.mean(axis=0, keepdims=True)
+        d_old = (xc_o**2).sum(axis=-1)
+        d_new = (xc_n**2).sum(axis=-1)
+        g_per = (d_new - d_old) * (xc_n * p_new).sum(axis=-1)
+        w_sum = jnp.maximum(alpha.sum(), 1e-12)
+        # d/dlogT = T * d/dT; the endpoint moves as dx'/dT = u * p'
+        g_logT = jnp.nan_to_num((alpha * g_per).sum() / w_sum * u * T)
+
+        tuning = ks["t"] < self.tune_steps
+        tf = (ks["t"] + 1).astype(dtype)
+        b1, b2 = 0.9, 0.999
+        m = b1 * ks["adam_m"] + (1.0 - b1) * g_logT
+        v = b2 * ks["adam_v"] + (1.0 - b2) * g_logT**2
+        m_hat = m / (1.0 - b1**tf)
+        v_hat = v / (1.0 - b2**tf)
+        step = self.adam_lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+        log_T_new = jnp.clip(
+            ks["log_T"] + step,
+            jnp.log(eps_time),
+            jnp.log(self.max_leapfrog * eps_time),
+        )
+        return {
+            **ks,
+            "log_T": jnp.where(tuning, log_T_new, ks["log_T"]),
+            "adam_m": jnp.where(tuning, m, ks["adam_m"]),
+            "adam_v": jnp.where(tuning, v, ks["adam_v"]),
+        }

@@ -38,7 +38,9 @@ class HMCMove(MALAMove):
             anyway, so randomizing the (shared) length gives NUTS's
             robustness to periodic orbits at a fixed, fully-batched cost
             (Neal 2011 §3.2 "jittering"; exactness is untouched because the
-            length is drawn independently of the state).
+            length is drawn independently of the state).  To tune the
+            trajectory-length bound automatically, use
+            :class:`~eryn_tpu.moves.chees.ChEESHMCMove`.
         target_acceptance / tune_steps: dual-averaging step-size adaptation
             (inherited from :class:`~eryn_tpu.moves.mala.MALAMove`; 0.65 is
             the HMC-optimal acceptance).

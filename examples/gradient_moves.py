@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
-from eryn_tpu.moves import HMCMove, MALAMove, StretchMove
+from eryn_tpu.moves import ChEESHMCMove, HMCMove, MALAMove, StretchMove
 
 from _common import example_steps as _steps
 
@@ -45,6 +45,10 @@ for label, move in [
     ("stretch", StretchMove()),
     ("MALA", MALAMove(eps=0.35)),
     ("HMC", HMCMove(eps=0.25, num_leapfrog=12)),
+    # fully hands-off: eps and the trajectory length both self-tune
+    # (ChEES-HMC, the SIMD-batched NUTS alternative); adaptation must
+    # finish inside burn-in, so tune_steps = the burn length
+    ("ChEES", ChEESHMCMove(tune_steps=_steps(200))),
 ]:
     ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, moves=[move], seed=3)
     ens.run_mcmc(start, _steps(600), burn=_steps(200))
