@@ -149,48 +149,29 @@ class ChEESHMCMove(HMCMove):
         masks = {n: inds[n][..., None] for n in names}
 
         if ks:
+            # the proposal counter drives the Halton jitter; dual averaging
+            # only advances it when tune_steps > 0, so bump it here in the
+            # frozen/no-tuning case to keep the jitter moving
             u = _halton2(ks["t"]).astype(dtype)
             eps_time = scale * ks["eps_time_base"]
             T = jnp.exp(ks["log_T"])
             L = jnp.clip(
                 jnp.ceil(u * T / eps_time), 1, self.max_leapfrog
             ).astype(jnp.int32)
-        else:  # bare kernel call: fixed-length fallback, no adaptation
-            key, k_u = jax.random.split(key)
-            u = jax.random.uniform(k_u, (), dtype=dtype)
-            T = None
+            if self.tune_steps <= 0:
+                ks = {**ks, "t": ks["t"] + 1}
+        else:
+            # bare kernel call (no kernel state): fixed-length fallback —
+            # no jitter counter exists, so the length cannot jitter
+            eps_time = T = None
             L = jnp.asarray(self.init_num_leapfrog, jnp.int32)
+            u = None
 
         key, k_p, k_acc = jax.random.split(key, 3)
-        p_keys = jax.random.split(k_p, len(names))
-        p0 = {
-            n: jnp.where(
-                masks[n], jax.random.normal(kp, coords[n].shape, dtype), 0.0
-            )
-            for n, kp in zip(names, p_keys)
-        }
-
-        def kinetic(p):
-            total = jnp.zeros(state.log_like.shape, dtype=dtype)
-            for n in names:
-                total = total + 0.5 * jnp.where(masks[n], p[n] ** 2, 0.0).sum(
-                    axis=(-2, -1)
-                )
-            return total
-
-        def half_kick(p, g):
-            return {
-                n: p[n] + 0.5 * eps_vecs[n] * jnp.where(masks[n], g[n], 0.0)
-                for n in names
-            }
-
-        def drift(x, p):
-            return {
-                n: self._wrap_periodic(
-                    n, x[n] + eps_vecs[n] * jnp.where(masks[n], p[n], 0.0)
-                )
-                for n in names
-            }
+        p0 = self._draw_momenta(k_p, names, coords, masks, dtype)
+        kinetic, half_kick, drift = self._leapfrog_fns(
+            names, masks, eps_vecs, dtype
+        )
 
         (_, aux0), g0 = grad_fn(coords)
 
@@ -213,7 +194,7 @@ class ChEESHMCMove(HMCMove):
         if self.tune_steps > 0 and ks:
             ks = self._adapt_traj_length(
                 ks, state, names, masks, coords, x1, p1, factors, ll1, lp1,
-                betas, u, T, eps_time, dtype,
+                betas, u, T, eps_time, eps_vecs, dtype,
             )
 
         return self._accept_and_merge(
@@ -223,7 +204,7 @@ class ChEESHMCMove(HMCMove):
 
     def _adapt_traj_length(
         self, ks, state, names, masks, coords, x1, p1, factors, ll1, lp1,
-        betas, u, T, eps_time, dtype,
+        betas, u, T, eps_time, eps_vecs, dtype,
     ):
         """One Adam ascent step on ``log T`` from the cold-chain ChEES
         gradient estimate; frozen (identity) once ``t >= tune_steps``."""
@@ -235,27 +216,38 @@ class ChEESHMCMove(HMCMove):
         alpha = jnp.nan_to_num(jnp.exp(jnp.minimum(lnpdiff, 0.0)))[0]
 
         nwalkers = state.log_like.shape[1]
-        x_old = jnp.concatenate(
-            [
-                jnp.where(masks[n][0], coords[n][0], 0.0).reshape(
-                    nwalkers, -1
+
+        def flat(d):
+            return jnp.concatenate(
+                [d[n][0].reshape(nwalkers, -1) for n in names], axis=-1
+            )
+
+        # mask-aware centering: means over ACTIVE slots only, and inactive
+        # slots contribute exactly zero to the criterion (RJ leaf masks are
+        # unchanged along an HMC trajectory, so one mask serves both ends)
+        m_flat = flat(
+            {n: jnp.broadcast_to(masks[n], coords[n].shape) for n in names}
+        ).astype(dtype)
+        cnt = jnp.maximum(m_flat.sum(axis=0, keepdims=True), 1.0)
+
+        def centered(x_flat):
+            mean = (x_flat * m_flat).sum(axis=0, keepdims=True) / cnt
+            return jnp.where(m_flat > 0, x_flat - mean, 0.0)
+
+        xc_o = centered(flat(coords))
+        xc_n = centered(flat(x1))
+        # the endpoint velocity per dimension is (eps_k / eps_time) * p'
+        # when the trajectory is parametrized by time (per-parameter
+        # preconditioning makes dimensions advance at different rates)
+        eps_flat = flat(
+            {
+                n: jnp.broadcast_to(
+                    eps_vecs[n], (1,) + coords[n].shape[1:]
                 )
                 for n in names
-            ],
-            axis=-1,
+            }
         )
-        x_new = jnp.concatenate(
-            [
-                jnp.where(masks[n][0], x1[n][0], 0.0).reshape(nwalkers, -1)
-                for n in names
-            ],
-            axis=-1,
-        )
-        p_new = jnp.concatenate(
-            [p1[n][0].reshape(nwalkers, -1) for n in names], axis=-1
-        )
-        xc_o = x_old - x_old.mean(axis=0, keepdims=True)
-        xc_n = x_new - x_new.mean(axis=0, keepdims=True)
+        p_new = flat(p1) * (eps_flat / eps_time)
         d_old = (xc_o**2).sum(axis=-1)
         d_new = (xc_n**2).sum(axis=-1)
         g_per = (d_new - d_old) * (xc_n * p_new).sum(axis=-1)

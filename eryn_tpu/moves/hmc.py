@@ -84,35 +84,27 @@ class HMCMove(MALAMove):
             self.num_leapfrog = int(num_leapfrog)
             self.num_leapfrog_min = None
 
-    def _propose_impl(self, key, state, ctx, kernel_state=()):
-        names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
-            state, ctx
-        )
-        scale = self._current_scale(kernel_state, dtype)
-        eps_vecs = {
-            n: scale * self._eps_for(n, coords[n].shape[-1], dtype, kernel_state)
-            for n in names
-        }
-        masks = {n: inds[n][..., None] for n in names}
-
-        key, k_p, k_acc = jax.random.split(key, 3)
+    # -- shared leapfrog plumbing (also used by ChEESHMCMove) ---------------
+    def _draw_momenta(self, k_p, names, coords, masks, dtype):
+        """Unit-mass momenta on active leaves only (zero on RJ-masked)."""
         p_keys = jax.random.split(k_p, len(names))
-        p0 = {
+        return {
             n: jnp.where(
                 masks[n], jax.random.normal(kp, coords[n].shape, dtype), 0.0
             )
             for n, kp in zip(names, p_keys)
         }
 
+    def _leapfrog_fns(self, names, masks, eps_vecs, dtype):
+        """(kinetic, half_kick, drift) closures over the step sizes/masks."""
+
         def kinetic(p):
-            total = jnp.zeros(state.log_like.shape, dtype=dtype)
+            total = jnp.zeros(masks[names[0]].shape[:2], dtype=dtype)
             for n in names:
                 total = total + 0.5 * jnp.where(masks[n], p[n] ** 2, 0.0).sum(
                     axis=(-2, -1)
                 )
             return total
-
-        (_, _aux0), g = grad_fn(coords)
 
         def half_kick(p, g):
             return {
@@ -130,6 +122,27 @@ class HMCMove(MALAMove):
                 )
                 for n in names
             }
+
+        return kinetic, half_kick, drift
+
+    def _propose_impl(self, key, state, ctx, kernel_state=()):
+        names, coords, inds, betas, dtype, grad_fn = self._grad_setup(
+            state, ctx
+        )
+        scale = self._current_scale(kernel_state, dtype)
+        eps_vecs = {
+            n: scale * self._eps_for(n, coords[n].shape[-1], dtype, kernel_state)
+            for n in names
+        }
+        masks = {n: inds[n][..., None] for n in names}
+
+        key, k_p, k_acc = jax.random.split(key, 3)
+        p0 = self._draw_momenta(k_p, names, coords, masks, dtype)
+        kinetic, half_kick, drift = self._leapfrog_fns(
+            names, masks, eps_vecs, dtype
+        )
+
+        (_, _aux0), g = grad_fn(coords)
 
         if self.num_leapfrog_min is not None:
             key, k_len = jax.random.split(key)

@@ -138,3 +138,20 @@ def test_chees_tempered_and_rj(priors):
 def test_chees_validates_args():
     with pytest.raises(ValueError, match="init_num_leapfrog"):
         ChEESHMCMove(init_num_leapfrog=64, max_leapfrog=32)
+
+
+def test_chees_jitter_advances_without_tuning(priors):
+    """With tune_steps=0 the dual-averaging path never runs, but the
+    proposal counter (which drives the Halton jitter) must still advance
+    — a frozen counter would repeat u=0.5 forever, silently removing the
+    trajectory-length jitter."""
+    cov, ll = _correlated()
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, ll, priors, moves=[ChEESHMCMove(tune_steps=0)],
+        seed=85,
+    )
+    coords = np.random.default_rng(4).standard_normal(
+        (NWALKERS, NDIM)
+    ) @ np.linalg.cholesky(cov).T
+    ens.run_mcmc(coords, 20)
+    assert int(ens._kernel_states[0]["t"]) == 20
