@@ -76,11 +76,11 @@ def _ks_stat(samples):
     return max(d_plus, d_minus)
 
 
-def check_move(tag, moves, seed, ntemps=1, nsteps=NSTEPS):
+def check_move(tag, moves, seed, ntemps=1, nsteps=NSTEPS, tempering_extra=None):
     priors = _priors()
     kwargs = dict(moves=moves, seed=seed)
     if ntemps > 1:
-        kwargs["tempering_kwargs"] = dict(ntemps=ntemps)
+        kwargs["tempering_kwargs"] = dict(ntemps=ntemps, **(tempering_extra or {}))
     ens = EnsembleSampler(NWALKERS, NDIM, log_like, priors, **kwargs)
     coords = 0.5 * np.random.default_rng(seed).standard_normal(
         (ntemps, NWALKERS, NDIM) if ntemps > 1 else (NWALKERS, NDIM)
@@ -277,6 +277,13 @@ def main():
     results = [
         check_move("StretchMove", [StretchMove()], 1),
         check_move("StretchMove + PT (cold chain)", [StretchMove()], 2, ntemps=4),
+        check_move(
+            "StretchMove + non-reversible PT (DEO)",
+            [StretchMove()],
+            24,
+            ntemps=4,
+            tempering_extra=dict(swap_scheme="deo"),
+        ),
         check_move(
             "StretchMove log-proposal",
             [StretchMove(use_log_proposal=True)],

@@ -127,6 +127,7 @@ class TemperatureControl:
         permute=True,
         skip_swap_supp_names=(),
         use_pallas=None,
+        swap_scheme="cascade",
     ):
         if betas is None:
             if ntemps == 1:
@@ -143,6 +144,19 @@ class TemperatureControl:
 
         self.time = 0
         self.use_pallas = use_pallas
+        if swap_scheme not in ("cascade", "deo"):
+            raise ValueError(
+                f"swap_scheme must be 'cascade' or 'deo', got {swap_scheme!r}."
+            )
+        #: "cascade" = the reference's stochastic highest->lowest sweep with
+        #: randomized walker pairings (ptemcee-style, reversible);
+        #: "deo" = deterministic even-odd non-reversible PT (Okabe et al.
+        #: 2001; Syed et al. 2021): alternate parity classes of DISJOINT
+        #: rung pairs, same-walker partners — replicas lift up/down the
+        #: ladder with O(1/ntemps) round-trip rate vs the reversible
+        #: O(1/ntemps^2), and the disjoint pairs remove the sequential
+        #: cascade entirely (three shifted selects, fully parallel).
+        self.swap_scheme = swap_scheme
         self.adaptive = adaptive
         self.adaptation_time = adaptation_time
         self.adaptation_lag = adaptation_lag
@@ -174,9 +188,10 @@ class TemperatureControl:
     # ------------------------------------------------------------------
     # traced kernels
     # ------------------------------------------------------------------
-    def swap_kernel(self, key, swap_tree, logl, betas):
-        """One full swap cascade, highest -> lowest rung
-        (ref ``tempering.py:484-561``).
+    def swap_kernel(self, key, swap_tree, logl, betas, time=None):
+        """One full swap phase: the stochastic cascade (default) or, with
+        ``swap_scheme="deo"``, one deterministic even-odd parity sweep
+        (ref ``tempering.py:484-561`` for the cascade the default mirrors).
 
         TPU-native formulation: the sequential rung cascade only needs the
         ``(ntemps, nwalkers)`` log-likelihood matrix, so the loop swaps
@@ -206,6 +221,11 @@ class TemperatureControl:
         )
         if ntemps == 1:
             return swap_tree, logl, swaps_accepted, swaps_proposed
+
+        if self.swap_scheme == "deo":
+            if time is None:
+                time = jnp.asarray(int(self.time), dtype=jnp.int32)
+            return self._swap_kernel_deo(key, swap_tree, logl, betas, time)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -276,6 +296,68 @@ class TemperatureControl:
 
         swap_tree = jax.tree_util.tree_map(gather_leaf, swap_tree)
         return swap_tree, logl, swaps_accepted, swaps_proposed
+
+    def _swap_kernel_deo(self, key, swap_tree, logl, betas, time):
+        """Deterministic even-odd (non-reversible) swap phase.
+
+        Non-reversible PT (Okabe et al. 2001 "replica exchange with
+        even-odd alternation"; Syed, Bouchard-Côté, Deligiannidis & Doucet
+        2021, "Non-reversible parallel tempering: a scalable highly
+        parallel MCMC scheme", JRSS-B) replaces the stochastic sweep with a
+        deterministic alternation: phase ``t`` attempts exactly the rung
+        boundaries ``b`` with ``b % 2 == t % 2``, pairing EACH WALKER with
+        ITSELF at the neighboring rung.  Replicas then travel the ladder
+        ballistically (round-trip rate O(1/ntemps) instead of the
+        reversible O(1/ntemps^2)) — and because a parity class is a set of
+        DISJOINT pairs, the whole phase is three shifted selects with no
+        sequential rung loop at all, the ideal shape for a lockstep
+        ensemble.
+
+        Each boundary's Metropolis rule is the standard one, so every
+        phase leaves the product of tempered posteriors invariant; only
+        the SEQUENCE of phases is non-reversible.
+        """
+        ntemps, nwalkers = logl.shape
+        dtype = logl.dtype
+        raccept = jnp.log(
+            jax.random.uniform(key, (ntemps - 1, nwalkers), dtype=dtype)
+        )
+        parity = (time % 2).astype(jnp.int32)
+        active_b = (
+            jnp.arange(ntemps - 1, dtype=jnp.int32) % 2 == parity
+        )  # (ntemps-1,)
+
+        dbetas = (betas[:-1] - betas[1:]).astype(dtype)  # > 0, (ntemps-1,)
+        # boundary b swaps temps (b, b+1): accept iff
+        # dbeta_b * (logl[b+1] - logl[b]) > log u   (ref tempering.py:522)
+        paccept = dbetas[:, None] * (logl[1:] - logl[:-1])
+        sel = (paccept > raccept) & active_b[:, None]  # (ntemps-1, nw)
+
+        pad = jnp.zeros((1, nwalkers), dtype=bool)
+        move_down = jnp.concatenate([sel, pad], axis=0)  # swaps with i+1
+        move_up = jnp.concatenate([pad, sel], axis=0)  # swaps with i-1
+
+        def exchange(x):
+            # rows are (ntemps, nwalkers, ...); parity pairs are disjoint,
+            # so the permutation is three shifted selects (no gather)
+            down = jnp.concatenate([x[1:], x[-1:]], axis=0)  # x[i+1]
+            up = jnp.concatenate([x[:1], x[:-1]], axis=0)  # x[i-1]
+            extra = (1,) * (x.ndim - 2)
+            md = move_down.reshape(move_down.shape + extra)
+            mu = move_up.reshape(move_up.shape + extra)
+            return jnp.where(md, down, jnp.where(mu, up, x))
+
+        logl_new = exchange(logl)
+        swap_tree = jax.tree_util.tree_map(exchange, swap_tree)
+
+        swaps_accepted = sel.sum(axis=-1).astype(dtype)
+        # unattempted boundaries propose zero this phase; consumers divide
+        # accepted/proposed, so their ratios are per-ATTEMPT and unbiased
+        # in expectation over consecutive phases
+        swaps_proposed = jnp.where(
+            active_b, jnp.asarray(float(nwalkers), dtype), 0.0
+        )
+        return swap_tree, logl_new, swaps_accepted, swaps_proposed
 
     def _try_pack_channels(self, swap_tree, logl):
         """Pack the swap tree into ``(ntemps, D, nwalkers)`` float channels
@@ -475,17 +557,22 @@ class TemperatureControl:
             }
 
         swap_tree, logl, swaps_accepted, swaps_proposed = self.swap_kernel(
-            key, swap_tree, state.log_like, state.betas
+            key, swap_tree, state.log_like, state.betas, time=time
         )
         # every consumer outside this kernel (backend accumulation, the
         # swap_acceptance_fraction property, plots, host adapt_temps)
         # normalizes by nwalkers proposals per rung; rescale counts from
         # cascades that proposed fewer pairings (the rolled pallas variant)
-        # so those ratios stay unbiased
+        # so those ratios stay unbiased.  DEO phases attempt only one
+        # parity class, so the other class reports zero this phase (the
+        # ladder then integrates each boundary's drift every OTHER phase —
+        # half the cascade's nominal adaptation rate, unbiased in
+        # expectation).
         ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
         swaps_accepted = ratios * nwalkers
 
         betas = state.betas
+        advanced = False
         if adapt and self.adaptive and ntemps > 1:
             new_betas = self.ladder_adjustment_kernel(
                 time.astype(betas.dtype), betas, ratios
@@ -495,6 +582,11 @@ class TemperatureControl:
                 betas = jnp.where(keep_adapting, new_betas, betas)
             else:
                 betas = new_betas
+            time = time + 1
+            advanced = True
+        if self.swap_scheme == "deo" and not advanced:
+            # the counter doubles as the DEO parity clock: it must tick on
+            # every phase, including non-adapting (RJ) epilogues
             time = time + 1
 
         from ..state import BranchSupplemental
@@ -587,6 +679,8 @@ class TemperatureControl:
         )
         self.swaps_accepted = ratios * nwalkers
         self.swaps_proposed = np.full(self.ntemps - 1, nwalkers)
+        if self.swap_scheme == "deo":
+            self.time += 1  # the DEO parity clock ticks every phase
 
         logl_out = np.asarray(logl_new)
         logp_out = np.asarray(swap_tree["logp"])
@@ -725,8 +819,11 @@ class TemperatureControl:
         )
         self.swaps_accepted = np.asarray(swaps_accepted)
         self.swaps_proposed = np.full(self.ntemps - 1, self.nwalkers)
+        t0 = self.time
         if adapt:
             self.adapt_temps()  # advances self.time, mutates self.betas
+        if self.swap_scheme == "deo" and self.time == t0:
+            self.time += 1  # the DEO parity clock ticks every phase
         new_state.betas = np.asarray(self.betas)
         return new_state
 

@@ -160,7 +160,7 @@ def test_temper_kernel_rescales_partial_proposal_counts():
     )
 
     # stub cascade: 20 accepts out of only 50 proposed pairings per rung
-    def fake_swap_kernel(key, swap_tree, logl, betas):
+    def fake_swap_kernel(key, swap_tree, logl, betas, time=None):
         acc = jnp.full((ntemps - 1,), 20.0, dtype=logl.dtype)
         prop = jnp.full((ntemps - 1,), 50.0, dtype=logl.dtype)
         return swap_tree, logl, acc, prop

@@ -366,3 +366,26 @@ def test_sharded_slice_move():
     jax.block_until_ready(state.log_like)
     assert len(state.log_like.sharding.device_set) == 8
     assert np.all(np.isfinite(np.asarray(state.log_like)))
+
+
+def test_sharded_deo_swaps():
+    """The DEO parity phase (shifted selects over the temp axis) lowers to
+    collectives over a temp-sharded mesh and keeps the chain finite."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    ndim, nwalkers, ntemps = 3, 32, 4
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(ndim)})
+    ens = EnsembleSampler(
+        nwalkers, ndim,
+        lambda x: -0.5 * jnp.sum(x**2),
+        pr,
+        tempering_kwargs=dict(ntemps=ntemps, swap_scheme="deo"),
+        seed=45,
+    )
+    mesh = make_mesh(8)  # temp axis split 2-ways: the selects cross shards
+    state = ens._setup_state(pr.rvs(size=(ntemps, nwalkers)))
+    state = shard_state(state, mesh)
+    state, _ = ens._run_bulk(state, 1, 30, store=False)
+    jax.block_until_ready(state.log_like)
+    assert len(state.log_like.sharding.device_set) == 8
+    assert np.all(np.isfinite(np.asarray(state.log_like)))
