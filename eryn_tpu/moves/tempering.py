@@ -152,10 +152,15 @@ class TemperatureControl:
         #: randomized walker pairings (ptemcee-style, reversible);
         #: "deo" = deterministic even-odd non-reversible PT (Okabe et al.
         #: 2001; Syed et al. 2021): alternate parity classes of DISJOINT
-        #: rung pairs, same-walker partners — replicas lift up/down the
-        #: ladder with O(1/ntemps) round-trip rate vs the reversible
-        #: O(1/ntemps^2), and the disjoint pairs remove the sequential
-        #: cascade entirely (three shifted selects, fully parallel).
+        #: rung pairs, same-walker partners.  Replicas travel the ladder
+        #: ballistically instead of diffusively — O(1/ntemps) round trips
+        #: vs O(1/ntemps^2) for the STOCHASTIC even-odd variant (Syed's
+        #: baseline).  Against the cascade (which attempts every boundary
+        #: sequentially each phase) the measured trade is different: DEO
+        #: attempts half the boundaries but does so in ONE fully parallel
+        #: exchange (three shifted selects, critical path O(1) instead of
+        #: O(ntemps)) with higher per-attempt replica flow — see
+        #: benchmarks/replica_flow.py for measured round-trip rates.
         self.swap_scheme = swap_scheme
         self.adaptive = adaptive
         self.adaptation_time = adaptation_time
@@ -307,11 +312,13 @@ class TemperatureControl:
         deterministic alternation: phase ``t`` attempts exactly the rung
         boundaries ``b`` with ``b % 2 == t % 2``, pairing EACH WALKER with
         ITSELF at the neighboring rung.  Replicas then travel the ladder
-        ballistically (round-trip rate O(1/ntemps) instead of the
-        reversible O(1/ntemps^2)) — and because a parity class is a set of
-        DISJOINT pairs, the whole phase is three shifted selects with no
-        sequential rung loop at all, the ideal shape for a lockstep
-        ensemble.
+        ballistically rather than diffusively (O(1/ntemps) round trips vs
+        O(1/ntemps^2) for the stochastic even-odd variant) — and because a
+        parity class is a set of DISJOINT pairs, the whole phase is three
+        shifted selects with no sequential rung loop at all: critical path
+        O(1) in the ladder depth, the ideal shape for a lockstep ensemble.
+        Measured replica-flow comparison against the cascade:
+        ``benchmarks/replica_flow.py``.
 
         Each boundary's Metropolis rule is the standard one, so every
         phase leaves the product of tempered posteriors invariant; only
