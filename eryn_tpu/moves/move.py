@@ -301,10 +301,15 @@ class Move:
         )
         model.set_key(key)
         if model.temperature_control is not None:
-            model.temperature_control.swaps_accepted = np.asarray(swaps_accepted)
-            if self.adapt_temps and model.temperature_control.adaptive:
-                model.temperature_control.time += 1
-                model.temperature_control.betas = np.asarray(state.betas)
+            tc = model.temperature_control
+            tc.swaps_accepted = np.asarray(swaps_accepted)
+            if self.adapt_temps and tc.adaptive:
+                tc.time += 1
+                tc.betas = np.asarray(state.betas)
+            elif getattr(tc, "swap_scheme", "cascade") == "deo":
+                # the counter doubles as the DEO parity clock: it must tick
+                # on every swap phase, adapting or not
+                tc.time += 1
         accepted_np = np.asarray(accepted)
         if self.accepted is None:
             self.accepted = np.zeros_like(accepted_np)

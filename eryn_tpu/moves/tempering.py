@@ -563,19 +563,36 @@ class TemperatureControl:
                 if name not in self.skip_swap_supp_names
             }
 
+        # subclasses written against the pre-DEO signature (no ``time``
+        # kwarg) keep working: only pass the parity clock if accepted
+        import inspect
+
+        sk_params = inspect.signature(self.swap_kernel).parameters
+        sk_kwargs = (
+            {"time": time}
+            if "time" in sk_params
+            or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in sk_params.values()
+            )
+            else {}
+        )
         swap_tree, logl, swaps_accepted, swaps_proposed = self.swap_kernel(
-            key, swap_tree, state.log_like, state.betas, time=time
+            key, swap_tree, state.log_like, state.betas, **sk_kwargs
         )
         # every consumer outside this kernel (backend accumulation, the
         # swap_acceptance_fraction property, plots, host adapt_temps)
         # normalizes by nwalkers proposals per rung; rescale counts from
         # cascades that proposed fewer pairings (the rolled pallas variant)
-        # so those ratios stay unbiased.  DEO phases attempt only one
-        # parity class, so the other class reports zero this phase (the
-        # ladder then integrates each boundary's drift every OTHER phase —
-        # half the cascade's nominal adaptation rate, unbiased in
-        # expectation).
+        # so those ratios stay unbiased.  DEO attempts each boundary on
+        # exactly every other phase (deterministic alternation), so its
+        # per-phase ratios are doubled: time-averaged statistics (backend
+        # swap fractions, plots, ladder adaptation) then converge to the
+        # true PER-ATTEMPT acceptance, matching the cascade's semantics
+        # instead of reading half of it.
         ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
+        if self.swap_scheme == "deo":
+            ratios = 2.0 * ratios
         swaps_accepted = ratios * nwalkers
 
         betas = state.betas
@@ -687,7 +704,12 @@ class TemperatureControl:
         self.swaps_accepted = ratios * nwalkers
         self.swaps_proposed = np.full(self.ntemps - 1, nwalkers)
         if self.swap_scheme == "deo":
-            self.time += 1  # the DEO parity clock ticks every phase
+            # the DEO parity clock ticks every phase; remember the tick so
+            # the reference's documented composition temperature_swaps() +
+            # adapt_temps() does not advance it twice (which would freeze
+            # the parity and disconnect the other boundary class)
+            self.time += 1
+            self._deo_phase_ticked = True
 
         logl_out = np.asarray(logl_new)
         logp_out = np.asarray(swap_tree["logp"])
@@ -888,4 +910,8 @@ class TemperatureControl:
                     float(self.time), betas, jnp.asarray(ratios)
                 )
                 self.betas = np.asarray(new_betas)
-            self.time += 1
+            if getattr(self, "_deo_phase_ticked", False):
+                # temperature_swaps already ticked this phase's parity
+                self._deo_phase_ticked = False
+            else:
+                self.time += 1

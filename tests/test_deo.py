@@ -83,6 +83,50 @@ def test_deo_host_parity_clock():
     assert tc.time == 2
 
 
+def test_deo_reference_composition_single_tick(priors):
+    """The reference's documented pattern temperature_swaps() +
+    adapt_temps() must advance the parity clock exactly once per phase —
+    a double tick would freeze the parity and permanently disconnect one
+    boundary class."""
+    betas = np.array([1.0, 0.5, 0.25])
+    tc = TemperatureControl(
+        betas=betas, nwalkers=8, adaptive=True, swap_scheme="deo"
+    )
+    logl = np.random.randn(3, 8)
+    logp = np.zeros((3, 8))
+    x = {"model_0": np.random.randn(3, 8, 1, NDIM)}
+    for expected in (1, 2, 3):
+        tc.temperature_swaps(x, None, logl, logp)
+        tc.adapt_temps()
+        assert tc.time == expected
+    # and adapt_temps alone (no preceding swap call) still ticks
+    tc.adapt_temps()
+    assert tc.time == 4
+
+
+def test_deo_host_propose_ticks_parity(priors):
+    """Move.propose (the host-step path) must tick the parity clock even
+    with adaptation off — otherwise only one boundary class is ever
+    attempted in host-step mode."""
+    from eryn_tpu.moves import StretchMove
+
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        tempering_kwargs=dict(
+            ntemps=4, adaptive=False, swap_scheme="deo"
+        ),
+        seed=7,
+    )
+    state = ens._setup_state(priors.rvs(size=(4, NWALKERS)))
+    model = ens.get_model()
+    move = StretchMove(temperature_control=ens.temperature_control)
+    assert ens.temperature_control.time == 0
+    state, _ = move.propose(model, state)
+    assert ens.temperature_control.time == 1
+    state, _ = move.propose(model, state)
+    assert ens.temperature_control.time == 2
+
+
 def test_deo_invalid_scheme():
     with pytest.raises(ValueError, match="swap_scheme"):
         TemperatureControl(betas=np.array([1.0, 0.5]), swap_scheme="seo")
