@@ -112,7 +112,31 @@ class Backend:
         )
 
         self.random_state = None
+        self._kernel_state_leaves = None
         self.initialized = True
+
+    # ------------------------------------------------------------------
+    # move kernel-state checkpointing (beyond the reference: its proposal
+    # tuning state lives only on in-memory move objects, so a resumed run
+    # silently re-tunes — here the tuned state survives the checkpoint)
+    # ------------------------------------------------------------------
+    def save_kernel_states(self, kernel_states):
+        """Store the per-move kernel states (tuned step sizes, trajectory
+        lengths, slice scales, friends tables, adaptation clocks) as flat
+        leaf lists, one per move.  Called by the sampler at segment
+        boundaries; the sampler validates structure against freshly
+        initialized states on restore."""
+        import jax
+
+        self._kernel_state_leaves = [
+            [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(ks)]
+            for ks in kernel_states
+        ]
+
+    def get_kernel_states(self):
+        """Flat per-move kernel-state leaves stored by
+        :meth:`save_kernel_states`, or ``None``."""
+        return getattr(self, "_kernel_state_leaves", None)
 
     # ------------------------------------------------------------------
     @property

@@ -681,6 +681,39 @@ class HDFBackend(Backend):
     def get_last_sample(self):
         return self.get_a_sample(self.iteration - 1)
 
+    def save_kernel_states(self, kernel_states):
+        """File-persistent variant of ``Backend.save_kernel_states``: flat
+        leaves under ``<name>/kernel_states/<move_idx>/<leaf_idx>``,
+        rewritten whole each save (the arrays are tiny tuning
+        scalars/tables), so tuned proposal state survives a process
+        restart — beyond the reference, whose tuning state lives only on
+        in-memory move objects."""
+        import jax
+
+        with self.open("a") as f:
+            g = f[self.name]
+            if "kernel_states" in g:
+                del g["kernel_states"]
+            ks_grp = g.create_group("kernel_states")
+            for i, ks in enumerate(kernel_states):
+                sub = ks_grp.create_group(str(i))
+                for j, leaf in enumerate(jax.tree_util.tree_leaves(ks)):
+                    arr = np.asarray(leaf)
+                    if arr.dtype == object:  # host objects cannot persist
+                        continue
+                    sub.create_dataset(str(j), data=arr)
+
+    def get_kernel_states(self):
+        with self.open() as f:
+            g = f[self.name]
+            if "kernel_states" not in g:
+                return None
+            ks_grp = g["kernel_states"]
+            return [
+                [ks_grp[i][j][()] for j in sorted(ks_grp[i], key=int)]
+                for i in sorted(ks_grp, key=int)
+            ]
+
 
 class TempHDFBackend:
     """Context manager creating a temporary HDF5 backend

@@ -1660,6 +1660,57 @@ class EnsembleSampler:
             kernel_states,
         )
 
+    def _init_kernel_states(self, state):
+        """Fresh per-move kernel states, or — on a resumed backend — the
+        checkpointed ones (tuned step sizes/trajectory lengths/slice
+        scales/adaptation clocks survive a process restart; beyond the
+        reference, whose tuning state lives only on in-memory move
+        objects).  Stored leaves are validated leaf-by-leaf against the
+        fresh structure; any mismatch (move config changed) falls back to
+        fresh initialization with a warning."""
+        fresh = tuple(
+            m.init_kernel_state(state) for m in self.moves + self.rj_moves
+        )
+        getter = getattr(self.backend, "get_kernel_states", None)
+        stored = getter() if getter is not None else None
+        if stored is None or self.backend.iteration == 0:
+            return fresh
+        try:
+            if len(stored) != len(fresh):
+                raise ValueError("move count changed")
+            out = []
+            for f, leaves in zip(fresh, stored):
+                f_leaves, treedef = jax.tree_util.tree_flatten(f)
+                if len(leaves) != len(f_leaves):
+                    raise ValueError("kernel-state structure changed")
+                coerced = []
+                for a, b in zip(f_leaves, leaves):
+                    b = jnp.asarray(b)
+                    a = jnp.asarray(a)
+                    if a.shape != b.shape:
+                        raise ValueError("kernel-state shape changed")
+                    coerced.append(b.astype(a.dtype))
+                out.append(jax.tree_util.tree_unflatten(treedef, coerced))
+            return tuple(out)
+        except Exception as err:  # noqa: BLE001 — degrade, don't die
+            warnings.warn(
+                "Stored move kernel states are incompatible with the "
+                f"current move configuration ({err}); proposal tuning "
+                "state restarts fresh on this resume.",
+                stacklevel=2,
+            )
+            return fresh
+
+    def _save_kernel_states(self):
+        """Checkpoint the current kernel states (once, at run end — the
+        leaves are small but fetching them per segment would add blocking
+        device round-trips to the hot path)."""
+        if self._kernel_states is None:
+            return
+        saver = getattr(self.backend, "save_kernel_states", None)
+        if saver is not None and self.backend.initialized:
+            saver(self._kernel_states)
+
     def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
 
@@ -1671,9 +1722,7 @@ class EnsembleSampler:
             state = self._inject_prov(state)
         self._detect_sharding(state)
         if self._kernel_states is None:
-            self._kernel_states = tuple(
-                m.init_kernel_state(state) for m in self.moves + self.rj_moves
-            )
+            self._kernel_states = self._init_kernel_states(state)
         fn = self._get_bulk_fn(nstored, thin_by, store)
         import time as _time
 
@@ -2273,6 +2322,24 @@ class EnsembleSampler:
         state = self._setup_state(initial_state, skip_initial_state_check)
         thin_by = int(thin_by)
 
+        if (
+            self._has_host_moves
+            and self._kernel_states is None
+            and self.backend.initialized
+            and self.backend.iteration > 0
+        ):
+            # host-step mode initializes per-move kernel state lazily inside
+            # propose(); seed it from the checkpoint here so resumed runs
+            # keep their tuned proposal state
+            self._kernel_states = self._init_kernel_states(state)
+            nm = len(self.moves)
+            for i, m in enumerate(self.moves):
+                if getattr(m, "_host_kernel_state", None) is None:
+                    m._host_kernel_state = self._kernel_states[i]
+            for i, m in enumerate(self.rj_moves):
+                if getattr(m, "_host_kernel_state", None) is None:
+                    m._host_kernel_state = self._kernel_states[nm + i]
+
         tuned_moves = (
             [
                 m
@@ -2405,6 +2472,17 @@ class EnsembleSampler:
             self._save_snaps(pending)
 
         self._materialize_counters()
+        if self._has_host_moves:
+            # host-step mode mutates per-move copies; reassemble the tuple
+            # so the checkpoint sees the latest tuning state
+            host_states = tuple(
+                getattr(m, "_host_kernel_state", None)
+                for m in self.moves + self.rj_moves
+            )
+            if all(ks is not None for ks in host_states):
+                self._kernel_states = host_states
+        if store:
+            self._save_kernel_states()
         self._previous_state = state
         return state
 

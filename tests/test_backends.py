@@ -104,6 +104,88 @@ def test_hdf_backend_resume(priors, tmp_path):
     assert np.all(np.isfinite(ll))
 
 
+def test_kernel_states_survive_resume(priors, tmp_path):
+    """Tuned proposal state (slice mu, ChEES log_T, dual-averaged eps,
+    adaptation clocks) is checkpointed at run end and restored by a
+    BRAND-NEW sampler on the same file — without it a resumed run would
+    silently re-enter tuning during stored sampling (the reference keeps
+    tuning state only on in-memory move objects)."""
+    from eryn_tpu.moves import ChEESHMCMove, SliceMove
+
+    fn = str(tmp_path / "ks_resume.h5")
+
+    def build(seed):
+        return EnsembleSampler(
+            NWALKERS, NDIM, log_like, priors,
+            backend=HDFBackend(fn),
+            # two moves alternate, so each sees only ~half the proposals:
+            # tune_steps=20 guarantees both froze within the 60-step run
+            moves=[SliceMove(tune_steps=20), ChEESHMCMove(tune_steps=20)],
+            seed=seed,
+        )
+
+    ens = build(2)
+    ens.run_mcmc(priors.rvs(size=(1, NWALKERS)), 60)
+    mu = float(np.asarray(ens._kernel_states[0]["mu"]))
+    log_T = float(np.asarray(ens._kernel_states[1]["log_T"]))
+    t_slice = int(np.asarray(ens._kernel_states[0]["t"]))
+    assert mu != 1.0  # it actually tuned
+    del ens
+
+    ens2 = build(99)
+    assert ens2.backend.iteration == 60
+    ens2.run_mcmc(None, 5)
+    # the tuned values were restored (both moves froze well before the
+    # 60-step run ended, so they must be bit-identical after the resumed
+    # steps)
+    assert float(np.asarray(ens2._kernel_states[0]["mu"])) == mu
+    assert float(np.asarray(ens2._kernel_states[1]["log_T"])) == log_T
+    # the adaptation clock continued rather than restarting (the move
+    # schedule alternates, so slice gets some subset of the 5 proposals)
+    t2 = int(np.asarray(ens2._kernel_states[0]["t"]))
+    assert t_slice <= t2 <= t_slice + 5
+
+    # a changed move configuration degrades gracefully to fresh tuning
+    ens3 = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        backend=HDFBackend(fn),
+        moves=[SliceMove(tune_steps=20), ChEESHMCMove(tune_steps=20)],
+        track_moves=False,
+        seed=5,
+    )
+    stored = ens3.backend.get_kernel_states()
+    assert stored is not None and len(stored) == 2
+    # corrupt one leaf's shape to force the validation fallback
+    stored[0][0] = np.zeros((3, 3))
+    ens3.backend.save_kernel_states = lambda ks: None  # keep corruption
+    import warnings as _warnings
+
+    ens3.backend.get_kernel_states = lambda: stored
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        ens3.run_mcmc(None, 2)
+    assert any("kernel states" in str(x.message) for x in w)
+
+
+def test_memory_backend_kernel_states_roundtrip(priors):
+    """The in-memory backend checkpoints kernel states too: a continued
+    run restores tuned values after _kernel_states is cleared (as a fresh
+    process would)."""
+    from eryn_tpu.moves import SliceMove
+
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        moves=[SliceMove(tune_steps=30)], seed=11,
+    )
+    ens.run_mcmc(priors.rvs(size=(1, NWALKERS)), 50)
+    mu = float(np.asarray(ens._kernel_states[0]["mu"]))
+    # simulate a fresh dispatch context losing the in-memory tuple
+    ens._kernel_states = None
+    ens._step_cache = {}
+    ens.run_mcmc(None, 5)
+    assert float(np.asarray(ens._kernel_states[0]["mu"])) == mu
+
+
 def test_temp_hdf_backend(priors):
     with TempHDFBackend() as backend:
         ens = EnsembleSampler(
