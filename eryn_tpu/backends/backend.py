@@ -120,22 +120,48 @@ class Backend:
     # tuning state lives only on in-memory move objects, so a resumed run
     # silently re-tunes — here the tuned state survives the checkpoint)
     # ------------------------------------------------------------------
-    def save_kernel_states(self, kernel_states):
-        """Store the per-move kernel states (tuned step sizes, trajectory
-        lengths, slice scales, friends tables, adaptation clocks) as flat
-        leaf lists, one per move.  Called by the sampler at segment
-        boundaries; the sampler validates structure against freshly
-        initialized states on restore."""
+    @staticmethod
+    def _kernel_state_host_leaves(kernel_states):
+        """Flatten per-move kernel states to host leaf lists.
+
+        Device transfers are started for ALL leaves first
+        (``copy_to_host_async``) so the conversion pays one overlapped
+        transfer, not one blocking round-trip per leaf.  Object-dtype
+        leaves (host-side payloads of custom moves) become ``None``
+        placeholders — position is preserved so array leaves still restore.
+        """
         import jax
 
-        self._kernel_state_leaves = [
-            [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(ks)]
-            for ks in kernel_states
-        ]
+        per_move = [jax.tree_util.tree_leaves(ks) for ks in kernel_states]
+        for leaves in per_move:
+            for leaf in leaves:
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+        out = []
+        for leaves in per_move:
+            host = []
+            for leaf in leaves:
+                arr = np.asarray(leaf)
+                host.append(None if arr.dtype == object else arr)
+            out.append(host)
+        return out
+
+    def save_kernel_states(self, kernel_states, move_keys=None):
+        """Store the per-move kernel states (tuned step sizes, trajectory
+        lengths, slice scales, friends tables, adaptation clocks) as flat
+        leaf lists, one per move, with the move keys they belong to.
+        Called by the sampler at run end; the sampler validates structure
+        AND move keys against freshly initialized states on restore."""
+        self._kernel_state_leaves = (
+            list(move_keys) if move_keys is not None else None,
+            self._kernel_state_host_leaves(kernel_states),
+        )
 
     def get_kernel_states(self):
-        """Flat per-move kernel-state leaves stored by
-        :meth:`save_kernel_states`, or ``None``."""
+        """``(move_keys, per-move leaf lists)`` stored by
+        :meth:`save_kernel_states`, or ``None``.  ``None`` entries in a
+        leaf list mark unpersistable (object-dtype) leaves; the sampler
+        keeps the fresh value at those positions."""
         return getattr(self, "_kernel_state_leaves", None)
 
     # ------------------------------------------------------------------

@@ -681,38 +681,54 @@ class HDFBackend(Backend):
     def get_last_sample(self):
         return self.get_a_sample(self.iteration - 1)
 
-    def save_kernel_states(self, kernel_states):
+    def save_kernel_states(self, kernel_states, move_keys=None):
         """File-persistent variant of ``Backend.save_kernel_states``: flat
         leaves under ``<name>/kernel_states/<move_idx>/<leaf_idx>``,
         rewritten whole each save (the arrays are tiny tuning
         scalars/tables), so tuned proposal state survives a process
         restart — beyond the reference, whose tuning state lives only on
-        in-memory move objects."""
-        import jax
-
+        in-memory move objects.  Object-dtype leaves persist as missing
+        indices; ``nleaves`` records the true count so restore keeps
+        positions."""
+        # fetch off-device BEFORE taking the file handle (batched async)
+        per_move = self._kernel_state_host_leaves(kernel_states)
         with self.open("a") as f:
             g = f[self.name]
             if "kernel_states" in g:
                 del g["kernel_states"]
             ks_grp = g.create_group("kernel_states")
-            for i, ks in enumerate(kernel_states):
+            if move_keys is not None:
+                ks_grp.attrs["move_keys"] = list(move_keys)
+            for i, leaves in enumerate(per_move):
                 sub = ks_grp.create_group(str(i))
-                for j, leaf in enumerate(jax.tree_util.tree_leaves(ks)):
-                    arr = np.asarray(leaf)
-                    if arr.dtype == object:  # host objects cannot persist
+                sub.attrs["nleaves"] = len(leaves)
+                for j, arr in enumerate(leaves):
+                    if arr is None:  # host objects cannot persist
                         continue
                     sub.create_dataset(str(j), data=arr)
 
     def get_kernel_states(self):
-        with self.open() as f:
-            g = f[self.name]
-            if "kernel_states" not in g:
-                return None
-            ks_grp = g["kernel_states"]
-            return [
-                [ks_grp[i][j][()] for j in sorted(ks_grp[i], key=int)]
-                for i in sorted(ks_grp, key=int)
-            ]
+        try:
+            with self.open() as f:
+                g = f[self.name]
+                if "kernel_states" not in g:
+                    return None
+                ks_grp = g["kernel_states"]
+                keys = ks_grp.attrs.get("move_keys")
+                keys = None if keys is None else [str(k) for k in keys]
+                out = []
+                for i in sorted(ks_grp, key=int):
+                    sub = ks_grp[i]
+                    n = int(sub.attrs.get("nleaves", len(sub)))
+                    out.append(
+                        [
+                            sub[str(j)][()] if str(j) in sub else None
+                            for j in range(n)
+                        ]
+                    )
+                return keys, out
+        except Exception:  # noqa: BLE001 — a checkpoint read must never
+            return None  # abort a run; the sampler degrades to fresh tuning
 
 
 class TempHDFBackend:

@@ -1671,25 +1671,36 @@ class EnsembleSampler:
         fresh = tuple(
             m.init_kernel_state(state) for m in self.moves + self.rj_moves
         )
-        getter = getattr(self.backend, "get_kernel_states", None)
-        stored = getter() if getter is not None else None
-        if stored is None or self.backend.iteration == 0:
-            return fresh
         try:
-            if len(stored) != len(fresh):
+            getter = getattr(self.backend, "get_kernel_states", None)
+            stored = getter() if getter is not None else None
+            if stored is None or self.backend.iteration == 0:
+                return fresh
+            stored_keys, stored_leaves = stored
+            if stored_keys is not None and stored_keys != list(
+                self.all_moves.keys()
+            ):
+                raise ValueError("move keys changed")
+            if len(stored_leaves) != len(fresh):
                 raise ValueError("move count changed")
             out = []
-            for f, leaves in zip(fresh, stored):
+            for f, leaves in zip(fresh, stored_leaves):
                 f_leaves, treedef = jax.tree_util.tree_flatten(f)
                 if len(leaves) != len(f_leaves):
                     raise ValueError("kernel-state structure changed")
                 coerced = []
                 for a, b in zip(f_leaves, leaves):
+                    if b is None or getattr(
+                        np.asarray(b), "dtype", None
+                    ) == np.dtype(object):
+                        # unpersistable (object-dtype) leaf: keep fresh
+                        coerced.append(a)
+                        continue
                     b = jnp.asarray(b)
-                    a = jnp.asarray(a)
-                    if a.shape != b.shape:
+                    a_arr = jnp.asarray(a)
+                    if a_arr.shape != b.shape:
                         raise ValueError("kernel-state shape changed")
-                    coerced.append(b.astype(a.dtype))
+                    coerced.append(b.astype(a_arr.dtype))
                 out.append(jax.tree_util.tree_unflatten(treedef, coerced))
             return tuple(out)
         except Exception as err:  # noqa: BLE001 — degrade, don't die
@@ -1701,15 +1712,50 @@ class EnsembleSampler:
             )
             return fresh
 
-    def _save_kernel_states(self):
+    def _seed_host_kernel_states(self, state):
+        """Host-step mode initializes per-move kernel state lazily inside
+        ``propose()``; seed it from the checkpoint so resumed runs keep
+        their tuned proposal state."""
+        if not (
+            self._has_host_moves
+            and self._kernel_states is None
+            and self.backend.initialized
+            and self.backend.iteration > 0
+        ):
+            return
+        self._kernel_states = self._init_kernel_states(state)
+        nm = len(self.moves)
+        for i, m in enumerate(self.moves):
+            if getattr(m, "_host_kernel_state", None) is None:
+                m._host_kernel_state = self._kernel_states[i]
+        for i, m in enumerate(self.rj_moves):
+            if getattr(m, "_host_kernel_state", None) is None:
+                m._host_kernel_state = self._kernel_states[nm + i]
+
+    def _finalize_kernel_states(self, state, store):
         """Checkpoint the current kernel states (once, at run end — the
         leaves are small but fetching them per segment would add blocking
-        device round-trips to the hot path)."""
-        if self._kernel_states is None:
+        device round-trips to the hot path).  Host-step mode reassembles
+        the tuple from the per-move copies first; moves never proposed
+        this run keep their previous (or fresh) state."""
+        if self._has_host_moves:
+            host = [
+                getattr(m, "_host_kernel_state", None)
+                for m in self.moves + self.rj_moves
+            ]
+            if any(ks is not None for ks in host):
+                base = self._kernel_states or tuple(
+                    m.init_kernel_state(state)
+                    for m in self.moves + self.rj_moves
+                )
+                self._kernel_states = tuple(
+                    h if h is not None else b for h, b in zip(host, base)
+                )
+        if not store or self._kernel_states is None:
             return
         saver = getattr(self.backend, "save_kernel_states", None)
         if saver is not None and self.backend.initialized:
-            saver(self._kernel_states)
+            saver(self._kernel_states, move_keys=list(self.all_moves.keys()))
 
     def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
@@ -2238,6 +2284,7 @@ class EnsembleSampler:
             raise ValueError("thin_by must be a positive integer.")
 
         state = self._setup_state(initial_state, skip_initial_state_check)
+        self._seed_host_kernel_states(state)
 
         if store:
             self.backend.grow(iterations, self._blobs_example(state))
@@ -2253,39 +2300,44 @@ class EnsembleSampler:
         )
 
         total = None if iterations is None else iterations * thin_by
-        with get_progress_bar(progress, total) as pbar:
-            iterator = count() if iterations is None else range(iterations)
-            i = 0
-            for _ in iterator:
-                if self._has_host_moves:
-                    state, snaps = self._run_host_segment(
-                        state, 1, thin_by, store=store
-                    )
-                    if store:
-                        self._save_snaps_host(snaps)
-                else:
-                    state, snaps = self._run_bulk(
-                        state, 1, thin_by, store=store
-                    )
-                    if store:
-                        self._save_snaps(snaps)
-                # user code runs between yields and may read counters
-                self._materialize_counters()
-                for m in tuned_moves:
-                    # tune hooks that mutate traced move config must clear
-                    # sampler._step_cache (see AdjustStretchProposalScale)
-                    m.tune(state, m.accepted)
-                i += 1
-                if (
-                    self.update_iterations > 0
-                    and self.update_fn is not None
-                    and _crossed((i - 1) * thin_by, i * thin_by,
-                                 self.update_iterations)
-                ):
-                    self.update_fn(i, state, self)
-                pbar.update(thin_by)
-                self._previous_state = state
-                yield state
+        try:
+            with get_progress_bar(progress, total) as pbar:
+                iterator = count() if iterations is None else range(iterations)
+                i = 0
+                for _ in iterator:
+                    if self._has_host_moves:
+                        state, snaps = self._run_host_segment(
+                            state, 1, thin_by, store=store
+                        )
+                        if store:
+                            self._save_snaps_host(snaps)
+                    else:
+                        state, snaps = self._run_bulk(
+                            state, 1, thin_by, store=store
+                        )
+                        if store:
+                            self._save_snaps(snaps)
+                    # user code runs between yields and may read counters
+                    self._materialize_counters()
+                    for m in tuned_moves:
+                        # tune hooks that mutate traced move config must
+                        # clear sampler._step_cache (AdjustStretchProposalScale)
+                        m.tune(state, m.accepted)
+                    i += 1
+                    if (
+                        self.update_iterations > 0
+                        and self.update_fn is not None
+                        and _crossed((i - 1) * thin_by, i * thin_by,
+                                     self.update_iterations)
+                    ):
+                        self.update_fn(i, state, self)
+                    pbar.update(thin_by)
+                    self._previous_state = state
+                    yield state
+        finally:
+            # fires on exhaustion, break, AND abandoned generators — the
+            # tuned kernel state must reach the checkpoint on every exit
+            self._finalize_kernel_states(state, store)
 
     def run_mcmc(
         self,
@@ -2322,23 +2374,7 @@ class EnsembleSampler:
         state = self._setup_state(initial_state, skip_initial_state_check)
         thin_by = int(thin_by)
 
-        if (
-            self._has_host_moves
-            and self._kernel_states is None
-            and self.backend.initialized
-            and self.backend.iteration > 0
-        ):
-            # host-step mode initializes per-move kernel state lazily inside
-            # propose(); seed it from the checkpoint here so resumed runs
-            # keep their tuned proposal state
-            self._kernel_states = self._init_kernel_states(state)
-            nm = len(self.moves)
-            for i, m in enumerate(self.moves):
-                if getattr(m, "_host_kernel_state", None) is None:
-                    m._host_kernel_state = self._kernel_states[i]
-            for i, m in enumerate(self.rj_moves):
-                if getattr(m, "_host_kernel_state", None) is None:
-                    m._host_kernel_state = self._kernel_states[nm + i]
+        self._seed_host_kernel_states(state)
 
         tuned_moves = (
             [
@@ -2472,17 +2508,7 @@ class EnsembleSampler:
             self._save_snaps(pending)
 
         self._materialize_counters()
-        if self._has_host_moves:
-            # host-step mode mutates per-move copies; reassemble the tuple
-            # so the checkpoint sees the latest tuning state
-            host_states = tuple(
-                getattr(m, "_host_kernel_state", None)
-                for m in self.moves + self.rj_moves
-            )
-            if all(ks is not None for ks in host_states):
-                self._kernel_states = host_states
-        if store:
-            self._save_kernel_states()
+        self._finalize_kernel_states(state, store)
         self._previous_state = state
         return state
 

@@ -154,17 +154,69 @@ def test_kernel_states_survive_resume(priors, tmp_path):
         seed=5,
     )
     stored = ens3.backend.get_kernel_states()
-    assert stored is not None and len(stored) == 2
+    assert stored is not None
+    keys, leaves = stored
+    assert keys == ["SliceMove", "ChEESHMCMove"] and len(leaves) == 2
     # corrupt one leaf's shape to force the validation fallback
-    stored[0][0] = np.zeros((3, 3))
-    ens3.backend.save_kernel_states = lambda ks: None  # keep corruption
+    leaves[0][0] = np.zeros((3, 3))
+    ens3.backend.save_kernel_states = lambda ks, **kw: None  # keep corruption
     import warnings as _warnings
 
-    ens3.backend.get_kernel_states = lambda: stored
+    ens3.backend.get_kernel_states = lambda: (keys, leaves)
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
         ens3.run_mcmc(None, 2)
     assert any("kernel states" in str(x.message) for x in w)
+
+
+def test_kernel_states_reject_changed_move_keys(priors, tmp_path):
+    """A resume with a DIFFERENT move set (track_moves=False, so the
+    backend-level move-key validation is off) must not restore another
+    move's tuned state just because the structures coincide — the stored
+    move keys gate the restore."""
+    from eryn_tpu.moves import GaussianMove, SliceMove
+
+    fn = str(tmp_path / "ks_keys.h5")
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        backend=HDFBackend(fn), moves=[SliceMove(tune_steps=10)],
+        track_moves=False, seed=3,
+    )
+    ens.run_mcmc(priors.rvs(size=(1, NWALKERS)), 20)
+
+    ens2 = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        backend=HDFBackend(fn),
+        moves=[GaussianMove({"model_0": 0.5})],
+        track_moves=False, seed=4,
+    )
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        ens2.run_mcmc(None, 2)
+    assert any("move keys changed" in str(x.message) for x in w)
+
+
+def test_kernel_states_saved_from_sample_generator(priors, tmp_path):
+    """Driving the sampler with the reference-idiom sample() generator
+    (including breaking out early) still checkpoints the tuned kernel
+    state."""
+    from eryn_tpu.moves import SliceMove
+
+    fn = str(tmp_path / "ks_gen.h5")
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, log_like, priors,
+        backend=HDFBackend(fn), moves=[SliceMove(tune_steps=15)], seed=6,
+    )
+    start = priors.rvs(size=(1, NWALKERS))
+    for i, _state in enumerate(ens.sample(start, iterations=40)):
+        if i == 29:
+            break  # abandon the generator mid-run
+    mu = float(np.asarray(ens._kernel_states[0]["mu"]))
+    stored = ens.backend.get_kernel_states()
+    assert stored is not None
+    np.testing.assert_allclose(np.asarray(stored[1][0][0]), mu)
 
 
 def test_memory_backend_kernel_states_roundtrip(priors):
