@@ -6,16 +6,16 @@ cold chain (Syed et al. 2021).  An integer replica tag riding the state
 supplemental (it is exchanged by the compiled swap phase alongside the
 chain) makes the flow directly observable.
 
-Measured on the 8x16 harness below (CPU, 1200 steps, seed 17):
+Measured on the 8x16 harness below (CPU, 1200 steps, pinned seeds):
 
-    cascade  10.1 trips / replica / 1k steps, 222 per attempt,  446 steps/s
-    deo       5.6 trips / replica / 1k steps, 247 per attempt, 1083 steps/s
+    cascade  10.2 trips / replica / 1k steps, 225 per attempt,  ~520 steps/s
+    deo       5.6 trips / replica / 1k steps, 245 per attempt, ~1700 steps/s
 
 Per STEP the cascade wins (it attempts every boundary, sequentially,
 every phase; DEO attempts half, all at once).  Per ATTEMPT DEO's
 ballistic lifting is more efficient, and per SECOND — the metric that
-matters — DEO's O(1)-depth phase makes the whole step 2.4x faster here,
-netting ~6,100 vs ~4,500 round trips per second.  The cascade stays the
+matters — DEO's O(1)-depth phase makes the whole step ~2-3x faster here,
+netting roughly twice the round trips per second.  The cascade stays the
 default (per-step-optimal, matches the reference); "deo" is the
 throughput-optimal choice when the PT epilogue is a significant share of
 the step, i.e. wide ladders or cheap likelihoods.
@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, State
 from eryn_tpu.prior import ProbDistContainer, uniform_dist
 from eryn_tpu.state import BranchSupplemental
+from eryn_tpu.utils.utility import replica_round_trips
 
 NTEMPS, NWALKERS, NDIM = 8, 16, 3
 NSTEPS = 1200
@@ -50,28 +51,12 @@ def log_like(x):
     return -0.5 * jnp.sum(x**2)
 
 
-def count_round_trips(rungs, ntemps):
-    """rungs: (nsteps, nreplicas) rung index per replica per step."""
-    trips = 0
-    for k in range(rungs.shape[1]):
-        r = rungs[:, k]
-        dir_up = True
-        started = False
-        for v in r:
-            if not started:
-                started = v == 0
-                continue
-            if dir_up and v == ntemps - 1:
-                dir_up = False
-            elif not dir_up and v == 0:
-                dir_up = True
-                trips += 1
-    return trips
-
-
 def run(scheme, seed=17):
     pr = ProbDistContainer({i: uniform_dist(-7, 7) for i in range(NDIM)})
-    coords = pr.rvs(size=(NTEMPS, NWALKERS))
+    # pin the start coords (rvs consumes the GLOBAL NumPy stream, which
+    # would make results depend on in-process draw order)
+    rng = np.random.default_rng(99)
+    coords = rng.uniform(-3, 3, size=(NTEMPS, NWALKERS, 1, NDIM))
     flat = np.arange(NTEMPS * NWALKERS).reshape(NTEMPS, NWALKERS)
     ens = EnsembleSampler(
         NWALKERS, NDIM, log_like, pr,
@@ -94,7 +79,7 @@ def run(scheme, seed=17):
         pos[tag] = np.repeat(np.arange(NTEMPS, dtype=np.int8), NWALKERS)
         rungs[i] = pos
     dt = _time.perf_counter() - t0
-    trips = count_round_trips(rungs, NTEMPS)
+    trips = replica_round_trips(rungs, NTEMPS)
     attempts = NTEMPS - 1 if scheme == "cascade" else (NTEMPS - 1) / 2.0
     return trips, attempts, dt
 

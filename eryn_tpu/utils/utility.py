@@ -26,6 +26,7 @@ __all__ = [
     "stepping_stone_log_evidence",
     "psrf",
     "rank_normalized_rhat",
+    "replica_round_trips",
     "rank_normalized_rhat_jax",
     "effective_sample_size_jax",
 ]
@@ -538,6 +539,56 @@ def effective_sample_size(chains, ndim=None, return_parts=False):
     if return_parts:
         return ess, bulk, tail
     return ess
+
+
+def replica_round_trips(rungs, ntemps, return_counts=False):
+    """Count parallel-tempering replica round trips (beyond the reference).
+
+    A replica's round trip — cold rung -> hottest rung -> back to cold —
+    is the unit of tempering work: each trip carries one fresh hot-chain
+    exploration down to the cold chain (Syed et al. 2021).  Track replicas
+    by riding an integer tag through the swap phases via the state
+    supplemental (see ``benchmarks/replica_flow.py`` for the recipe) and
+    feed the resulting rung series here.
+
+    Args:
+        rungs: ``(nsteps, nreplicas)`` integer rung index per replica per
+            step (0 = cold chain).
+        ntemps: number of rungs.
+        return_counts: also return the per-replica trip counts.
+
+    Returns:
+        Total round trips across replicas; with ``return_counts=True``,
+        ``(total, (nreplicas,) counts)``.
+    """
+    rungs = np.asarray(rungs)
+    if rungs.ndim != 2:
+        raise ValueError(
+            f"rungs must be (nsteps, nreplicas), got shape {rungs.shape}."
+        )
+    nsteps, nreps = rungs.shape
+    counts = np.zeros(nreps, dtype=np.int64)
+    # event-compressed state machine, vectorized over replicas: only
+    # visits to the two extreme rungs matter (-1 = cold, +1 = hottest)
+    ev = np.where(rungs == 0, -1, np.where(rungs == ntemps - 1, 1, 0))
+    for k in range(nreps):
+        e = ev[:, k]
+        e = e[e != 0]
+        if e.size == 0:
+            continue
+        # drop consecutive duplicates: transitions only
+        e = e[np.concatenate(([True], e[1:] != e[:-1]))]
+        # start counting at the first cold visit; each subsequent
+        # (+1, -1) pair is one round trip
+        first_cold = np.argmax(e == -1) if (e == -1).any() else None
+        if first_cold is None:
+            continue
+        e = e[first_cold:]
+        counts[k] = (e[1:] == -1).sum() if e.size > 1 else 0
+    total = int(counts.sum())
+    if return_counts:
+        return total, counts
+    return total
 
 
 _MODERN_DIAG_FNS = None

@@ -589,3 +589,51 @@ def test_backend_effective_sample_size():
     assert out["m"].shape == (ndim,)  # dead leaf columns dropped
     total = nsteps * nwalkers
     assert np.all(out["m"] > 0.25 * total)
+
+
+def test_replica_round_trips():
+    """Round-trip counting: hand-built series with known answers, plus
+    agreement with a brute-force state machine on random walks."""
+    from eryn_tpu.utils.utility import replica_round_trips
+
+    nt = 4
+    # one full trip (0 -> 3 -> 0), one half trip, one that never starts
+    rungs = np.array([
+        [0, 1, 2],
+        [1, 2, 2],
+        [3, 3, 3],
+        [2, 2, 3],
+        [0, 1, 3],
+    ])
+    total, counts = replica_round_trips(rungs, nt, return_counts=True)
+    assert total == 1
+    np.testing.assert_array_equal(counts, [1, 0, 0])
+
+    # repeated extreme visits do not double-count
+    r = np.array([[0], [0], [3], [3], [0], [0], [3], [0]])
+    assert replica_round_trips(r, nt) == 2
+
+    # brute-force cross-check on random ladder walks
+    def brute(rungs, ntemps):
+        trips = 0
+        for k in range(rungs.shape[1]):
+            dir_up, started = True, False
+            for v in rungs[:, k]:
+                if not started:
+                    started = v == 0
+                    continue
+                if dir_up and v == ntemps - 1:
+                    dir_up = False
+                elif not dir_up and v == 0:
+                    dir_up = True
+                    trips += 1
+        return trips
+
+    rng = np.random.default_rng(0)
+    walk = np.clip(
+        np.cumsum(rng.integers(-1, 2, size=(400, 16)), axis=0), 0, nt - 1
+    )
+    assert replica_round_trips(walk, nt) == brute(walk, nt)
+
+    with pytest.raises(ValueError, match="nsteps"):
+        replica_round_trips(np.zeros(5), nt)
