@@ -239,3 +239,34 @@ def test_para_groups_running_resets_when_omitted():
     assert bool(np.asarray(st2.groups_running).all())
     ll2 = np.asarray(st2.group_view({"ll": st2.log_like})["ll"])
     assert not np.allclose(ll2[1], ll1[1])
+
+
+def test_para_new_move_families_under_vmap():
+    """ChEES (lax.while_loop kernels), SliceMove (lockstep while loops),
+    and DEO swap phases all compose with the vmapped group axis."""
+    from eryn_tpu.moves import ChEESHMCMove, SliceMove
+
+    priors = ProbDistContainer({i: uniform_dist(-6, 6) for i in range(NDIM)})
+    for label, moves, tk in [
+        ("chees", [ChEESHMCMove(tune_steps=50, max_leapfrog=8)], None),
+        ("slice", [SliceMove(tune_steps=50)], None),
+        ("deo", None, dict(ntemps=3, swap_scheme="deo")),
+    ]:
+        kwargs = {}
+        if moves is not None:
+            kwargs["moves"] = moves
+        if tk is not None:
+            kwargs["tempering_kwargs"] = tk
+        para = ParaEnsembleSampler(
+            NGROUPS, NWALKERS, NDIM,
+            lambda x: -0.5 * jnp.sum(x**2),
+            priors, seed=61, **kwargs,
+        )
+        nt = 1 if tk is None else tk["ntemps"]
+        coords = priors.rvs(size=(NGROUPS, nt, NWALKERS))
+        para.run_mcmc(coords, 150, burn=80)
+        chain = para.get_chain()["model_0"]
+        for g in range(NGROUPS):
+            vals = np.asarray(chain[:, g, 0]).reshape(-1, NDIM)
+            assert np.abs(vals.mean(axis=0)).max() < 0.35, (label, g)
+            assert np.abs(vals.std(axis=0) - 1.0).max() < 0.35, (label, g)
