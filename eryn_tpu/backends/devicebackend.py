@@ -677,7 +677,9 @@ class DeviceBackend(Backend):
         vals = jnp.where(m[..., None], x, jnp.nan).reshape(
             nsteps, nwalkers, nleaves_max * ndim
         )
-        keep = np.asarray(jnp.isfinite(vals).any(axis=(0, 1)))
+        # match the host getters' column selection exactly: drop only
+        # all-NaN columns (a column of infs stays, as on the host)
+        keep = np.asarray(~jnp.isnan(vals).all(axis=(0, 1)))
         return vals, keep
 
     def get_rank_normalized_rhat(

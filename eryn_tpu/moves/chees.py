@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from .hmc import HMCMove
-from .tempering import tempered_log_likelihood
 
 __all__ = ["ChEESHMCMove"]
 
@@ -208,12 +207,9 @@ class ChEESHMCMove(HMCMove):
     ):
         """One Adam ascent step on ``log T`` from the cold-chain ChEES
         gradient estimate; frozen (identity) once ``t >= tune_steps``."""
-        logP_new = tempered_log_likelihood(ll1, betas) + lp1
-        logP_old = (
-            tempered_log_likelihood(state.log_like, betas) + state.log_prior
-        )
-        lnpdiff = factors + logP_new - logP_old
-        alpha = jnp.nan_to_num(jnp.exp(jnp.minimum(lnpdiff, 0.0)))[0]
+        alpha = self._acceptance_probability(
+            state, betas, factors, ll1, lp1
+        )[0]
 
         nwalkers = state.log_like.shape[1]
 

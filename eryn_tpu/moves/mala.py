@@ -252,6 +252,19 @@ class MALAMove(Move):
             return self.periodic.distance({name: a}, {name: b})[name]
         return b - a
 
+    @staticmethod
+    def _acceptance_probability(state, betas, factors, ll1, lp1):
+        """Per-walker MH acceptance PROBABILITY alpha = min(1, exp(...)) —
+        the single definition shared by the dual-averaging update and the
+        ChEES gradient weighting (Hoffman & Gelman 2014 use the
+        probability, lower-variance than the 0/1 outcomes)."""
+        logP_new = tempered_log_likelihood(ll1, betas) + lp1
+        logP_old = (
+            tempered_log_likelihood(state.log_like, betas) + state.log_prior
+        )
+        lnpdiff = factors + logP_new - logP_old
+        return jnp.nan_to_num(jnp.exp(jnp.minimum(lnpdiff, 0.0)))
+
     def _accept_and_merge(
         self, key, state, names, coords, q, factors, ll1, lp1, blobs1,
         betas, dtype, kernel_state,
@@ -273,11 +286,9 @@ class MALAMove(Move):
             blobs = jnp.where(acc_b, blobs1, blobs)
 
         if self.tune_steps > 0 and kernel_state:
-            # dual averaging uses the acceptance PROBABILITY (Hoffman &
-            # Gelman 2014), lower-variance than the 0/1 accept outcomes
-            lnpdiff = factors + logP_new - logP_old
-            alpha = jnp.exp(jnp.minimum(lnpdiff, 0.0))
-            alpha = jnp.nan_to_num(alpha)
+            alpha = self._acceptance_probability(
+                state, betas, factors, ll1, lp1
+            )
             kernel_state, _ = self._adapt_scale(kernel_state, alpha)
 
         new_state = state.replace(

@@ -306,9 +306,14 @@ class Move:
             if self.adapt_temps and tc.adaptive:
                 tc.time += 1
                 tc.betas = np.asarray(state.betas)
-            elif getattr(tc, "swap_scheme", "cascade") == "deo":
+            elif (
+                getattr(tc, "swap_scheme", "cascade") == "deo"
+                and tc.ntemps > 1
+                and not self.prevent_swaps
+            ):
                 # the counter doubles as the DEO parity clock: it must tick
-                # on every swap phase, adapting or not
+                # on every swap phase (adapting or not) — and ONLY when a
+                # phase actually ran, mirroring propose_kernel's gate
                 tc.time += 1
         accepted_np = np.asarray(accepted)
         if self.accepted is None:

@@ -577,6 +577,20 @@ class TemperatureControl:
             )
             else {}
         )
+        if not sk_kwargs and self.swap_scheme == "deo":
+            # the fallback parity source (int(self.time)) is baked in at
+            # TRACE time — inside a compiled segment every step would
+            # attempt the same parity class, disconnecting the other
+            # boundaries; tell the subclass author what to change
+            import warnings
+
+            warnings.warn(
+                "swap_scheme='deo' with a swap_kernel override that does "
+                "not accept the `time` kwarg: the parity clock cannot "
+                "alternate inside compiled segments. Add `time=None` to "
+                "the override's signature and forward it to super().",
+                stacklevel=2,
+            )
         swap_tree, logl, swaps_accepted, swaps_proposed = self.swap_kernel(
             key, swap_tree, state.log_like, state.betas, **sk_kwargs
         )
@@ -701,6 +715,11 @@ class TemperatureControl:
         ratios = np.asarray(swaps_accepted) / np.maximum(
             np.asarray(swaps_proposed), 1.0
         )
+        if self.swap_scheme == "deo":
+            # same per-attempt rescale as temper_kernel: each boundary is
+            # attempted every other phase, so doubling makes time-averaged
+            # statistics (and adapt_temps) see the true per-attempt rate
+            ratios = 2.0 * ratios
         self.swaps_accepted = ratios * nwalkers
         self.swaps_proposed = np.full(self.ntemps - 1, nwalkers)
         if self.swap_scheme == "deo":

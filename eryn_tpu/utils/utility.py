@@ -636,6 +636,8 @@ def _modern_diag_fns():
     def ess_of(z):
         n, m = z.shape
         dtype = z.dtype
+        if n < 4:  # host _ess_of contract: too short after splitting
+            return jnp.asarray(jnp.nan, dtype)
         finite = jnp.isfinite(z)
         chain_keep = finite.any(axis=0)
         kf = chain_keep.astype(dtype)

@@ -68,19 +68,26 @@ def test_deo_parity_alternation():
 
 def test_deo_host_parity_clock():
     """The host temperature_swaps API ticks the parity clock so repeated
-    calls alternate phases even with adaptation off."""
+    calls alternate phases even with adaptation off — and reports swap
+    counts at the PER-ATTEMPT scale, like the compiled path."""
     betas = np.array([1.0, 0.25])
     tc = TemperatureControl(
         betas=betas, nwalkers=8, adaptive=False, swap_scheme="deo"
     )
+    # equal logl: every attempted pair accepts with probability 1
     logl = np.zeros((2, 8))
     logp = np.zeros((2, 8))
     x = {"model_0": np.random.randn(2, 8, 1, NDIM)}
     assert tc.time == 0
     tc.temperature_swaps(x, None, logl, logp)
     assert tc.time == 1
+    # the single boundary was attempted (parity 0) and accepted all 8
+    # pairs; the 2x per-attempt rescale reports 16 = 2 * 8
+    np.testing.assert_allclose(tc.swaps_accepted, [16.0])
     tc.temperature_swaps(x, None, logl, logp)
     assert tc.time == 2
+    # parity 1 attempts no boundary on a 2-rung ladder
+    np.testing.assert_allclose(tc.swaps_accepted, [0.0])
 
 
 def test_deo_reference_composition_single_tick(priors):
@@ -124,6 +131,14 @@ def test_deo_host_propose_ticks_parity(priors):
     state, _ = move.propose(model, state)
     assert ens.temperature_control.time == 1
     state, _ = move.propose(model, state)
+    assert ens.temperature_control.time == 2
+
+    # a prevent_swaps move runs NO phase: the clock must not tick (a
+    # phantom tick would scramble the deterministic parity alternation)
+    noswap = StretchMove(
+        temperature_control=ens.temperature_control, prevent_swaps=True
+    )
+    state, _ = noswap.propose(model, state)
     assert ens.temperature_control.time == 2
 
 

@@ -529,3 +529,31 @@ def test_modern_diag_jax_rj_masked_columns():
     e_d = np.asarray(effective_sample_size_jax(jnp.asarray(x32)))
     np.testing.assert_allclose(e_d[:-1], e_h[:-1], rtol=1e-4)
     assert np.isnan(e_d[-1]) and np.isnan(e_h[-1])
+
+
+def test_modern_diag_jax_short_chains_match_host():
+    """Chains too short for the Geyer machinery: the device ESS returns
+    NaN exactly where the host estimator does (nsteps 4-7 used to crash
+    with an IndexError or return values the host calls NaN)."""
+    from eryn_tpu.utils.utility import (
+        effective_sample_size,
+        effective_sample_size_jax,
+        rank_normalized_rhat,
+        rank_normalized_rhat_jax,
+    )
+
+    rng = np.random.default_rng(9)
+    for nsteps in (4, 5, 6, 7, 8, 12):
+        x = rng.standard_normal((nsteps, 8, 2)).astype(np.float32)
+        e_h = effective_sample_size(x.astype(np.float64))
+        e_d = np.asarray(effective_sample_size_jax(jnp.asarray(x)))
+        np.testing.assert_array_equal(np.isnan(e_d), np.isnan(e_h), err_msg=str(nsteps))
+        if not np.isnan(e_h).any():
+            np.testing.assert_allclose(e_d, e_h, rtol=1e-4)
+        r_h = rank_normalized_rhat(x.astype(np.float64))
+        r_d = np.asarray(rank_normalized_rhat_jax(jnp.asarray(x)))
+        # tiny pooled samples: a draw landing exactly on the f32-vs-f64
+        # pooled median folds to 0 in one precision and ~1e-8 in the
+        # other, shifting a whole rank step — O(1%) at S=32, irrelevant
+        # at real chain lengths (see the 1e-5 tolerance tests above)
+        np.testing.assert_allclose(r_d, r_h, rtol=0.03)
