@@ -67,6 +67,21 @@ def main():
         lambda ens: ens._setup_state(priors.rvs(size=(NT, NW))),
     )
 
+    # non-reversible (DEO) swap phase at the same scale: the O(1)-depth
+    # parity exchange replaces the 20-rung sequential cascade — measures
+    # how much of the PT epilogue the swap scheme buys back
+    def make_pt_deo():
+        return EnsembleSampler(
+            NW, NDIM, ll_simple, priors,
+            tempering_kwargs=dict(ntemps=NT, swap_scheme="deo"), seed=0,
+        )
+
+    bench(
+        "stress_pt_deo_nt20_nw1000_d5",
+        make_pt_deo,
+        lambda ens: ens._setup_state(priors.rvs(size=(NT, NW))),
+    )
+
     # RJ + group stretch at scale: variable pulse count
     t_np = np.linspace(0, 10, 64)
     sigma = 0.4
