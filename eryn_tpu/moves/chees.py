@@ -102,6 +102,13 @@ class ChEESHMCMove(HMCMove):
             tune_steps=tune_steps,
             **kwargs,
         )
+        if self.ensemble_precondition:
+            raise NotImplementedError(
+                "ensemble_precondition is not implemented for ChEESHMCMove "
+                "(the ChEES criterion needs the full cold-chain ensemble, "
+                "not red/blue halves); use HMCMove(ensemble_precondition="
+                "True) or a per-parameter eps array."
+            )
         self.max_leapfrog = int(max_leapfrog)
         self.init_num_leapfrog = int(init_num_leapfrog)
         self.adam_lr = float(adam_lr)
