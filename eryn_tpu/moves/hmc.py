@@ -211,135 +211,19 @@ class HMCMove(MALAMove):
         )
 
     def _propose_impl_precond(self, key, state, ctx, kernel_state=()):
-        """Red/blue ensemble-preconditioned HMC: walkers update in two
-        sequential permuted halves, each integrating with the COMPLEMENT
-        half's per-parameter standard deviations as the (diagonal) mass
-        matrix.  The scale never depends on the walkers being moved, so
-        detailed balance holds exactly — the same argument as
-        :meth:`MALAMove._propose_impl_precond`."""
-        from .move import mh_accept, state_branch_supps
-        from .tempering import tempered_log_likelihood
+        """Red/blue ensemble-preconditioned HMC: walkers integrate in two
+        sequential permuted halves, each with the COMPLEMENT half's
+        per-parameter standard deviations as the diagonal mass matrix
+        (scale independent of the moved walkers, so detailed balance holds
+        exactly).  Delegates the half-ensemble machinery to
+        :meth:`MALAMove._propose_impl_precond`, supplying the leapfrog
+        trajectory as the block proposal core."""
 
-        if self.gibbs_sampling_setup_input is not None:
-            raise ValueError(
-                "gibbs_sampling_setup is not supported by gradient moves."
-            )
-        names = self.run_branches(state)
-        all_names = list(state.branches_coords.keys())
-        ntemps, nwalkers = state.log_like.shape
-        dtype = state.log_like.dtype
-        betas = (
-            state.betas
-            if state.betas is not None
-            else jnp.ones((ntemps,), dtype=dtype)
-        )
-        scale = self._current_scale(kernel_state, dtype)
-
-        key, kperm = jax.random.split(key)
-        perm = jax.random.permutation(kperm, nwalkers)
-        inv_perm = jnp.argsort(perm)
-        coords_p = {n: state.branches_coords[n][:, perm] for n in all_names}
-        inds_p = {n: state.branches_inds[n][:, perm] for n in all_names}
-        logl_p = state.log_like[:, perm]
-        logp_p = state.log_prior[:, perm]
-        blobs_p = state.blobs[:, perm] if state.blobs is not None else None
-        acc_p = jnp.zeros((ntemps, nwalkers), dtype=bool)
-
-        n0 = nwalkers - nwalkers // 2
-        alpha_sum = jnp.zeros((), dtype)
-        for off, ns in ((0, n0), (n0, nwalkers - n0)):
-            key, k_acc = jax.random.split(key)
-
-            def blk(x, off=off, ns=ns):
-                return x[:, off : off + ns]
-
-            def comp(x, off=off, ns=ns):
-                return jnp.concatenate([x[:, :off], x[:, off + ns :]], axis=1)
-
-            eps_tree = {}
-            for n in names:
-                sigma = self._complement_sigma(
-                    comp(coords_p[n]), comp(inds_p[n])
-                )
-                base = self._eps_for(
-                    n, coords_p[n].shape[-1], dtype, kernel_state
-                )
-                eps_tree[n] = scale * base * sigma  # (nt, 1, nl, nd)
-
-            inds_blk = {n: blk(inds_p[n]) for n in all_names}
-            supps_blk = state_branch_supps(state, perm=perm, block=(off, ns))
-            fixed = {
-                n: blk(coords_p[n]) for n in all_names if n not in names
-            }
-
-            def logP_sum(active, inds_blk=inds_blk, supps_blk=supps_blk, fixed=fixed):
-                full = {**fixed, **active}
-                lp = ctx.compute_log_prior(full, inds_blk)
-                ll, blobs = ctx.compute_log_like(full, inds_blk, lp, supps_blk)
-                logP = tempered_log_likelihood(ll, betas) + lp
-                return (
-                    jnp.sum(jnp.where(jnp.isfinite(logP), logP, 0.0)),
-                    (ll, lp, blobs),
-                )
-
-            raw_grad_fn = jax.value_and_grad(logP_sum, has_aux=True)
-
-            def grad_fn(active_coords, raw_grad_fn=raw_grad_fn):
-                (val, aux), g = raw_grad_fn(active_coords)
-                # see _grad_setup: zero NaN gradients from -inf-logP points
-                g = jax.tree_util.tree_map(
-                    lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g
-                )
-                return (val, aux), g
-
-            x = {n: blk(coords_p[n]) for n in names}
-            masks_blk = {n: inds_blk[n][..., None] for n in names}
-
-            key, q, ll1, lp1, blobs1, factors = self._run_leapfrog(
+        def leapfrog_block(key, names, x, masks_blk, eps_tree, grad_fn, dtype):
+            return self._run_leapfrog(
                 key, names, x, masks_blk, eps_tree, grad_fn, dtype
             )
 
-            prev_logl = blk(logl_p)
-            prev_logp = blk(logp_p)
-            logP_new = tempered_log_likelihood(ll1, betas) + lp1
-            logP_old = tempered_log_likelihood(prev_logl, betas) + prev_logp
-            acc = mh_accept(k_acc, factors, logP_new, logP_old)
-            lnpdiff = factors + logP_new - logP_old
-            alpha_sum = alpha_sum + jnp.nan_to_num(
-                jnp.exp(jnp.minimum(lnpdiff[0], 0.0))
-            ).mean()
-
-            upd = jax.lax.dynamic_update_slice_in_dim
-            for n in names:
-                coords_p[n] = upd(
-                    coords_p[n],
-                    jnp.where(acc[:, :, None, None], q[n], x[n]),
-                    off,
-                    axis=1,
-                )
-            logl_p = upd(logl_p, jnp.where(acc, ll1, prev_logl), off, axis=1)
-            logp_p = upd(logp_p, jnp.where(acc, lp1, prev_logp), off, axis=1)
-            if blobs_p is not None and blobs1 is not None:
-                acc_b = acc.reshape(acc.shape + (1,) * (blobs_p.ndim - 2))
-                blobs_p = upd(
-                    blobs_p,
-                    jnp.where(acc_b, blobs1, blk(blobs_p)),
-                    off,
-                    axis=1,
-                )
-            acc_p = upd(acc_p, acc, off, axis=1)
-
-        if self.tune_steps > 0 and kernel_state:
-            kernel_state, _ = self._adapt_scale(
-                kernel_state, (0.5 * alpha_sum)[None, None]
-            )
-
-        new_coords = {n: coords_p[n][:, inv_perm] for n in all_names}
-        new_state = state.replace(
-            coords=new_coords,
-            inds=dict(state.branches_inds),
-            log_like=logl_p[:, inv_perm],
-            log_prior=logp_p[:, inv_perm],
-            blobs=blobs_p[:, inv_perm] if blobs_p is not None else state.blobs,
+        return super()._propose_impl_precond(
+            key, state, ctx, kernel_state, propose_block=leapfrog_block
         )
-        return new_state, acc_p[:, inv_perm], kernel_state

@@ -315,14 +315,37 @@ class MALAMove(Move):
         sig = jnp.sqrt(var)
         return jnp.where((cnt > 1.0) & (sig > 0.0), sig, 1.0)
 
-    def _propose_impl_precond(self, key, state, ctx, kernel_state=()):
+    def _eps_for_precond(self, name, ndim, dtype, kernel_state):
+        """Base step size for the preconditioned path.  With ``eps=None``
+        the heuristic ``eps_base`` already encodes the per-axis ensemble
+        sigmas — but the complement-half sigma supplies the anisotropy in
+        this path, so using the vector base would scale per-axis steps as
+        sigma SQUARED.  Collapse it to its geometric mean (isotropic,
+        right overall magnitude); explicit user eps values pass through."""
+        vec = self._eps_for(name, ndim, dtype, kernel_state)
+        if self.eps is None:
+            return jnp.exp(
+                jnp.log(jnp.maximum(jnp.abs(vec), 1e-12)).mean()
+            ).astype(dtype)
+        return vec
+
+    def _propose_impl_precond(
+        self, key, state, ctx, kernel_state=(), propose_block=None
+    ):
         """Two sequential permuted halves, each preconditioned by the other
         half's per-parameter scales (red/blue structure, so the mass matrix
-        never depends on the walkers being moved)."""
+        never depends on the walkers being moved).
+
+        ``propose_block(key, x, masks_blk, eps_tree, grad_fn, dtype) ->
+        (key, q, ll1, lp1, blobs1, factors)`` supplies the proposal core
+        for one walker block; ``None`` uses the MALA drift (HMC passes its
+        leapfrog trajectory)."""
         if self.gibbs_sampling_setup_input is not None:
             raise ValueError(
                 "gibbs_sampling_setup is not supported by gradient moves."
             )
+        if propose_block is None:
+            propose_block = self._mala_block
         names = self.run_branches(state)
         all_names = list(state.branches_coords.keys())
         ntemps, nwalkers = state.log_like.shape
@@ -347,8 +370,7 @@ class MALAMove(Move):
         n0 = nwalkers - nwalkers // 2
         alpha_sum = jnp.zeros((), dtype)
         for off, ns in ((0, n0), (n0, nwalkers - n0)):
-            key, k_xi, k_acc = jax.random.split(key, 3)
-            xi_keys = jax.random.split(k_xi, len(names))
+            key, k_acc = jax.random.split(key)
 
             def blk(x, off=off, ns=ns):
                 return x[:, off : off + ns]
@@ -361,7 +383,7 @@ class MALAMove(Move):
                 sigma = self._complement_sigma(
                     comp(coords_p[n]), comp(inds_p[n])
                 )
-                base = self._eps_for(
+                base = self._eps_for_precond(
                     n, coords_p[n].shape[-1], dtype, kernel_state
                 )
                 eps_tree[n] = scale * base * sigma  # (nt, 1, nl, nd)
@@ -393,31 +415,11 @@ class MALAMove(Move):
                 return (val, aux), g
 
             x = {n: blk(coords_p[n]) for n in names}
-            (_, _aux0), grad_x = grad_fn(x)
+            masks_blk = {n: inds_blk[n][..., None] for n in names}
 
-            q = {}
-            for n, kx in zip(names, xi_keys):
-                c = x[n]
-                eps_vec = eps_tree[n]
-                xi = jax.random.normal(kx, c.shape, dtype=dtype)
-                step = 0.5 * eps_vec**2 * grad_x[n] + eps_vec * xi
-                q[n] = self._wrap_periodic(
-                    n, c + jnp.where(inds_blk[n][..., None], step, 0.0)
-                )
-
-            (_, (ll1, lp1, blobs1)), grad_q = grad_fn(q)
-
-            factors = jnp.zeros((ntemps, ns), dtype=dtype)
-            for n in names:
-                c, qq = x[n], q[n]
-                e2 = eps_tree[n] ** 2
-                m = inds_blk[n][..., None]
-                fwd = self._displacement(n, c, qq) - 0.5 * e2 * grad_x[n]
-                rev = self._displacement(n, qq, c) - 0.5 * e2 * grad_q[n]
-                contrib = (rev**2 - fwd**2) / (2.0 * e2)
-                factors = factors - jnp.where(m, contrib, 0.0).sum(
-                    axis=(-2, -1)
-                )
+            key, q, ll1, lp1, blobs1, factors = propose_block(
+                key, names, x, masks_blk, eps_tree, grad_fn, dtype
+            )
 
             prev_logl = blk(logl_p)
             prev_logp = blk(logp_p)
@@ -463,6 +465,36 @@ class MALAMove(Move):
             blobs=blobs_p[:, inv_perm] if blobs_p is not None else state.blobs,
         )
         return new_state, acc_p[:, inv_perm], kernel_state
+
+    def _mala_block(self, key, names, x, masks_blk, eps_tree, grad_fn, dtype):
+        """Langevin drift + exact Hastings factors for one walker block
+        (the ``propose_block`` core of :meth:`_propose_impl_precond`)."""
+        key, k_xi = jax.random.split(key)
+        xi_keys = jax.random.split(k_xi, len(names))
+
+        (_, _aux0), grad_x = grad_fn(x)
+        q = {}
+        for n, kx in zip(names, xi_keys):
+            c = x[n]
+            eps_vec = eps_tree[n]
+            xi = jax.random.normal(kx, c.shape, dtype=dtype)
+            step = 0.5 * eps_vec**2 * grad_x[n] + eps_vec * xi
+            q[n] = self._wrap_periodic(
+                n, c + jnp.where(masks_blk[n], step, 0.0)
+            )
+
+        (_, (ll1, lp1, blobs1)), grad_q = grad_fn(q)
+
+        factors = jnp.zeros(masks_blk[names[0]].shape[:2], dtype=dtype)
+        for n in names:
+            c, qq = x[n], q[n]
+            e2 = eps_tree[n] ** 2
+            m = masks_blk[n]
+            fwd = self._displacement(n, c, qq) - 0.5 * e2 * grad_x[n]
+            rev = self._displacement(n, qq, c) - 0.5 * e2 * grad_q[n]
+            contrib = (rev**2 - fwd**2) / (2.0 * e2)
+            factors = factors - jnp.where(m, contrib, 0.0).sum(axis=(-2, -1))
+        return key, q, ll1, lp1, blobs1, factors
 
     def _propose_impl(self, key, state, ctx, kernel_state=()):
         if self.ensemble_precondition:

@@ -125,6 +125,25 @@ def test_hmc_ensemble_precondition(priors):
     chain2 = ens2.get_chain()["model_0"].reshape(-1, NDIM)
     np.testing.assert_allclose(chain2.std(axis=0), sig, rtol=0.25)
 
+    # the fully hands-off configuration the docs advertise: eps=None.
+    # The heuristic base collapses to its geometric mean here (the
+    # complement sigma supplies the anisotropy) — the naive vector base
+    # would scale per-axis steps as sigma^2 and stall the narrow axes.
+    ens3 = EnsembleSampler(
+        NWALKERS, NDIM, ll, priors,
+        moves=[HMCMove(ensemble_precondition=True, tune_steps=250)],
+        seed=78,
+    )
+    ens3.run_mcmc(coords, 500, burn=250)
+    chain3 = ens3.get_chain()["model_0"].reshape(-1, NDIM)
+    np.testing.assert_allclose(chain3.std(axis=0), sig, rtol=0.2)
+    acc3 = float(ens3.acceptance_fraction.mean())
+    assert 0.4 < acc3 <= 1.0, acc3
+    # mixing must be healthy on EVERY axis (sigma^2 scaling would blow
+    # the narrow-axis taus up by ~an order of magnitude)
+    tau3 = np.nanmax(ens3.get_autocorr_time()["model_0"])
+    assert tau3 < 20.0, tau3
+
     # ChEES rejects the flag with a descriptive error
     from eryn_tpu.moves import ChEESHMCMove
 
