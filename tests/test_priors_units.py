@@ -274,3 +274,55 @@ def test_container_ppf_accepts_key_iterator():
     np.testing.assert_allclose(out_gen, out_list)
     # the selected column was actually transformed
     np.testing.assert_allclose(out_gen[:, 0], -2.0 + 6.0 * q[:, 0])
+
+
+def test_rvs_stratified_latin_hypercube():
+    """Each parameter's N stratified draws occupy the N equal-probability
+    quantile strata exactly once; shapes/reproducibility/multivariate
+    fallback all behave."""
+    from eryn_tpu.prior import (
+        MultivariateNormalDistribution,
+        ProbDistContainer,
+        normal_dist,
+        uniform_dist,
+    )
+
+    pr = ProbDistContainer(
+        {0: uniform_dist(-2.0, 6.0), 1: normal_dist(1.0, 3.0)}
+    )
+    n = 64
+    x = pr.rvs_stratified(size=n, seed=5)
+    assert x.shape == (n, 2)
+    # uniform marginal: exactly one sample per stratum
+    q0 = (x[:, 0] + 2.0) / 8.0
+    counts = np.histogram(q0, bins=n, range=(0.0, 1.0))[0]
+    assert (counts == 1).all()
+    # normal marginal: push through the CDF, same property
+    from scipy.stats import norm
+
+    q1 = norm.cdf(x[:, 1], loc=1.0, scale=3.0)
+    counts1 = np.histogram(q1, bins=n, range=(0.0, 1.0))[0]
+    assert (counts1 == 1).all()
+    # reproducible with a seed; tuple sizes reshape
+    np.testing.assert_array_equal(x, pr.rvs_stratified(size=n, seed=5))
+    y = pr.rvs_stratified(size=(4, 16), seed=6)
+    assert y.shape == (4, 16, 2)
+
+    # multivariate blocks fall back to iid draws but keep positions
+    cov = np.array([[1.0, 0.5], [0.5, 2.0]])
+    pr2 = ProbDistContainer(
+        {
+            0: uniform_dist(0.0, 1.0),
+            (1, 2): MultivariateNormalDistribution(np.zeros(2), cov),
+        }
+    )
+    z = pr2.rvs_stratified(size=1024, seed=7)
+    assert z.shape == (1024, 3)
+    qz = z[:, 0]
+    assert (np.histogram(qz, bins=1024, range=(0.0, 1.0))[0] == 1).all()
+    emp = np.cov(z[:, 1:].T)
+    np.testing.assert_allclose(emp, cov, atol=0.3)
+    # the multivariate fallback is seeded too
+    np.testing.assert_array_equal(z, pr2.rvs_stratified(size=1024, seed=7))
+    # every stratified start is inside the prior support
+    assert np.isfinite(pr2.logpdf(z)).all()
