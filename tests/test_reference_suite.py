@@ -29,7 +29,8 @@ FAST_CASES = [
     "test_mt",
     "test_2d_prior",
 ]
-# Every slow case below was VERIFIED PASSING on 2026-08-17 (round 3) —
+# Every slow case below was VERIFIED PASSING on 2026-08-18 (round 3, after
+# the DEO/kernel-state host-path changes) —
 # they sit in the opt-in lane purely for suite runtime, not correctness.
 SLOW_CASES = {
     # 1000-step RJ run through the host-callback likelihood: ~2-9 min
