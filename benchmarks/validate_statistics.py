@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
 from eryn_tpu.prior import normal_dist
 from eryn_tpu.moves import (
+    AIMHMove,
     ChEESHMCMove,
     DelayedRejection,
     ModelSwapRJMove,
@@ -343,6 +344,12 @@ def main():
         check_move("MALAMove", [MALAMove()], 15, nsteps=1500),
         check_move("HMCMove", [HMCMove()], 16, nsteps=800),
         check_move("ChEESHMCMove", [ChEESHMCMove()], 23, nsteps=800),
+        check_move(
+            "DIME (DEMove + AIMHMove)",
+            [(DEMove(), 0.9), (AIMHMove(), 0.1)],
+            25,
+            nsteps=1500,
+        ),
         check_gradient_efficiency(),
         check_rj("RJ k-posterior vs quadrature"),
         check_modelswap("Product-space Bayes factor"),

@@ -96,6 +96,13 @@ except ImportError:  # pragma: no cover
     pass
 
 try:
+    from .aimh import AIMHMove
+
+    __all__ += ["AIMHMove"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:
     from .de import DEMove, DESnookerMove
 
     __all__ += ["DEMove", "DESnookerMove"]
