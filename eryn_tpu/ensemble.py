@@ -850,6 +850,22 @@ class EnsembleSampler:
             self.rj_weights = []
             self.has_reversible_jump = False
         if self.has_reversible_jump:
+            fixed_dim = [
+                type(m).__name__
+                for m in self.moves
+                if getattr(m, "requires_fixed_dimension", False)
+            ]
+            if fixed_dim:
+                # an initial all-active mask would pass the move's own
+                # check and then silently bias once leaves deactivate —
+                # reject the combination outright
+                raise ValueError(
+                    f"{', '.join(fixed_dim)} requires fixed-dimension "
+                    "models and cannot be combined with reversible-jump "
+                    "moves (leaf masks change the meaning of the flattened "
+                    "parameter vector). Use KDEMove/DEMove for "
+                    "trans-dimensional targets."
+                )
             # the reference's own warning (ref ensemble.py:505-514) — plus
             # the fix it asks for, which the reference does not have
             if any(

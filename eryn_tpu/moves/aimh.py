@@ -18,8 +18,10 @@ The independence structure makes the whole ensemble updatable at once
 (the proposal does not depend on the walker being moved), and the
 discounted-moment fit is three small reductions per rung — everything
 stays inside the compiled step.  Adaptation freezes after ``tune_steps``
-proposals (run them inside burn-in); afterwards the kernel is a fixed
-independence sampler, so detailed balance is exact.
+AIMH proposals; afterwards the kernel is a fixed independence sampler, so
+detailed balance is exact.  NOTE: in a weighted schedule ``tune_steps``
+counts this move's SELECTIONS, not sampler steps — to freeze inside
+burn-in choose roughly ``tune_steps ~ weight * burn``.
 """
 
 from __future__ import annotations
@@ -43,19 +45,26 @@ class AIMHMove(Move):
             alive; Boehl's default is 10).
         rho: per-proposal discount factor on the accumulated ensemble
             moments (0.999 keeps a long memory; smaller adapts faster).
-        tune_steps: number of adapting proposals, after which the fitted
-            proposal freezes (0 disables adaptation: the initial-ensemble
-            fit is used forever).
-        jitter: diagonal variance floor added to the fitted covariance
-            (numerical floor; also the cold-start width regularizer).
+        tune_steps: number of adapting AIMH proposals, after which the
+            fitted proposal freezes (0 disables adaptation: the
+            initial-ensemble fit is used forever).  Counts this move's
+            selections, not sampler steps.
+        jitter: RELATIVE diagonal floor on the fitted covariance — scaled
+            by the mean per-rung variance, like
+            :class:`~eryn_tpu.moves.kde.KDEMove`'s regularizer.
 
     Notes:
-        Requires fixed-dimension models: reversible-jump leaf masks make
-        the flattened parameter vector change meaning across walkers, so
-        construction-time all-active masks are enforced in
-        ``init_kernel_state``.  Tempered runs fit separate moments per
-        rung (each rung's proposal approximates its own tempered target).
+        Requires fixed-dimension models: reversible-jump leaf masks change
+        the meaning of the flattened parameter vector, so the sampler
+        rejects the move in RJ configurations (``requires_fixed_dimension``)
+        and ``init_kernel_state`` re-checks the masks.  Periodic
+        parameters are rejected like :class:`KDEMove` (exact independence
+        factors on a torus need image sums).  Tempered runs fit separate
+        moments per rung.
     """
+
+    #: checked by the sampler: this move cannot run under reversible jump
+    requires_fixed_dimension = True
 
     def __init__(self, df=10.0, rho=0.999, tune_steps=500, jitter=1e-6, **kwargs):
         super().__init__(**kwargs)
@@ -85,8 +94,40 @@ class AIMHMove(Move):
             off += k
         return out
 
+    @staticmethod
+    def _batch_moments(x):
+        """Per-rung mean and CENTERED covariance of one ensemble
+        ``x`` (nt, nw, D) — centered accumulation, so a posterior far from
+        the origin cannot cancel catastrophically in float32 (the raw
+        E[xx^T] - mm^T form loses small variances at means ~sqrt(1/eps))."""
+        nw = x.shape[1]
+        mean = x.mean(axis=1)  # (nt, D)
+        d = x - mean[:, None, :]
+        cov = jnp.einsum("twi,twj->tij", d, d) / nw  # (nt, D, D)
+        return mean, cov
+
+    def _reject_periodic(self, state, names):
+        if self.periodic is not None and any(
+            self.periodic._vector_for(
+                n, state.branches_coords[n].shape[-1]
+            )
+            is not None
+            for n in names
+        ):
+            # exact independence factors on a periodic dimension need a
+            # sum over periodic images in the density; single-image
+            # factors on wrapped draws bias the chain near the seam —
+            # fail loudly (same contract as KDEMove)
+            raise ValueError(
+                "AIMHMove does not support periodic parameters: the "
+                "Student-t independence factors are computed on the "
+                "unwrapped space. Use DEMove/StretchMove for periodic "
+                "dimensions."
+            )
+
     def init_kernel_state(self, state):
         names = self.run_branches(state)
+        self._reject_periodic(state, names)
         for n in names:
             m = np.asarray(state.branches_inds[n])
             if not m.all():
@@ -98,36 +139,34 @@ class AIMHMove(Move):
                 )
         x = self._flatten(state, names)
         dtype = state.log_like.dtype
-        nt, nw, D = x.shape
-        w = jnp.full((nt,), float(nw), dtype)
-        mean = x.mean(axis=1)  # (nt, D)
-        second = jnp.einsum("twi,twj->tij", x, x) / nw  # (nt, D, D)
+        nt, nw, _D = x.shape
+        mean, cov = self._batch_moments(x)
         return {
-            "w": w,
+            "w": jnp.full((nt,), float(nw), dtype),
             "mean": mean,
-            "second": second,
+            "cov": cov,
             "t": jnp.zeros((), jnp.int32),
         }
 
     def _proposal_params(self, ks, dtype, D):
-        """(mean, cholesky of covariance) per rung from the moment state."""
-        mean = ks["mean"]
-        cov = ks["second"] - jnp.einsum("ti,tj->tij", mean, mean)
-        cov = cov + self.jitter * jnp.eye(D, dtype=dtype)[None]
+        """(mean, cholesky of covariance) per rung, with a RELATIVE
+        diagonal floor (scaled by the mean per-rung variance)."""
+        mean, cov = ks["mean"], ks["cov"]
+        var_scale = jnp.trace(cov, axis1=-2, axis2=-1) / D  # (nt,)
+        eye = jnp.eye(D, dtype=dtype)[None]
+        cov = cov + (
+            self.jitter * jnp.maximum(var_scale, 1e-30)[:, None, None] * eye
+        )
         chol = jnp.linalg.cholesky(cov)
         return mean, chol
 
     def _t_logpdf(self, x, mean, chol):
-        """Multivariate Student-t logpdf per (rung, walker).
-
-        ``x`` (nt, nw, D); ``mean`` (nt, D); ``chol`` (nt, D, D).  The
-        normalization constant is shared by the forward and reverse
-        densities and cancels in the Hastings ratio, EXCEPT the
-        determinant term — which is also shared (same rung) — so only the
-        quadratic-form kernel matters; kept explicit for clarity."""
+        """Multivariate Student-t log-kernel per (rung, walker) — the
+        normalization and determinant terms are shared by the forward and
+        reverse densities of the same rung and cancel in the Hastings
+        ratio, so only the quadratic form matters."""
         D = x.shape[-1]
         d = x - mean[:, None, :]
-        # solve L y = d  -> quadratic form ||y||^2
         y = jax.vmap(
             lambda L, dd: jax.scipy.linalg.solve_triangular(
                 L, dd.T, lower=True
@@ -144,14 +183,24 @@ class AIMHMove(Move):
                 "use proposal_branch_names to restrict branches."
             )
         names = self.run_branches(state)
+        self._reject_periodic(state, names)
         ks = kernel_state if isinstance(kernel_state, dict) else None
         dtype = state.log_like.dtype
         nt, nw = state.log_like.shape
         x = self._flatten(state, names)
         D = x.shape[-1]
 
-        if ks is None:  # bare kernel call: fit to the current ensemble
-            ks = self.init_kernel_state(state)
+        if ks is None:
+            # bare kernel call: fit to the current ensemble, traced (no
+            # host-side mask validation — init_kernel_state does that on
+            # the sampler path)
+            mean0, cov0 = self._batch_moments(x)
+            ks = {
+                "w": jnp.full((nt,), float(nw), dtype),
+                "mean": mean0,
+                "cov": cov0,
+                "t": jnp.zeros((), jnp.int32),
+            }
 
         mean, chol = self._proposal_params(ks, dtype, D)
 
@@ -162,19 +211,7 @@ class AIMHMove(Move):
         q_flat = mean[:, None, :] + step * jnp.sqrt(
             self.df / jnp.maximum(u, 1e-12)
         )[..., None]
-        if self.periodic is not None:
-            q_branches = self.periodic.wrap(
-                self._unflatten(state, names, q_flat)
-            )
-            q_flat = jnp.concatenate(
-                [
-                    q_branches[n].reshape(nt, nw, -1)
-                    for n in names
-                ],
-                axis=-1,
-            )
-        else:
-            q_branches = self._unflatten(state, names, q_flat)
+        q_branches = self._unflatten(state, names, q_flat)
 
         # independence Hastings factor: log q(x_old) - log q(x_new)
         factors = self._t_logpdf(x, mean, chol) - self._t_logpdf(
@@ -212,27 +249,37 @@ class AIMHMove(Move):
             acc_b = acc.reshape(acc.shape + (1,) * (blobs.ndim - 2))
             blobs = jnp.where(acc_b, blobs1, blobs)
 
-        # discounted moment update from the POST-accept ensemble (frozen
-        # once t >= tune_steps — run the adaptation inside burn-in)
         if self.tune_steps > 0:
-            x_new = jnp.concatenate(
-                [new_coords[n].reshape(nt, nw, -1) for n in names], axis=-1
-            )
+            # discounted WEIGHTED MERGE of the post-accept ensemble into
+            # the running centered moments (exact for discounted weights;
+            # no raw second moments anywhere, so no f32 cancellation).
+            # lax.cond skips the O(nt*nw*D^2) reductions once frozen.
+            x_new = jnp.where(acc[..., None], q_flat, x)
+
+            def do_update(args):
+                w, m, C = args
+                mb, Cb = self._batch_moments(x_new)
+                w_old = self.rho * w
+                w_new = w_old + nw
+                delta = mb - m
+                frac = (nw / w_new)[:, None]
+                m_new = m + frac * delta
+                cross = jnp.einsum("ti,tj->tij", delta, delta)
+                C_new = (
+                    w_old[:, None, None] * C
+                    + nw * Cb
+                    + (w_old * nw / w_new)[:, None, None] * cross
+                ) / w_new[:, None, None]
+                return w_new, m_new, C_new
+
             tuning = ks["t"] < self.tune_steps
-            w_new = self.rho * ks["w"] + nw
-            mean_new = (
-                self.rho * ks["w"][:, None] * ks["mean"] + x_new.sum(axis=1)
-            ) / w_new[:, None]
-            second_new = (
-                self.rho * ks["w"][:, None, None] * ks["second"]
-                + jnp.einsum("twi,twj->tij", x_new, x_new)
-            ) / w_new[:, None, None]
-            ks = {
-                "w": jnp.where(tuning, w_new, ks["w"]),
-                "mean": jnp.where(tuning, mean_new, ks["mean"]),
-                "second": jnp.where(tuning, second_new, ks["second"]),
-                "t": ks["t"] + 1,
-            }
+            w2, m2, C2 = jax.lax.cond(
+                tuning,
+                do_update,
+                lambda args: args,
+                (ks["w"], ks["mean"], ks["cov"]),
+            )
+            ks = {"w": w2, "mean": m2, "cov": C2, "t": ks["t"] + 1}
 
         new_state = state.replace(
             coords=new_coords,

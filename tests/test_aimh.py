@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
+from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 from eryn_tpu.moves import AIMHMove, DEMove, StretchMove
 
 NDIM = 3
@@ -93,18 +93,56 @@ def test_aimh_guards(priors):
     with pytest.raises(ValueError, match="df"):
         AIMHMove(df=2.0)
 
-    # RJ-masked models are rejected with a descriptive error
+    # RJ configurations are rejected AT CONSTRUCTION (an all-active start
+    # would pass a mask check and silently bias once leaves deactivate)
     def ll(c, m):
         return jnp.sum(jnp.where(m, -0.5 * jnp.sum(c**2, axis=-1), 0.0))
 
-    ens = EnsembleSampler(
-        NWALKERS, NDIM, ll, priors,
-        nleaves_max=2, nleaves_min=1,
-        moves=[AIMHMove()], rj_moves=True,
-        fill_zero_leaves_val=-1e4, seed=7,
-    )
-    coords = priors.rvs(size=(1, NWALKERS, 2))
-    inds = np.zeros((1, NWALKERS, 2), dtype=bool)
-    inds[..., 0] = True
     with pytest.raises(ValueError, match="fixed-dimension"):
-        ens.run_mcmc(State({"model_0": coords}, inds={"model_0": inds}), 2)
+        EnsembleSampler(
+            NWALKERS, NDIM, ll, priors,
+            nleaves_max=2, nleaves_min=1,
+            moves=[AIMHMove()], rj_moves=True,
+            fill_zero_leaves_val=-1e4, seed=7,
+        )
+
+    # periodic parameters are rejected like KDEMove (single-image t
+    # factors on a wrapped draw bias the seam)
+    def ll2(x):
+        return -0.5 * jnp.sum(x**2)
+
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, ll2, priors,
+        moves=[AIMHMove()],
+        periodic={"model_0": {0: 2 * np.pi}},
+        seed=8,
+    )
+    with pytest.raises(ValueError, match="periodic"):
+        ens.run_mcmc(priors.rvs(size=(1, NWALKERS)), 2)
+
+
+def test_aimh_offset_narrow_posterior():
+    """Centered moment accumulation: a posterior far from the origin with
+    tiny width must not lose its variance to float32 cancellation (the
+    raw-second-moment form produced a NaN Cholesky and a silently dead
+    move here)."""
+    center = 500.0
+    width = 0.05
+    pr = ProbDistContainer(
+        {i: uniform_dist(center - 5.0, center + 5.0) for i in range(NDIM)}
+    )
+
+    def ll(x):
+        return -0.5 * jnp.sum((x - center) ** 2) / width**2
+
+    rng = np.random.default_rng(1)
+    start = center + width * rng.standard_normal((NWALKERS, NDIM))
+    ens = EnsembleSampler(
+        NWALKERS, NDIM, ll, pr, moves=[AIMHMove(tune_steps=150)], seed=9
+    )
+    ens.run_mcmc(start, 400, burn=200)
+    chain = ens.get_chain()["model_0"].reshape(-1, NDIM)
+    acc = float(ens.acceptance_fraction.mean())
+    assert acc > 0.3, acc  # a dead move would sit at ~0
+    np.testing.assert_allclose(chain.mean(axis=0), center, rtol=1e-4)
+    np.testing.assert_allclose(chain.std(axis=0), width, rtol=0.25)
