@@ -345,8 +345,12 @@ def main():
         check_move("HMCMove", [HMCMove()], 16, nsteps=800),
         check_move("ChEESHMCMove", [ChEESHMCMove()], 23, nsteps=800),
         check_move(
+            # tune_steps counts AIMH SELECTIONS (weight 0.1 of BURN=500
+            # steps -> ~50 during burn): 40 freezes the fit inside
+            # burn-in so the measured chain comes from the exact frozen
+            # kernel
             "DIME (DEMove + AIMHMove)",
-            [(DEMove(), 0.9), (AIMHMove(), 0.1)],
+            [(DEMove(), 0.9), (AIMHMove(tune_steps=40), 0.1)],
             25,
             nsteps=1500,
         ),

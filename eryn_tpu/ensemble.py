@@ -850,22 +850,44 @@ class EnsembleSampler:
             self.rj_weights = []
             self.has_reversible_jump = False
         if self.has_reversible_jump:
-            fixed_dim = [
-                type(m).__name__
-                for m in self.moves
-                if getattr(m, "requires_fixed_dimension", False)
-            ]
-            if fixed_dim:
-                # an initial all-active mask would pass the move's own
-                # check and then silently bias once leaves deactivate —
-                # reject the combination outright
-                raise ValueError(
-                    f"{', '.join(fixed_dim)} requires fixed-dimension "
-                    "models and cannot be combined with reversible-jump "
-                    "moves (leaf masks change the meaning of the flattened "
-                    "parameter vector). Use KDEMove/DEMove for "
-                    "trans-dimensional targets."
-                )
+            # leaf counts can only vary where RJ has room to move them
+            variable = {
+                n
+                for n in self.branch_names
+                if self.nleaves_min.get(n, self.nleaves_max[n])
+                != self.nleaves_max[n]
+            }
+
+            def _walk(moves_list):
+                for m in moves_list:
+                    yield m
+                    # CombineMove children (and any future composite)
+                    for child in getattr(m, "moves", None) or []:
+                        yield child
+
+            for m in _walk(self.moves + self.rj_moves):
+                if not getattr(m, "requires_fixed_dimension", False):
+                    continue
+                run = m.proposal_branch_names
+                if run is None:
+                    run = list(self.branch_names)
+                elif isinstance(run, str):
+                    run = [run]
+                clash = sorted(variable.intersection(run))
+                if clash:
+                    # an initial all-active mask would pass the move's own
+                    # check and then silently bias once leaves deactivate —
+                    # reject the combination outright (restrict the move
+                    # with proposal_branch_names to fixed-dimension
+                    # branches to combine it with RJ elsewhere)
+                    raise ValueError(
+                        f"{type(m).__name__} requires fixed-dimension "
+                        "models and cannot propose on reversible-jump "
+                        f"branches {clash} (leaf masks change the meaning "
+                        "of the flattened parameter vector). Use "
+                        "KDEMove/DEMove for trans-dimensional targets, or "
+                        "restrict the move with proposal_branch_names."
+                    )
             # the reference's own warning (ref ensemble.py:505-514) — plus
             # the fix it asks for, which the reference does not have
             if any(

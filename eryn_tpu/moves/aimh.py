@@ -103,7 +103,15 @@ class AIMHMove(Move):
         nw = x.shape[1]
         mean = x.mean(axis=1)  # (nt, D)
         d = x - mean[:, None, :]
-        cov = jnp.einsum("twi,twj->tij", d, d) / nw  # (nt, D, D)
+        # HIGHEST: the fitted covariance feeds a Cholesky whose density
+        # must match the realized draws exactly — bf16 MXU accumulation
+        # would mis-specify the proposal density the Hastings factor uses
+        cov = (
+            jnp.einsum(
+                "twi,twj->tij", d, d, precision=jax.lax.Precision.HIGHEST
+            )
+            / nw
+        )  # (nt, D, D)
         return mean, cov
 
     def _reject_periodic(self, state, names):
@@ -129,8 +137,12 @@ class AIMHMove(Move):
         names = self.run_branches(state)
         self._reject_periodic(state, names)
         for n in names:
-            m = np.asarray(state.branches_inds[n])
-            if not m.all():
+            m = state.branches_inds[n]
+            if isinstance(m, jax.core.Tracer):
+                # traced init (external jitted drivers): the sampler path
+                # validates eagerly; a tracer cannot be concretized here
+                continue
+            if not np.asarray(m).all():
                 raise ValueError(
                     "AIMHMove requires fixed-dimension models (all leaves "
                     "active): reversible-jump masks change the meaning of "
@@ -207,7 +219,9 @@ class AIMHMove(Move):
         key, k_z, k_u, k_acc = jax.random.split(key, 4)
         z = jax.random.normal(k_z, (nt, nw, D), dtype)
         u = jax.random.chisquare(k_u, self.df, shape=(nt, nw)).astype(dtype)
-        step = jnp.einsum("tij,twj->twi", chol, z)
+        step = jnp.einsum(
+            "tij,twj->twi", chol, z, precision=jax.lax.Precision.HIGHEST
+        )
         q_flat = mean[:, None, :] + step * jnp.sqrt(
             self.df / jnp.maximum(u, 1e-12)
         )[..., None]
@@ -264,7 +278,12 @@ class AIMHMove(Move):
                 delta = mb - m
                 frac = (nw / w_new)[:, None]
                 m_new = m + frac * delta
-                cross = jnp.einsum("ti,tj->tij", delta, delta)
+                cross = jnp.einsum(
+                    "ti,tj->tij",
+                    delta,
+                    delta,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 C_new = (
                     w_old[:, None, None] * C
                     + nw * Cb

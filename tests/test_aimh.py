@@ -57,7 +57,9 @@ def test_aimh_dime_schedule_bimodal(priors):
 
     ens = EnsembleSampler(
         NWALKERS, NDIM, ll, priors,
-        moves=[(DEMove(), 0.9), (AIMHMove(tune_steps=200), 0.1)],
+        # tune_steps counts AIMH SELECTIONS: weight 0.1 over burn 300
+        # steps -> ~30 selections, so 25 freezes inside burn-in
+        moves=[(DEMove(), 0.9), (AIMHMove(tune_steps=25), 0.1)],
         seed=5,
     )
     ens.run_mcmc(start, 1000, burn=300)
@@ -146,3 +148,78 @@ def test_aimh_offset_narrow_posterior():
     assert acc > 0.3, acc  # a dead move would sit at ~0
     np.testing.assert_allclose(chain.mean(axis=0), center, rtol=1e-4)
     np.testing.assert_allclose(chain.std(axis=0), width, rtol=0.25)
+
+
+def test_aimh_dime_trimodal():
+    """Three well-separated modes: the fitted t covers all discovered
+    modes and the DIME schedule equilibrates their (equal) weights."""
+    import jax as _jax
+
+    ndim, nw = 2, 48
+    centers = jnp.asarray([[-4.0, -4.0], [0.0, 4.0], [4.0, -2.0]])
+
+    def ll(x):
+        logs = -0.5 * jnp.sum((x[None] - centers) ** 2, axis=-1) / 0.15
+        return _jax.scipy.special.logsumexp(logs)
+
+    pr = ProbDistContainer({i: uniform_dist(-8, 8) for i in range(ndim)})
+    rng = np.random.default_rng(2)
+    start = rng.uniform(-7, 7, size=(nw, ndim))
+
+    ens = EnsembleSampler(
+        nw, ndim, ll, pr,
+        # ~0.15 * 500 burn = ~75 selections: 60 freezes inside burn-in
+        moves=[(DEMove(), 0.85), (AIMHMove(tune_steps=60), 0.15)],
+        seed=12,
+    )
+    ens.run_mcmc(start, 1500, burn=500)
+    chain = np.asarray(ens.get_chain(discard=300)["model_0"]).reshape(-1, ndim)
+    d = np.linalg.norm(chain[:, None, :] - np.asarray(centers)[None], axis=-1)
+    assign = d.argmin(axis=1)
+    fr = np.bincount(assign, minlength=3) / len(assign)
+    assert fr.min() > 0.2 and fr.max() < 0.5, fr
+    for m in range(3):
+        sel = chain[assign == m]
+        np.testing.assert_allclose(sel.std(axis=0), np.sqrt(0.15), rtol=0.25)
+
+
+def test_aimh_rj_guard_branch_aware(priors):
+    """The sampler-level guard is branch-aware: AIMH restricted to a
+    fixed-dimension branch coexists with RJ on another branch; proposing
+    on the RJ branch (directly or nested in CombineMove) is rejected."""
+    from eryn_tpu.moves import CombineMove
+
+    def ll(c, m):
+        tot = 0.0
+        for n in c:
+            tot = tot + jnp.sum(
+                jnp.where(m[n], -0.5 * jnp.sum(c[n] ** 2, axis=-1), 0.0)
+            )
+        return tot
+
+    two_priors = {"fixed": priors, "var": priors}
+    common = dict(
+        branch_names=["fixed", "var"],
+        nleaves_max={"fixed": 1, "var": 2},
+        nleaves_min={"fixed": 1, "var": 0},
+        rj_moves=True,
+        fill_zero_leaves_val=-1e4,
+        seed=13,
+    )
+    # allowed: AIMH proposes only on the fixed branch
+    EnsembleSampler(
+        NWALKERS, {"fixed": NDIM, "var": NDIM}, ll, two_priors,
+        moves=[AIMHMove(proposal_branch_names=["fixed"])], **common,
+    )
+    # rejected: proposes (by default) on the RJ branch
+    with pytest.raises(ValueError, match="var"):
+        EnsembleSampler(
+            NWALKERS, {"fixed": NDIM, "var": NDIM}, ll, two_priors,
+            moves=[AIMHMove()], **common,
+        )
+    # rejected even nested inside CombineMove
+    with pytest.raises(ValueError, match="fixed-dimension"):
+        EnsembleSampler(
+            NWALKERS, {"fixed": NDIM, "var": NDIM}, ll, two_priors,
+            moves=[CombineMove([StretchMove(), AIMHMove()])], **common,
+        )
