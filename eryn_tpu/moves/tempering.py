@@ -128,6 +128,7 @@ class TemperatureControl:
         skip_swap_supp_names=(),
         use_pallas=None,
         swap_scheme="cascade",
+        adaptation_scheme="vousden",
     ):
         if betas is None:
             if ntemps == 1:
@@ -162,6 +163,21 @@ class TemperatureControl:
         #: O(ntemps)) with higher per-attempt replica flow — see
         #: benchmarks/replica_flow.py for measured round-trip rates.
         self.swap_scheme = swap_scheme
+        if adaptation_scheme not in ("vousden", "syed"):
+            raise ValueError(
+                "adaptation_scheme must be 'vousden' or 'syed', got "
+                f"{adaptation_scheme!r}."
+            )
+        #: "vousden" = the reference's ladder adjustment (arXiv:1501.05823,
+        #: ref ``tempering.py:563-585``): each interior rung drifts by the
+        #: local difference of neighboring acceptance ratios.  "syed" =
+        #: communication-barrier schedule optimization (Syed et al. 2021,
+        #: JRSS-B, §5): estimate the cumulative barrier
+        #: ``Λ̂(β) = Σ rejection`` as piecewise linear over the current
+        #: ladder and damp the rungs toward its equal-rejection inverse —
+        #: a GLOBAL reshaping per update (the natural partner of
+        #: ``swap_scheme="deo"``, from the same paper).
+        self.adaptation_scheme = adaptation_scheme
         self.adaptive = adaptive
         self.adaptation_time = adaptation_time
         self.adaptation_lag = adaptation_lag
@@ -522,6 +538,80 @@ class TemperatureControl:
         new_mid = 1.0 / (jnp.cumsum(deltaTs) + 1.0 / betas[0])
         return betas.at[1:-1].set(new_mid)
 
+    def syed_schedule_kernel(self, time, betas, ratios, proposed=None):
+        """Traced communication-barrier schedule update (Syed,
+        Bouchard-Côté, Deligiannidis & Doucet 2021, JRSS-B, §5.1).
+
+        The cumulative communication barrier ``Λ̂`` is estimated as
+        piecewise linear over the CURRENT ladder from the measured
+        per-boundary rejection rates (``Λ̂(β_k) = Σ_{i<k} r_i``); the
+        updated schedule is its inverse at equally spaced barrier targets
+        — the schedule at which every boundary rejects at the same rate,
+        which maximizes the replica round-trip rate.  Instead of Syed's
+        batch rounds, the rungs are damped toward that inverse with the
+        same decaying gain the Vousden kernel uses, giving a stochastic
+        approximation that runs inside the compiled scan.
+
+        Args:
+            time: adaptation clock (sets the decaying gain).
+            betas: ``(ntemps,)`` descending ladder; endpoints are fixed.
+            ratios: ``(ntemps - 1,)`` per-boundary PER-ATTEMPT acceptance
+                (not the DEO 2x-rescaled reporting value).
+            proposed: optional per-boundary proposal counts (or bool mask)
+                for this phase.  Boundaries that proposed nothing (the
+                inactive DEO parity class) are filled with the mean
+                rejection of the attempted ones — at the equal-rejection
+                fixed point the filler equals the truth, so the fixed
+                point is preserved exactly.
+        """
+        dtype = betas.dtype
+        acc = jnp.clip(ratios.astype(dtype), 0.0, 1.0)
+        r = 1.0 - acc
+        if proposed is not None:
+            attempted = proposed > 0
+            n_att = jnp.maximum(jnp.sum(attempted.astype(dtype)), 1.0)
+            mean_r = jnp.sum(jnp.where(attempted, r, 0.0)) / n_att
+            r = jnp.where(attempted, r, mean_r)
+        # a floor keeps the cumulative barrier strictly increasing so its
+        # inverse (the interp below) stays well defined on flat stretches
+        r = jnp.maximum(r, 1e-4)
+        lam = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(r)])
+        n = betas.shape[0]
+        targets = lam[-1] * jnp.arange(n, dtype=dtype) / (n - 1)
+        # lam is ascending while betas descend: interp inverts the barrier
+        beta_star = jnp.interp(targets, lam, betas)
+        decay = self.adaptation_lag / (time + self.adaptation_lag)
+        kappa = decay / self.adaptation_time
+        new_mid = (1.0 - kappa) * betas[1:-1] + kappa * beta_star[1:-1]
+        return betas.at[1:-1].set(new_mid)
+
+    def communication_barrier(self, ratios=None):
+        """Estimated cumulative communication barrier ``Λ̂(β_k)`` (Syed et
+        al. 2021, §3.2): the running sum of measured per-boundary rejection
+        rates from the cold rung down.
+
+        ``Λ̂`` quantifies how hard the ladder is to traverse independent of
+        its discretization: the non-reversible round-trip rate approaches
+        ``1 / (2 + 2Λ̂)`` under an optimized schedule, and ``ntemps ≈ 1 +
+        Λ̂`` rungs suffice — use the total to size the ladder.
+
+        Args:
+            ratios: optional ``(ntemps - 1,)`` per-attempt acceptance
+                fractions; defaults to the accumulated
+                ``swaps_accepted / swaps_proposed``.
+
+        Returns:
+            ``(lambdas, total)`` — ``lambdas[k] = Λ̂(β_k)`` shaped
+            ``(ntemps,)``, and ``total = Λ̂(β_min)``.
+        """
+        if ratios is None:
+            ratios = np.asarray(self.swaps_accepted) / np.maximum(
+                np.asarray(self.swaps_proposed, dtype=float), 1.0
+            )
+        r = 1.0 - np.clip(np.asarray(ratios, dtype=float), 0.0, 1.0)
+        lam = np.concatenate([[0.0], np.cumsum(r)])
+        return lam, float(lam[-1])
+
     def temper_kernel(self, key, state, time, adapt=True):
         """Traced analogue of ``temper_comps`` (ref ``tempering.py:598-649``):
         swap cascade, then (optionally) ladder adaptation.
@@ -604,7 +694,8 @@ class TemperatureControl:
         # swap fractions, plots, ladder adaptation) then converge to the
         # true PER-ATTEMPT acceptance, matching the cascade's semantics
         # instead of reading half of it.
-        ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
+        raw_ratios = swaps_accepted / jnp.maximum(swaps_proposed, 1.0)
+        ratios = raw_ratios
         if self.swap_scheme == "deo":
             ratios = 2.0 * ratios
         swaps_accepted = ratios * nwalkers
@@ -612,9 +703,20 @@ class TemperatureControl:
         betas = state.betas
         advanced = False
         if adapt and self.adaptive and ntemps > 1:
-            new_betas = self.ladder_adjustment_kernel(
-                time.astype(betas.dtype), betas, ratios
-            )
+            if self.adaptation_scheme == "syed":
+                # the barrier estimate wants true per-attempt rates plus
+                # the attempted-boundary mask, not the rescaled reporting
+                # values (under DEO those alternate between 2x and 0)
+                new_betas = self.syed_schedule_kernel(
+                    time.astype(betas.dtype),
+                    betas,
+                    raw_ratios,
+                    proposed=swaps_proposed,
+                )
+            else:
+                new_betas = self.ladder_adjustment_kernel(
+                    time.astype(betas.dtype), betas, ratios
+                )
             if self.stop_adaptation >= 0:
                 keep_adapting = time < self.stop_adaptation
                 betas = jnp.where(keep_adapting, new_betas, betas)
@@ -925,9 +1027,26 @@ class TemperatureControl:
         if self.adaptive and self.ntemps > 1:
             if self.stop_adaptation < 0 or self.time < self.stop_adaptation:
                 betas = jnp.asarray(self.betas)
-                new_betas = self.ladder_adjustment_kernel(
-                    float(self.time), betas, jnp.asarray(ratios)
-                )
+                if self.adaptation_scheme == "syed":
+                    raw = np.asarray(ratios, dtype=float)
+                    proposed = None
+                    if self.swap_scheme == "deo":
+                        # host accumulators hold the 2x per-attempt
+                        # reporting values with zeros on the inactive
+                        # parity class: undo the rescale and treat the
+                        # zeros as unattempted
+                        proposed = jnp.asarray(raw > 0)
+                        raw = raw / 2.0
+                    new_betas = self.syed_schedule_kernel(
+                        float(self.time),
+                        betas,
+                        jnp.asarray(raw),
+                        proposed=proposed,
+                    )
+                else:
+                    new_betas = self.ladder_adjustment_kernel(
+                        float(self.time), betas, jnp.asarray(ratios)
+                    )
                 self.betas = np.asarray(new_betas)
             if getattr(self, "_deo_phase_ticked", False):
                 # temperature_swaps already ticked this phase's parity
