@@ -286,6 +286,17 @@ def main():
             tempering_extra=dict(swap_scheme="deo"),
         ),
         check_move(
+            # the Syed et al. 2021 pairing: non-reversible swaps + the
+            # communication-barrier schedule replacing the Vousden drift
+            "StretchMove + DEO + Syed schedule",
+            [StretchMove()],
+            26,
+            ntemps=4,
+            tempering_extra=dict(
+                swap_scheme="deo", adaptation_scheme="syed"
+            ),
+        ),
+        check_move(
             "StretchMove log-proposal",
             [StretchMove(use_log_proposal=True)],
             20,
