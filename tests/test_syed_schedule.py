@@ -20,6 +20,13 @@ NDIM = 3
 NWALKERS = 32
 
 
+def assert_endpoints_fixed(b, betas0):
+    """Endpoint pinning is exact in the LADDER's dtype (the kernel runs in
+    f32 by default; f64 literals like 1e-3 are not f32-representable)."""
+    ref = np.asarray(betas0, dtype=np.asarray(b).dtype)
+    assert b[0] == ref[0] and b[-1] == ref[-1], (b, ref)
+
+
 def barrier(betas, total=2.0):
     """Analytic cumulative barrier Λ(β) = total * (1 - sqrt(β)): zero at
     the cold rung, increasing as beta drops."""
@@ -52,7 +59,7 @@ def test_syed_kernel_equalizes_rejection():
         acc = true_acceptance(np.asarray(betas))
         betas = tc.syed_schedule_kernel(float(t), betas, jnp.asarray(acc))
         b = np.asarray(betas)
-        assert b[0] == betas0[0] and b[-1] == betas0[-1]
+        assert_endpoints_fixed(b, betas0)
         assert np.all(np.diff(b) < 0.0), b  # strictly descending
 
     r = 1.0 - true_acceptance(np.asarray(betas))
@@ -92,7 +99,7 @@ def test_syed_kernel_monotone_under_noise():
         acc = rng.uniform(0.0, 1.0, size=9)
         betas = tc.syed_schedule_kernel(float(t), betas, jnp.asarray(acc))
         b = np.asarray(betas)
-        assert b[0] == betas0[0] and b[-1] == betas0[-1]
+        assert_endpoints_fixed(b, betas0)
         assert np.all(np.diff(b) < 0.0), b
 
 
@@ -135,7 +142,7 @@ def test_host_adapt_temps_syed_deo():
     tc.adapt_temps()
     b = np.asarray(tc.betas)
     assert tc.time == 1
-    assert b[0] == betas0[0] and b[-1] == betas0[-1]
+    assert_endpoints_fixed(b, betas0)
     assert np.all(np.diff(b) < 0.0)
     assert not np.allclose(b, betas0)  # it actually moved
 
@@ -177,7 +184,7 @@ def test_syed_end_to_end_recovers_bad_ladder():
         ) / max(ens.backend.iteration * NWALKERS, 1)
         if label == "syed":
             betas = np.asarray(ens.get_betas()[-1])
-            assert betas[0] == 1.0 and betas[-1] == bad_betas[-1]
+            assert_endpoints_fixed(betas, bad_betas)
             assert np.all(np.diff(betas) < 0.0)
             # the barrier total is a finite, sane diagnostic afterwards
             _, total = ens.temperature_control.communication_barrier(
