@@ -260,6 +260,18 @@ class TemperatureControl:
         if use_pallas and self.permute:
             return self._swap_kernel_pallas(key, swap_tree, logl, betas)
 
+        if getattr(self, "sharding_active", False):
+            # the provenance+gather formulation below applies the composed
+            # permutation with a data-dependent gather over the flattened
+            # (temp * walker) axis; on a mesh GSPMD lowers that as an
+            # ALL-GATHER of the whole ensemble every step — route to the
+            # boundary-local variant (same draws, same math, bitwise
+            # identical results; traffic is one adjacent-rung payload row
+            # per boundary, riding collective-permutes over ICI)
+            return self._swap_kernel_cascade_boundary(
+                key, swap_tree, logl, betas
+            )
+
         # all cascade randomness in two fused draws; batched argsort of iid
         # uniforms == per-rung uniform random permutations
         k_perm, k_acc = jax.random.split(key)
@@ -381,6 +393,71 @@ class TemperatureControl:
             active_b, jnp.asarray(float(nwalkers), dtype), 0.0
         )
         return swap_tree, logl_new, swaps_accepted, swaps_proposed
+
+    def _swap_kernel_cascade_boundary(self, key, swap_tree, logl, betas):
+        """Boundary-local stochastic cascade for SHARDED ensembles.
+
+        Identical math and PRNG stream to the provenance cascade (same
+        per-rung permutations, same acceptance draws, same top-to-bottom
+        sweep, so a replica can still ride the whole ladder in one sweep) —
+        but each boundary's exchange is applied to the full swap tree
+        immediately with static-index row reads/updates instead of
+        composing a provenance index and gathering once at the end.  A
+        data-dependent gather over the flattened ``(ntemps * nwalkers)``
+        axis cannot be partitioned by GSPMD and lowers to an all-gather of
+        the WHOLE ensemble per step; static rung-row exchanges lower to
+        one adjacent-rung collective-permute per boundary over the temp
+        axis of the mesh (verified against the compiled HLO in
+        ``tests/test_comm_pattern.py``).  Ref anchor for the traffic this
+        maps: ``/root/reference/src/eryn/moves/tempering.py:515-559``.
+        """
+        ntemps, nwalkers = logl.shape
+        dtype = logl.dtype
+        swaps_proposed = jnp.full((ntemps - 1,), nwalkers, dtype=dtype)
+
+        k_perm, k_acc = jax.random.split(key)
+        if self.permute:
+            perms = jnp.argsort(
+                jax.random.uniform(k_perm, (ntemps - 1, 2, nwalkers)),
+                axis=-1,
+            )
+        else:
+            perms = jnp.broadcast_to(
+                jnp.arange(nwalkers), (ntemps - 1, 2, nwalkers)
+            )
+        inv_perms = jnp.argsort(perms, axis=-1)
+        raccept = jnp.log(
+            jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=dtype)
+        )
+
+        accepted = []
+        tree = (logl, swap_tree)
+        for i in range(ntemps - 1, 0, -1):
+            dbeta = betas[i - 1] - betas[i]
+            iperm = perms[i - 1, 0]
+            i1perm = perms[i - 1, 1]
+            inv_ip = inv_perms[i - 1, 0]
+            inv_i1p = inv_perms[i - 1, 1]
+
+            li = tree[0][i][iperm]
+            li1 = tree[0][i - 1][i1perm]
+            sel = (dbeta * (li - li1)) > raccept[i - 1]  # (nwalkers,)
+            accepted.append(sel.sum().astype(dtype))
+
+            def exch(x, sel=sel, i=i, iperm=iperm, i1perm=i1perm,
+                     inv_ip=inv_ip, inv_i1p=inv_i1p):
+                xi = x[i][iperm]
+                xi1 = x[i - 1][i1perm]
+                selx = sel.reshape(sel.shape + (1,) * (xi.ndim - 1))
+                new_i = jnp.where(selx, xi1, xi)[inv_ip]
+                new_i1 = jnp.where(selx, xi, xi1)[inv_i1p]
+                return x.at[i].set(new_i).at[i - 1].set(new_i1)
+
+            tree = jax.tree_util.tree_map(exch, tree)
+
+        logl, swap_tree = tree
+        swaps_accepted = jnp.stack(accepted[::-1])
+        return swap_tree, logl, swaps_accepted, swaps_proposed
 
     def _try_pack_channels(self, swap_tree, logl):
         """Pack the swap tree into ``(ntemps, D, nwalkers)`` float channels
