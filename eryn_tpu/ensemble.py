@@ -1281,6 +1281,27 @@ class EnsembleSampler:
     def iteration(self):
         return self.backend.iteration
 
+    def __getstate__(self):
+        """Make the sampler picklable for process pools (ref
+        ``ensemble.py:773-778`` drops the pool; here the compiled-step and
+        device-counter caches are also dropped — they hold jitted
+        executables and live device buffers that cannot cross a process
+        boundary and rebuild lazily on the next step)."""
+        d = self.__dict__.copy()
+        d["pool"] = None
+        d["_step_cache"] = {}
+        d["_counters_dev"] = None
+        # SegmentTimer may hold an open jax profiler session
+        d.pop("timing", None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        if "timing" not in self.__dict__:
+            from .utils.profiling import SegmentTimer
+
+            self.timing = SegmentTimer()
+
     def _reset_backend(self):
         self.backend.reset(
             self.nwalkers,

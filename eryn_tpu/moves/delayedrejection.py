@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .move import Move
 from .tempering import tempered_log_likelihood
@@ -36,12 +37,38 @@ __all__ = ["DelayedRejection", "DelayedRejectionContainer"]
 
 
 class DelayedRejectionContainer:
-    """Config carrier matching the reference's container API
-    (ref ``delayedrejection.py``)."""
+    """Config + trajectory carrier matching the reference's container API
+    (ref ``delayedrejection.py:13-29``): arbitrary config attributes via
+    kwargs plus per-stage ``coords``/``log_prob``/``log_prior``/``alpha``
+    lists populated by :meth:`append`."""
 
-    def __init__(self, proposal=None, max_iter=10):
+    def __init__(self, proposal=None, max_iter=10, **kwargs):
         self.proposal = proposal
         self.max_iter = max_iter
+        for key, item in kwargs.items():
+            setattr(self, key, item)
+        self.coords = []
+        self.log_prob = []
+        self.log_prior = []
+        self.alpha = []
+
+    def append(self, new_coords, new_log_prob, new_log_prior, new_alpha):
+        """Record one DR stage (ref ``delayedrejection.py:24-29``)."""
+        self.coords.append(new_coords)
+        self.log_prob.append(new_log_prob)
+        self.log_prior.append(new_log_prior)
+        self.alpha.append(new_alpha)
+
+
+def _host_log_posterior(move, state):
+    """Tempered host log-posterior matching ref ``move.py:435-441``'s
+    ``compute_log_posterior`` wiring (basic when no temperature control)."""
+    logl = np.asarray(state.log_like)
+    logp = np.asarray(state.log_prior)
+    tc = move.temperature_control
+    if tc is not None:
+        return np.asarray(tc.compute_log_posterior_tempered(logl, logp))
+    return logl + logp
 
 
 class DelayedRejection(Move):
@@ -88,6 +115,113 @@ class DelayedRejection(Move):
 
     def init_kernel_state(self, state):
         return self.proposal.init_kernel_state(state)
+
+    # ------------------------------------------------------------------
+    # Reference host-protocol shims.  The reference keeps DelayedRejection
+    # unreachable (``rj.py:350-353`` raises before wiring it) but the
+    # methods below are named public API; they mirror the host semantics of
+    # ref ``delayedrejection.py:52-148`` over NumPy state so reference user
+    # code that drives them directly keeps working.
+    # ------------------------------------------------------------------
+
+    def get_new_state(self, model, state, keep):
+        """Re-propose from the currently rejected walkers (host protocol,
+        ref ``delayedrejection.py:122-148``): draw the wrapped proposal,
+        mask priors to ``-inf`` off the ``keep`` set so only those walkers'
+        likelihoods are computed, and return ``(new_state, factors)``."""
+        from ..state import State as _State
+
+        try:
+            qn, factors = self.proposal.get_proposal(
+                state.branches_coords, model.random,
+                branches_inds=state.branches_inds,
+            )
+        except NotImplementedError:
+            # native moves expose only the traced kernel — drive it with a
+            # key derived from the host RNG stream
+            seed = int(model.random.randint(0, 2**31 - 1))
+            coords = {
+                n: jnp.asarray(v) for n, v in state.branches_coords.items()
+            }
+            inds_j = {
+                n: jnp.asarray(v).astype(bool)
+                for n, v in state.branches_inds.items()
+            }
+            qn, factors, _ks = self.proposal.get_proposal_kernel(
+                jax.random.key(seed), coords, inds_j,
+                self.proposal.init_kernel_state(state),
+            )
+        qn = {name: np.asarray(q) for name, q in qn.items()}
+        logp = np.array(
+            model.compute_log_prior_fn(qn, inds=state.branches_inds)
+        )
+        keep = np.asarray(keep, dtype=bool)
+        logp[~keep] = -np.inf
+        logl, new_blobs = model.compute_log_like_fn(
+            qn, inds=state.branches_inds, logp=logp
+        )
+        new_state = _State(
+            qn,
+            log_like=np.asarray(logl),
+            log_prior=logp,
+            blobs=new_blobs,
+            inds=state.branches_inds,
+            supplemental=state.supplemental,
+        )
+        return new_state, np.asarray(factors)
+
+    def dr_scheme(
+        self,
+        state,
+        new_state,
+        keep_rejected,
+        model,
+        ntemps,
+        nwalkers,
+        inds_for_change,
+        inds=None,
+        dr_iter=0,
+    ):
+        """One delayed-rejection stage over the host state (host protocol,
+        ref ``delayedrejection.py:52-120``): re-propose from the rejected
+        candidates, form the one-step-back corrected alpha against the
+        ``past_alpha`` supplemental, and merge freshly accepted walkers.
+
+        Returns ``(state, new_accepted, new_state)`` exactly as the
+        reference does."""
+        from ..state import State as _State
+
+        randU = model.random.rand(ntemps, nwalkers)
+        old_new_state = _State(new_state, copy=True)
+
+        new_state, log_proposal_ratio = self.get_new_state(
+            model, new_state, np.asarray(keep_rejected, dtype=bool)
+        )
+
+        logP = _host_log_posterior(self, new_state)
+        prev_logP = _host_log_posterior(self, old_new_state)
+
+        past_alpha = np.asarray(old_new_state.supplemental[:]["past_alpha"])
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            # -inf - -inf = NaN on walkers outside the keep set; NaNs
+            # auto-reject below exactly as in the reference
+            lndiff = logP - prev_logP + np.asarray(log_proposal_ratio)
+            alpha_1 = np.minimum(np.exp(lndiff), 1.0)
+            dr_alpha = np.exp(
+                lndiff + np.log(1.0 - alpha_1) - np.log(1.0 - past_alpha)
+            )
+        dr_alpha = np.minimum(dr_alpha, 1.0)
+        dr_alpha = np.nan_to_num(dr_alpha)  # NaNs auto-reject (ref :112)
+
+        # string-key set ADDS the entry (indexed set ignores unknown names,
+        # matching ref state.py:196-208 — which makes the reference's own
+        # `supplemental[:] = {"alpha": ...}` here a silent no-op)
+        new_state.supplemental["alpha"] = dr_alpha
+        new_state.supplemental["past_alpha"] = dr_alpha
+
+        new_accepted = np.logical_or(dr_alpha >= 1.0, randU < dr_alpha)
+        state = self.update(state, new_state, new_accepted)
+        return state, new_accepted, new_state
 
     def _eval_candidate(self, ctx, state, q, betas):
         inds = dict(state.branches_inds)

@@ -223,8 +223,9 @@ class BranchSupplemental:
             for name, val in value.items():
                 if name in self.host_holder:
                     self.host_holder[name][key] = val
-                else:
+                elif name in self.holder:
                     self.holder[name] = self.holder[name].at[key].set(val)
+                # names not already stored are ignored (ref state.py:196-208)
 
     def __contains__(self, name):
         return name in self.holder or name in self.host_holder

@@ -365,3 +365,88 @@ def test_do_swaps_indexing_reference_semantics():
         betas[i - 1] * logl[i - 1, i1perm] + logp[i - 1, i1perm],
         rtol=1e-12,
     )
+
+
+def _gauss_log_like(x):
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+def _tiny_sampler(seed=10):
+    # module-level likelihood: pickling requires it, exactly as for the
+    # reference/emcee with process pools
+    pr = ProbDistContainer({i: uniform_dist(-5, 5) for i in range(2)})
+    return EnsembleSampler(16, 2, _gauss_log_like, pr, seed=seed)
+
+
+def test_delayed_rejection_host_protocol_shims():
+    """DelayedRejection.get_new_state / dr_scheme and the container's
+    append (ref delayedrejection.py:13-148) operate on host state."""
+    from eryn_tpu.moves import DelayedRejection, GaussianMove
+    from eryn_tpu.moves.delayedrejection import DelayedRejectionContainer
+    from eryn_tpu.state import BranchSupplemental, State
+
+    sampler = _tiny_sampler()
+    model = sampler.get_model()
+    move = DelayedRejection(GaussianMove({"model_0": 0.05}), max_iter=2)
+
+    ntemps, nw = 1, 16
+    rng = np.random.default_rng(0)
+    coords = {"model_0": rng.standard_normal((ntemps, nw, 1, 2))}
+    logl = -0.5 * (coords["model_0"] ** 2).sum(axis=(-1, -2))
+    logp = np.zeros_like(logl)
+    state = State(coords, log_like=logl, log_prior=logp)
+
+    # get_new_state: priors masked to -inf off the keep set
+    keep = np.zeros((ntemps, nw), dtype=bool)
+    keep[0, :8] = True
+    new_state, factors = move.get_new_state(model, state, keep)
+    assert np.all(np.isneginf(np.asarray(new_state.log_prior)[~keep]))
+    assert np.all(np.isfinite(np.asarray(new_state.log_prior)[keep]))
+    assert np.asarray(factors).shape == (ntemps, nw)
+
+    # dr_scheme: one DR stage with the past_alpha correction
+    past_alpha = np.full((ntemps, nw), 0.3)
+    new_state.supplemental = BranchSupplemental(
+        {"past_alpha": past_alpha}, base_shape=(ntemps, nw)
+    )
+    cur = State(state, copy=True)
+    out_state, new_accepted, out_new_state = move.dr_scheme(
+        cur, new_state, keep, model, ntemps, nw, {}
+    )
+    assert new_accepted.shape == (ntemps, nw)
+    alpha = np.asarray(out_new_state.supplemental[:]["alpha"])
+    assert np.all((alpha >= 0) & (alpha <= 1))
+    # accepted walkers carry the new log-likelihood
+    if new_accepted.any():
+        np.testing.assert_allclose(
+            np.asarray(out_state.log_like)[new_accepted],
+            np.asarray(out_new_state.log_like)[new_accepted],
+            rtol=1e-6,
+        )
+
+    # container records stages
+    c = DelayedRejectionContainer(max_iter=4, foo="bar")
+    assert c.foo == "bar"
+    c.append(coords, logl, logp, past_alpha)
+    assert len(c.coords) == len(c.alpha) == 1
+
+
+def test_sampler_pickles_and_resumes():
+    """EnsembleSampler pickles for process pools (ref ensemble.py:773-778),
+    dropping the pool and compiled caches; the clone keeps sampling."""
+    import pickle
+
+    sampler = _tiny_sampler(seed=11)
+    start = np.random.default_rng(4).standard_normal((16, 2)) * 0.5
+    state = sampler.run_mcmc(start, 20, burn=5, progress=False)
+    sampler.pool = object()  # stand-in for an unpicklable pool
+
+    blob = pickle.dumps(sampler)
+    clone = pickle.loads(blob)
+    assert clone.pool is None
+    assert clone._step_cache == {}
+    assert clone.backend.iteration == sampler.backend.iteration
+
+    out = clone.run_mcmc(state, 10, progress=False)
+    assert clone.backend.iteration == sampler.backend.iteration + 10
+    assert np.all(np.isfinite(np.asarray(out.log_like)))
