@@ -60,6 +60,50 @@ def _pad_steps_to_bucket(x):
 __all__ = ["DeviceBackend"]
 
 
+class _LazySeg:
+    """One stored segment kept PACKED in HBM until first read.
+
+    The sampler's bulk dispatch emits ``{"fp", "u8"[, "blobs"]}`` buffers;
+    ingesting them verbatim costs zero device ops per segment (each
+    dispatched op through a tunneled link pays ~ms of latency, and the old
+    per-segment unpack+mask pipeline issued ~a dozen).  Readers index this
+    like the eager segment dict; the first access runs the captured
+    ``unpack`` closure once and caches the expanded fields, dropping the
+    packed buffers so the HBM footprint stays ~1x."""
+
+    __slots__ = ("n", "_packed", "_unpack", "_data")
+
+    def __init__(self, n, packed, unpack):
+        self.n = int(n)
+        self._packed = packed
+        self._unpack = unpack
+        self._data = None
+
+    @property
+    def unpacked(self):
+        return self._data is not None
+
+    def packed_nbytes(self):
+        total = 0
+        for arr in (self._packed or {}).values():
+            total += arr.size * arr.dtype.itemsize
+        return total
+
+    def _ensure(self):
+        if self._data is None:
+            self._data = self._unpack(self._packed)
+            self._packed = None
+        return self._data
+
+    def __getitem__(self, key):
+        if key == "n":
+            return self.n
+        return self._ensure()[key]
+
+    def __contains__(self, key):
+        return key == "n" or key in self._ensure()
+
+
 class DeviceBackend(Backend):
     """In-memory backend whose chain buffers live in TPU HBM (see module
     docstring).  The sampler detects ``device_resident`` and hands stored
@@ -97,22 +141,29 @@ class DeviceBackend(Backend):
     def _counter_get(self, name):
         host = self._counter_host.get(name)
         dev = self._counter_dev.get(name)
-        if dev is not None:
-            # fold the async device partial sum into the host mirror once
+        if dev:
+            # fold the pending per-segment device sums into the host mirror
+            # once, with ONE device reduction (appending per segment costs
+            # no device op at all; the old running device add was one
+            # dispatched op per segment)
+            import jax.numpy as jnp
+
+            folded = dev[0] if len(dev) == 1 else jnp.sum(
+                jnp.stack(dev), axis=0
+            )
             host = (0 if host is None else host) + np.asarray(
-                dev, dtype=self.dtype
+                folded, dtype=self.dtype
             )
             self._counter_host[name] = host
-            self._counter_dev[name] = None
+            self._counter_dev[name] = []
         return host
 
     def _counter_set(self, name, value):
         self._counter_host[name] = value
-        self._counter_dev[name] = None
+        self._counter_dev[name] = []
 
     def _counter_add_dev(self, name, seg_sum):
-        dev = self._counter_dev.get(name)
-        self._counter_dev[name] = seg_sum if dev is None else dev + seg_sum
+        self._counter_dev.setdefault(name, []).append(seg_sum)
 
     accepted = property(
         lambda self: self._counter_get("accepted"),
@@ -232,6 +283,55 @@ class DeviceBackend(Backend):
             # device key data is kept as-is; resume materializes it
             self.random_state = random_state
         self.iteration += n
+        if (
+            self.max_device_bytes is not None
+            and self.device_bytes() > self.max_device_bytes
+        ):
+            self.offload()
+
+    def save_segment_packed(
+        self,
+        n,
+        packed,
+        unpack,
+        accepted_sum=None,
+        rj_accepted_sum=None,
+        swaps_accepted_sum=None,
+        moves_accepted_fraction=None,
+        random_state=None,
+    ):
+        """Append a segment as the sampler's PACKED snapshot buffers.
+
+        The hot-path cost is zero device ops: the buffers are stored as-is
+        (first read unpacks via the captured closure, see :class:`_LazySeg`),
+        counter updates append pre-reduced per-segment sums computed inside
+        the sampler's bulk dispatch, and per-move fractions arrive as
+        in-dispatch slices."""
+        seg = _LazySeg(n, dict(packed), unpack)
+        self._segs.append(seg)
+        if "blobs" in packed:
+            self._has_blobs = True
+        if accepted_sum is not None:
+            self._counter_add_dev("accepted", accepted_sum)
+        if self._counter_host.get("rj_accepted") is not None and (
+            rj_accepted_sum is not None
+        ):
+            self._counter_add_dev("rj_accepted", rj_accepted_sum)
+        if self._counter_host.get("swaps_accepted") is not None and (
+            swaps_accepted_sum is not None
+        ):
+            self._counter_add_dev("swaps_accepted", swaps_accepted_sum)
+        if (
+            self.moves_accepted_fraction is not None
+            and moves_accepted_fraction is not None
+        ):
+            for key, val in moves_accepted_fraction.items():
+                if val is not None:
+                    # device slices; readers materialize lazily
+                    self.moves_accepted_fraction[key] = val
+        if random_state is not None:
+            self.random_state = random_state
+        self.iteration += seg.n
         if (
             self.max_device_bytes is not None
             and self.device_bytes() > self.max_device_bytes
@@ -744,9 +844,14 @@ class DeviceBackend(Backend):
     # memory management
     # ------------------------------------------------------------------
     def device_bytes(self):
-        """Approximate HBM footprint of the stored segments."""
+        """Approximate HBM footprint of the stored segments.  Packed (not
+        yet read) segments are counted at their buffer size without forcing
+        an unpack."""
         total = 0
         for seg in self._segs:
+            if isinstance(seg, _LazySeg) and not seg.unpacked:
+                total += seg.packed_nbytes()
+                continue
             for holder in (seg["chain"], seg["inds"]):
                 for arr in holder.values():
                     total += arr.size * arr.dtype.itemsize

@@ -1429,40 +1429,93 @@ class EnsembleSampler:
     # ------------------------------------------------------------------
     # compiled step machinery
     # ------------------------------------------------------------------
-    def _make_one_step(self):
+    def _make_one_step(self, native_only=False):
         """Build the single-sampler-step function (in-model repeats + rj
-        repeats + tempering) used inside all compiled segments."""
+        repeats + tempering) used inside all compiled segments.
+
+        ``native_only=True`` builds the step over the NATIVE (non-host)
+        move subset with renormalized weights — the compiled half of hybrid
+        host-move scheduling (see ``_run_hybrid_segment``)."""
         ctx = self.get_eval_context()
-        moves = self.moves
-        weights = jnp.log(jnp.asarray(self.weights, dtype=self.dtype))
-        rj_moves = self.rj_moves
-        rj_weights = (
-            jnp.log(jnp.asarray(self.rj_weights, dtype=self.dtype))
-            if rj_moves
-            else None
-        )
+        nmoves_all = len(self.moves)
+        if native_only:
+            # hybrid host-move scheduling: this kernel runs ONLY the native
+            # moves with their weights renormalized — it executes the steps
+            # whose pre-drawn move classes are all native (the per-draw
+            # class plan is sampled by _run_hybrid_segment), so the subset
+            # distribution is exactly the conditional one.  mstates/counter
+            # indices stay ABSOLUTE so tuning state and acceptance counts
+            # land on the right move objects.
+            im_sel = [
+                (j, m)
+                for j, m in enumerate(self.moves)
+                if not getattr(m, "host_move", False)
+            ]
+            rj_sel = [
+                (j, m)
+                for j, m in enumerate(self.rj_moves)
+                if not getattr(m, "host_move", False)
+            ]
+            w_im = np.asarray(self.weights, dtype=float)[
+                [j for j, _ in im_sel]
+            ]
+            moves = [m for _, m in im_sel]
+            im_abs = [j for j, _ in im_sel]
+            im_cnt = list(im_abs)
+            weights = jnp.log(
+                jnp.asarray(w_im / w_im.sum(), dtype=self.dtype)
+            )
+            rj_moves = [m for _, m in rj_sel]
+            rj_abs = [nmoves_all + j for j, _ in rj_sel]
+            rj_cnt = [j for j, _ in rj_sel]
+            if rj_moves:
+                w_rj = np.asarray(self.rj_weights, dtype=float)[rj_cnt]
+                rj_weights = jnp.log(
+                    jnp.asarray(w_rj / w_rj.sum(), dtype=self.dtype)
+                )
+            else:
+                rj_weights = None
+        else:
+            moves = self.moves
+            im_abs = list(range(nmoves_all))
+            im_cnt = list(im_abs)
+            weights = jnp.log(jnp.asarray(self.weights, dtype=self.dtype))
+            rj_moves = self.rj_moves
+            rj_abs = [nmoves_all + j for j in range(len(rj_moves))]
+            rj_cnt = list(range(len(rj_moves)))
+            rj_weights = (
+                jnp.log(jnp.asarray(self.rj_weights, dtype=self.dtype))
+                if rj_moves
+                else None
+            )
         num_repeats = self.num_repeats_in_model
         num_repeats_rj = self.num_repeats_rj
         nt, nw = self.ntemps, self.nwalkers
 
-        def dispatch(key, state, time, mstates, move_list, log_w, counters, nprop, offset):
+        def dispatch(
+            key, state, time, mstates, move_list, log_w, counters, nprop,
+            abs_idx, cnt_idx,
+        ):
             key, k_idx, k_move = jax.random.split(key, 3)
             if len(move_list) == 1:
+                a0, c0 = abs_idx[0], cnt_idx[0]
                 state, acc, swaps, time, st = move_list[0].propose_kernel(
-                    k_move, state, time, ctx, mstates[offset]
+                    k_move, state, time, ctx, mstates[a0]
                 )
-                mstates = mstates[:offset] + (st,) + mstates[offset + 1 :]
-                counters = counters.at[0].add(acc)
-                nprop = nprop.at[0].add(1.0)
+                mstates = mstates[:a0] + (st,) + mstates[a0 + 1 :]
+                counters = counters.at[c0].add(acc)
+                nprop = nprop.at[c0].add(1.0)
             else:
                 idx = jax.random.categorical(k_idx, log_w)
 
                 def make_branch(j, m):
+                    aj = abs_idx[j]
+
                     def br(k, s, t, ms):
                         s2, acc, sw, t2, stj = m.propose_kernel(
-                            k, s, t, ctx, ms[offset + j]
+                            k, s, t, ctx, ms[aj]
                         )
-                        ms2 = ms[: offset + j] + (stj,) + ms[offset + j + 1 :]
+                        ms2 = ms[:aj] + (stj,) + ms[aj + 1 :]
                         return s2, acc, sw, t2, ms2
 
                     return br
@@ -1471,8 +1524,9 @@ class EnsembleSampler:
                 state, acc, swaps, time, mstates = jax.lax.switch(
                     idx, branches, k_move, state, time, mstates
                 )
-                counters = counters.at[idx].add(acc)
-                nprop = nprop.at[idx].add(1.0)
+                cnt = jnp.asarray(cnt_idx)[idx]
+                counters = counters.at[cnt].add(acc)
+                nprop = nprop.at[cnt].add(1.0)
             return key, state, time, acc, swaps, counters, nprop, mstates
 
         sharding_mesh = self._sharding_mesh
@@ -1483,7 +1537,8 @@ class EnsembleSampler:
             swaps = jnp.zeros((max(nt - 1, 0),), dtype=self.dtype)
             for _r in range(num_repeats):
                 key, state, time, acc, swaps, m_acc, m_np, mstates = dispatch(
-                    key, state, time, mstates, moves, weights, m_acc, m_np, 0
+                    key, state, time, mstates, moves, weights, m_acc, m_np,
+                    im_abs, im_cnt,
                 )
                 accepted = accepted + acc
             if rj_moves:
@@ -1507,7 +1562,8 @@ class EnsembleSampler:
                         rj_weights,
                         rj_acc_c,
                         rj_np,
-                        len(moves),
+                        rj_abs,
+                        rj_cnt,
                     )
                     rj_accepted = rj_accepted + racc
             else:
@@ -1612,7 +1668,51 @@ class EnsembleSampler:
             counters = jnp.concatenate(
                 [jnp.reshape(c, (-1,)) for c in carry[3:7]]
             )
-            return carry, snaps, counters
+            # everything a device-resident backend needs per segment,
+            # computed INSIDE this dispatch: the per-segment save path then
+            # issues ZERO further device ops (each op through a tunneled
+            # link costs ~ms of dispatch latency; ~12 per segment used to
+            # eat a third of the stored-path budget)
+            extras = None
+            if store:
+                nt_, nw_ = self.ntemps, self.nwalkers
+                extras = {
+                    "accepted_sum": snaps["u8"][:, : nt_ * nw_]
+                    .astype(self.dtype)
+                    .sum(0)
+                    .reshape(nt_, nw_)
+                }
+                if self.has_reversible_jump:
+                    extras["rj_accepted_sum"] = (
+                        snaps["u8"][:, nt_ * nw_ : 2 * nt_ * nw_]
+                        .astype(self.dtype)
+                        .sum(0)
+                        .reshape(nt_, nw_)
+                    )
+                if nt_ > 1:
+                    # swaps are the last fp_layout entry
+                    sw_size = nt_ - 1
+                    sw = snaps["fp"][:, -sw_size:]
+                    extras["swaps_accepted_sum"] = sw.sum(0)
+                    extras["swaps_last"] = sw[-1]
+                if self.track_moves:
+                    m_acc_f, m_np_f, rj_acc_f, rj_np_f = carry[3:7]
+                    fr_m = m_acc_f / jnp.maximum(m_np_f, 1.0).reshape(
+                        -1, 1, 1
+                    )
+                    fr_rj = rj_acc_f / jnp.maximum(rj_np_f, 1.0).reshape(
+                        -1, 1, 1
+                    )
+                    # pre-sliced per move: slicing inside jit is free;
+                    # outside it would be one dispatched op per move
+                    extras["fr_moves"] = tuple(
+                        fr_m[i] for i in range(fr_m.shape[0])
+                    )
+                    extras["fr_rj"] = tuple(
+                        fr_rj[i] for i in range(fr_rj.shape[0])
+                    )
+                extras["key_data"] = jax.random.key_data(carry[0])
+            return carry, snaps, counters, extras
 
         return jax.jit(bulk)
 
@@ -1839,14 +1939,14 @@ class EnsembleSampler:
                 jnp.asarray(self._rj_move_nprop, dtype=self.dtype),
             )
         _t0 = _time.perf_counter()
-        carry, snaps, counters = fn(
+        carry, snaps, counters, extras = fn(
             self._key,
             state,
             time,
             *self._counters_dev,
             self._kernel_states,
         )
-        return carry, snaps, counters, _t0
+        return carry, snaps, counters, extras, _t0
 
     def _sync_bulk(self, carry, snaps, counters, nsteps, t0):
         """Block on the dispatched segment and sync host mirrors.  ``snaps``
@@ -1896,7 +1996,7 @@ class EnsembleSampler:
                     leaf.copy_to_host_async()
         return state
 
-    def _unpack_snaps(self, snaps, xp=np):
+    def _unpack_snaps(self, snaps, xp=np, layout=None):
         """Expand packed ``{"fp", "u8"[, "blobs"]}`` snapshot buffers back
         into the named per-field dict (any number of leading batch axes).
 
@@ -1904,7 +2004,9 @@ class EnsembleSampler:
         device (zero-copy slicing views) for device-resident backends."""
         if snaps is None or "fp" not in snaps:
             return snaps
-        fp_layout, u8_layout = self._snap_layout
+        fp_layout, u8_layout = (
+            layout if layout is not None else self._snap_layout
+        )
         out = {"coords": {}, "inds": {}}
 
         def split(buf, layout, post=None):
@@ -1937,20 +2039,95 @@ class EnsembleSampler:
         """Run ``nstored * thin_by`` compiled steps in ONE device dispatch.
 
         Returns ``(state, snaps)`` with ``snaps`` a host-side dict of stacked
-        per-stored-step arrays (or None when ``store=False``)."""
-        carry, snaps, counters, t0 = self._dispatch_bulk(
+        per-stored-step arrays (or None when ``store=False``).  For a
+        device-resident backend the snapshots stay PACKED (the in-dispatch
+        extras ride along under ``"__extras__"``); ``_save_snaps`` hands
+        them to the backend without issuing any further device ops."""
+        carry, snaps, counters, extras, t0 = self._dispatch_bulk(
             state, nstored, thin_by, store
         )
         state = self._sync_bulk(carry, snaps, counters, nstored * thin_by, t0)
         if snaps is not None:
             # host mirrors of swap diagnostics are owned by _save_snaps
             if getattr(self.backend, "device_resident", False):
-                snaps = self._unpack_snaps(snaps, xp=jnp)
+                snaps = dict(snaps)
+                snaps["__extras__"] = extras
             else:
                 snaps = self._unpack_snaps(
                     jax.tree_util.tree_map(np.asarray, snaps)
                 )
         return state, snaps
+
+    def _make_seg_unpacker(self):
+        """Closure expanding ONE packed segment ``{"fp","u8"[,"blobs"]}``
+        into the device-backend segment schema (``chain`` NaN-masked on dead
+        leaves, static ``inds`` stored without the step axis).  Captures the
+        layouts by value so later reconfiguration cannot corrupt segments
+        already stored."""
+        fp_layout, u8_layout = self._snap_layout
+        branch_names = list(self.branch_names)
+        inds_change = self._inds_change
+        static_inds = None if inds_change else dict(self._static_inds)
+        missing = self.backend.store_missing_leaves
+        layout_ref = (fp_layout, u8_layout)
+
+        def unpack(packed):
+            out = self._unpack_snaps(packed, xp=jnp, layout=layout_ref)
+            seg = {"chain": {}, "inds": {}}
+            for n in branch_names:
+                c = out["coords"][n]
+                if inds_change:
+                    m = out["inds"][n]
+                    mask = m
+                else:
+                    m = jnp.asarray(static_inds[n])  # no step axis: static
+                    mask = m[None]
+                fill = jnp.asarray(missing, dtype=c.dtype)
+                seg["chain"][n] = jnp.where(mask[..., None], c, fill)
+                seg["inds"][n] = m
+            seg["log_like"] = out["log_like"]
+            seg["log_prior"] = out["log_prior"]
+            seg["betas"] = out["betas"]
+            seg["blobs"] = out.get("blobs")
+            return seg
+
+        return unpack
+
+    def _save_snaps_packed(self, snaps):
+        """Zero-device-op flush for a device-resident backend: the segment
+        stays PACKED in HBM (the backend unpacks lazily on first read) and
+        every per-segment reduction (counter sums, per-move fractions, the
+        PRNG key snapshot) was already computed inside the bulk dispatch."""
+        extras = snaps.pop("__extras__", None) or {}
+        fractions = None
+        if self.track_moves and "fr_moves" in extras:
+            fractions = {}
+            fr_m = extras["fr_moves"]
+            fr_rj = extras["fr_rj"]
+            for i, key_name in enumerate(self.all_moves.keys()):
+                if i < len(self.moves):
+                    fractions[key_name] = fr_m[i]
+                else:
+                    fractions[key_name] = fr_rj[i - len(self.moves)]
+        nstored = int(snaps["fp"].shape[0])
+        self.backend.save_segment_packed(
+            nstored,
+            snaps,
+            self._make_seg_unpacker(),
+            accepted_sum=extras.get("accepted_sum"),
+            rj_accepted_sum=extras.get("rj_accepted_sum")
+            if self.has_reversible_jump
+            else None,
+            swaps_accepted_sum=extras.get("swaps_accepted_sum")
+            if self.ntemps > 1
+            else None,
+            moves_accepted_fraction=fractions,
+            random_state=extras.get("key_data"),
+        )
+        tc = self.temperature_control
+        if tc is not None and self.ntemps > 1 and "swaps_last" in extras:
+            # device slice computed in-dispatch; host consumers coerce
+            tc.swaps_accepted = extras["swaps_last"]
 
     def _save_snaps(self, snaps):
         """Flush a bulk segment of stored snapshots into the backend with ONE
@@ -1962,6 +2139,10 @@ class EnsembleSampler:
         device arrays; they are materialized here (transfers were started by
         ``_sync_bulk``, so this overlaps the next segment's device compute)."""
         device_resident = getattr(self.backend, "device_resident", False)
+        if device_resident and "fp" in snaps and (
+            hasattr(self.backend, "save_segment_packed")
+        ):
+            return self._save_snaps_packed(snaps)
         if device_resident:
             snaps = self._unpack_snaps(snaps, xp=jnp)
         else:
@@ -2523,7 +2704,7 @@ class EnsembleSampler:
                     # software pipeline: dispatch segment k+1, then flush
                     # segment k's chain to the backend while the device
                     # computes
-                    carry, snaps, counters, t0 = self._dispatch_bulk(
+                    carry, snaps, counters, extras, t0 = self._dispatch_bulk(
                         state, n, thin_by, store=store
                     )
                     if pending is not None:
@@ -2532,6 +2713,11 @@ class EnsembleSampler:
                     state = self._sync_bulk(
                         carry, snaps, counters, n * thin_by, t0
                     )
+                    if snaps is not None and getattr(
+                        self.backend, "device_resident", False
+                    ):
+                        snaps = dict(snaps)
+                        snaps["__extras__"] = extras
                     i0, i = i, i + n
                     if store:
                         if (
