@@ -76,7 +76,9 @@ def main(argv):
 
     warnings.simplefilter("ignore")
 
-    example = os.path.join("/root/reference/examples", argv[0])
+    from _refpath import REFERENCE_EXAMPLES
+
+    example = os.path.join(REFERENCE_EXAMPLES, argv[0])
     if not os.path.exists(example):
         raise FileNotFoundError(example)
 

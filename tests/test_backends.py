@@ -390,7 +390,9 @@ def test_read_reference_written_file(priors, tmp_path):
     import sys
     import types
 
-    sys.path.insert(0, "/root/reference/src")
+    from _refpath import REFERENCE_SRC
+
+    sys.path.insert(0, REFERENCE_SRC)
     sys.modules.setdefault("corner", types.ModuleType("corner"))
     try:
         try:
@@ -403,7 +405,7 @@ def test_read_reference_written_file(priors, tmp_path):
     finally:
         # do not leave the reference tree shadowing site-packages for the
         # rest of the session
-        sys.path.remove("/root/reference/src")
+        sys.path.remove(REFERENCE_SRC)
 
     fn = str(tmp_path / "ref_written.h5")
     np.random.seed(42)

@@ -18,7 +18,9 @@ from eryn_tpu import EnsembleSampler, ProbDistContainer, uniform_dist
 
 
 def _import_reference():
-    sys.path.insert(0, "/root/reference/src")
+    from _refpath import REFERENCE_SRC
+
+    sys.path.insert(0, REFERENCE_SRC)
     sys.modules.setdefault("corner", types.ModuleType("corner"))
     try:
         from eryn.ensemble import EnsembleSampler as RefSampler
@@ -300,7 +302,9 @@ def test_rj_matches_quadrature_truth():
 
 def test_make_ladder_parity():
     """Temperature ladders match the reference's exactly."""
-    sys.path.insert(0, "/root/reference/src")
+    from _refpath import REFERENCE_SRC
+
+    sys.path.insert(0, REFERENCE_SRC)
     sys.modules.setdefault("corner", types.ModuleType("corner"))
     from eryn.moves.tempering import make_ladder as ref_make_ladder
 

@@ -34,6 +34,14 @@ RUNNER = os.path.join(
     os.path.dirname(__file__), "reference_example_runner.py"
 )
 
+from _refpath import REFERENCE_PATH, reference_available  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(),
+    reason=f"reference Eryn checkout not found at {REFERENCE_PATH} "
+    "(set ERYN_REFERENCE_PATH)",
+)
+
 # every runnable reference example, with measured runtimes (single vCPU)
 CASES = {
     # 1000-step PT run + diagnostic plot folder: ~4 min
