@@ -950,16 +950,46 @@ class EnsembleSampler:
             getattr(m, "host_move", False)
             for m in self.moves + self.rj_moves
         )
-        if self._has_host_moves:
-            warnings.warn(
-                "One or more moves implement the reference's host extension "
-                "protocol (get_proposal / setup_friends / find_friends); "
-                "the sampler will run step-by-step on the host. This is "
-                "correct but much slower than the compiled path — port the "
-                "hook to the *_kernel API (docs/migration.md) for TPU "
-                "performance.",
-                stacklevel=2,
+        #: hybrid scheduling: when the schedule mixes host and native moves,
+        #: stored steps whose pre-drawn slots are all native run compiled
+        #: (_run_hybrid_segment); the bridge drops to host step-by-step only
+        #: for steps containing a host-move draw.  Requires at least one
+        #: native in-model move (the compiled subset kernel needs one) and,
+        #: under RJ, at least one native RJ move (every step draws RJ slots).
+        self._hybrid_host = (
+            self._has_host_moves
+            and any(
+                not getattr(m, "host_move", False) for m in self.moves
             )
+            and (
+                not self.rj_moves
+                or any(
+                    not getattr(m, "host_move", False) for m in self.rj_moves
+                )
+            )
+        )
+        if self._has_host_moves:
+            if self._hybrid_host:
+                warnings.warn(
+                    "One or more moves implement the reference's host "
+                    "extension protocol (get_proposal / setup_friends / "
+                    "find_friends); the sampler runs HYBRID: steps drawing "
+                    "only native moves stay compiled, steps drawing the "
+                    "custom move run on the host. Port the hook to the "
+                    "*_kernel API (docs/migration.md) for full TPU "
+                    "performance.",
+                    stacklevel=2,
+                )
+            else:
+                warnings.warn(
+                    "One or more moves implement the reference's host "
+                    "extension protocol (get_proposal / setup_friends / "
+                    "find_friends); the sampler will run step-by-step on "
+                    "the host. This is correct but much slower than the "
+                    "compiled path — port the hook to the *_kernel API "
+                    "(docs/migration.md) for TPU performance.",
+                    stacklevel=2,
+                )
 
         # move-tracking registry (ref ensemble.py:556-590)
         self.all_moves = {}
@@ -1579,12 +1609,12 @@ class EnsembleSampler:
 
         return one_step
 
-    def _build_bulk_fn(self, nstored, thin_by, store):
+    def _build_bulk_fn(self, nstored, thin_by, store, native_only=False):
         """Compile ``nstored * thin_by`` sampler steps as a nested lax.scan:
         the inner scan runs ``thin_by`` steps, the outer scan stacks one
         device-side snapshot per stored iteration.  One dispatch per segment —
         the chain buffer lives in HBM until the host flush."""
-        one_step = self._make_one_step()
+        one_step = self._make_one_step(native_only=native_only)
         inds_change = self._inds_change
         if store:
             # snapshots are packed into ONE float buffer + ONE uint8 buffer
@@ -1716,11 +1746,13 @@ class EnsembleSampler:
 
         return jax.jit(bulk)
 
-    def _get_bulk_fn(self, nstored, thin_by, store):
-        cache_key = (nstored, thin_by, store, self._sharding_mesh)
+    def _get_bulk_fn(self, nstored, thin_by, store, native_only=False):
+        cache_key = (nstored, thin_by, store, native_only, self._sharding_mesh)
         fn = self._step_cache.get(cache_key)
         if fn is None:
-            fn = self._build_bulk_fn(nstored, thin_by, store)
+            fn = self._build_bulk_fn(
+                nstored, thin_by, store, native_only=native_only
+            )
             self._step_cache[cache_key] = fn
         return fn
 
@@ -1916,7 +1948,9 @@ class EnsembleSampler:
         if saver is not None and self.backend.initialized:
             saver(self._kernel_states, move_keys=list(self.all_moves.keys()))
 
-    def _dispatch_bulk(self, state, nstored, thin_by=1, store=True):
+    def _dispatch_bulk(
+        self, state, nstored, thin_by=1, store=True, native_only=False
+    ):
         """Dispatch ``nstored * thin_by`` compiled steps asynchronously.
 
         Returns ``(carry, snaps, t0)`` of *device* arrays — nothing blocks;
@@ -1928,7 +1962,7 @@ class EnsembleSampler:
         self._detect_sharding(state)
         if self._kernel_states is None:
             self._kernel_states = self._init_kernel_states(state)
-        fn = self._get_bulk_fn(nstored, thin_by, store)
+        fn = self._get_bulk_fn(nstored, thin_by, store, native_only)
         import time as _time
 
         if self._counters_dev is None:
@@ -2335,6 +2369,253 @@ class EnsembleSampler:
             random_state=np.asarray(jax.random.key_data(self._key)),
         )
 
+    # ------------------------------------------------------------------
+    # hybrid host-move scheduling
+    # ------------------------------------------------------------------
+    def _push_host_counters(self):
+        """Host ``propose()`` calls updated the move objects' counters; make
+        the host mirrors authoritative so the next compiled dispatch
+        re-uploads them (``_dispatch_bulk`` rebuilds ``_counters_dev`` from
+        the mirrors when it is None)."""
+        def rebuild(arr_a, arr_n, moves):
+            # np.array: the mirrors may be read-only views of fetched
+            # device buffers after _materialize_counters
+            arr_a = np.array(arr_a)
+            arr_n = np.array(arr_n)
+            for i, m in enumerate(moves):
+                if m.accepted is not None:
+                    arr_a[i] = np.asarray(m.accepted)
+                arr_n[i] = float(m.num_proposals)
+            return arr_a, arr_n
+
+        self._move_accepted, self._move_nprop = rebuild(
+            self._move_accepted, self._move_nprop, self.moves
+        )
+        self._rj_move_accepted, self._rj_move_nprop = rebuild(
+            self._rj_move_accepted, self._rj_move_nprop, self.rj_moves
+        )
+        self._counters_dev = None
+        self._counters_packed = None
+
+    def _run_native_chunk(self, state, nstored, thin_by, store):
+        """One compiled bulk dispatch over the NATIVE move subset (hybrid
+        scheduling).  Re-syncs kernel states from the per-move host copies
+        first, since interleaved host steps may have tuned them."""
+        all_moves = self.moves + self.rj_moves
+        if self._kernel_states is None and any(
+            getattr(m, "_host_kernel_state", None) is not None
+            for m in all_moves
+        ):
+            # host steps already tuned some moves this run; a fresh init
+            # would silently discard that state
+            self._kernel_states = self._init_kernel_states(state)
+        if self._kernel_states is not None:
+            self._kernel_states = tuple(
+                getattr(m, "_host_kernel_state", None)
+                if getattr(m, "_host_kernel_state", None) is not None
+                else ks
+                for m, ks in zip(all_moves, self._kernel_states)
+            )
+        carry, snaps, counters, extras, t0 = self._dispatch_bulk(
+            state, nstored, thin_by, store, native_only=True
+        )
+        state = self._sync_bulk(carry, snaps, counters, nstored * thin_by, t0)
+        if snaps is not None:
+            snaps = self._unpack_snaps(
+                jax.tree_util.tree_map(np.asarray, snaps)
+            )
+        return state, snaps
+
+    def _native_snaps_to_host(self, snaps, nsteps):
+        """Coerce one native chunk's unpacked snapshots into the host-layout
+        segment schema ``_save_snaps_host`` consumes (tile static leaf masks,
+        float counters)."""
+        out = {
+            "coords": {n: np.asarray(c) for n, c in snaps["coords"].items()},
+            "log_like": np.asarray(snaps["log_like"]),
+            "log_prior": np.asarray(snaps["log_prior"]),
+            "betas": np.asarray(snaps["betas"], dtype=float),
+            "swaps": np.asarray(snaps["swaps"], dtype=float),
+            "accepted": np.asarray(snaps["accepted"], dtype=float),
+            "blobs": np.asarray(snaps["blobs"]) if "blobs" in snaps else None,
+        }
+        if "inds" in snaps:
+            out["inds"] = {
+                n: np.asarray(m) for n, m in snaps["inds"].items()
+            }
+        else:
+            out["inds"] = {
+                n: np.broadcast_to(
+                    np.asarray(self._static_inds[n], dtype=bool),
+                    (nsteps,) + tuple(np.shape(self._static_inds[n])),
+                ).copy()
+                for n in self.branch_names
+            }
+        out["rj_accepted"] = (
+            np.asarray(snaps["rj_accepted"], dtype=float)
+            if "rj_accepted" in snaps
+            else np.zeros((nsteps, self.ntemps, self.nwalkers))
+        )
+        return out
+
+    def _run_hybrid_segment(self, state, nstored, thin_by=1, store=True):
+        """Hybrid host-move scheduling: one reference-style custom move must
+        not cost the whole run the compiled path (the most common migration
+        state is 1 custom + N native moves).
+
+        The segment's per-slot move plan is pre-drawn on the host from the
+        FULL weight vector.  Stored steps whose every slot drew a native
+        move run as compiled bulk scans over the native subset with
+        renormalized weights — exactly the conditional proposal distribution
+        given the plan — while stored steps containing at least one
+        host-move draw execute slot-by-slot through ``move.propose`` (the
+        reference's own execution model, ref ``ensemble.py:963-1045``).
+        Native runs are chunked on the power-of-two plan to bound the jit
+        cache.  Returns host-layout snaps for ``_save_snaps_host``."""
+        model = self.get_model()
+        n_rep = self.num_repeats_in_model
+        n_rj = self.num_repeats_rj if self.has_reversible_jump else 0
+
+        w = np.asarray(self.weights, dtype=float)
+        w = w / w.sum()
+        im_is_host = np.asarray(
+            [bool(getattr(m, "host_move", False)) for m in self.moves]
+        )
+        plan_im = np.random.choice(
+            len(self.moves), size=(nstored, thin_by, n_rep), p=w
+        )
+        step_has_host = im_is_host[plan_im].any(axis=(1, 2))
+        plan_rj = None
+        if self.rj_moves:
+            rj_w = np.asarray(self.rj_weights, dtype=float)
+            rj_w = rj_w / rj_w.sum()
+            rj_is_host = np.asarray(
+                [bool(getattr(m, "host_move", False)) for m in self.rj_moves]
+            )
+            plan_rj = np.random.choice(
+                len(self.rj_moves), size=(nstored, thin_by, n_rj), p=rj_w
+            )
+            step_has_host |= rj_is_host[plan_rj].any(axis=(1, 2))
+
+        chunks = []  # host-layout dicts, each with a leading step axis
+        i = 0
+        while i < nstored:
+            if not step_has_host[i]:
+                k = 1
+                while i + k < nstored and not step_has_host[i + k]:
+                    k += 1
+                for c in _segment_plan(k, self._max_segment):
+                    state, snaps = self._run_native_chunk(
+                        state, c, thin_by, store
+                    )
+                    if store:
+                        chunks.append(self._native_snaps_to_host(snaps, c))
+                i += k
+            else:
+                state, snap = self._run_host_stored_step(
+                    state,
+                    model,
+                    plan_im[i],
+                    plan_rj[i] if plan_rj is not None else None,
+                    store,
+                )
+                if store:
+                    chunks.append(snap)
+                i += 1
+
+        # fold the last native chunk's counters into the move objects so
+        # _save_snaps_host's fractions (and user hooks) see current totals
+        self._materialize_counters()
+        self._previous_state = state
+        if not store:
+            return state, None
+
+        def cat(key_name):
+            return np.concatenate([c[key_name] for c in chunks], axis=0)
+
+        out = {
+            "coords": {
+                n: np.concatenate([c["coords"][n] for c in chunks], axis=0)
+                for n in self.branch_names
+            },
+            "inds": {
+                n: np.concatenate([c["inds"][n] for c in chunks], axis=0)
+                for n in self.branch_names
+            },
+            "log_like": cat("log_like"),
+            "log_prior": cat("log_prior"),
+            "betas": cat("betas"),
+            "swaps": cat("swaps"),
+            "accepted": cat("accepted"),
+            "rj_accepted": cat("rj_accepted"),
+            "blobs": (
+                cat("blobs") if chunks[0]["blobs"] is not None else None
+            ),
+        }
+        return state, out
+
+    def _run_host_stored_step(self, state, model, plan_im, plan_rj, store):
+        """One stored step executed slot-by-slot on the host following the
+        pre-drawn move plan (rows of ``(thin_by, num_repeats)`` move
+        indices).  Mirrors one iteration of ``_run_host_segment``; counters
+        are pushed back to the host mirrors afterwards so the next compiled
+        chunk resumes from them."""
+        nt, nw = self.ntemps, self.nwalkers
+        tc = self.temperature_control
+        # host proposes accumulate into the move objects; fold any pending
+        # device counters in first so totals stay monotonic
+        self._materialize_counters()
+        acc_step = np.zeros((nt, nw))
+        rj_acc_step = np.zeros((nt, nw))
+        thin_by = plan_im.shape[0]
+        for t in range(thin_by):
+            # match the compiled path's snapshot convention: the stored
+            # acceptance reflects the LAST thin step
+            acc_step[:] = 0.0
+            rj_acc_step[:] = 0.0
+            for j in plan_im[t]:
+                state, acc = self.moves[int(j)].propose(model, state)
+                acc_step += np.asarray(acc)
+            if plan_rj is not None:
+                for j in plan_rj[t]:
+                    state, acc = self.rj_moves[int(j)].propose(model, state)
+                    rj_acc_step += np.asarray(acc)
+        self._push_host_counters()
+        if not store:
+            return state, None
+        betas = (
+            state.betas
+            if state.betas is not None
+            else (tc.betas if tc is not None else np.ones(nt))
+        )
+        swaps = (
+            np.asarray(tc.swaps_accepted, dtype=float)
+            if tc is not None and self.ntemps > 1
+            else np.zeros(max(nt - 1, 0))
+        )
+        snap = {
+            "coords": {
+                n: np.asarray(state.branches_coords[n])[None]
+                for n in self.branch_names
+            },
+            "inds": {
+                n: np.asarray(state.branches_inds[n])[None]
+                for n in self.branch_names
+            },
+            "log_like": np.asarray(state.log_like)[None],
+            "log_prior": np.asarray(state.log_prior)[None],
+            "betas": np.asarray(betas, dtype=float)[None],
+            "swaps": swaps[None],
+            "accepted": acc_step[None],
+            "rj_accepted": rj_acc_step[None],
+            "blobs": (
+                np.asarray(state.blobs)[None]
+                if state.blobs is not None
+                else None
+            ),
+        }
+        return state, snap
+
     def _blobs_example(self, state):
         """Blob exemplar for backend allocation: honor a user ``blobs_dtype``
         (ref ensemble.py:1490-1515) instead of the device array's dtype."""
@@ -2546,9 +2827,12 @@ class EnsembleSampler:
                 i = 0
                 for _ in iterator:
                     if self._has_host_moves:
-                        state, snaps = self._run_host_segment(
-                            state, 1, thin_by, store=store
+                        seg_fn = (
+                            self._run_hybrid_segment
+                            if self._hybrid_host
+                            else self._run_host_segment
                         )
+                        state, snaps = seg_fn(state, 1, thin_by, store=store)
                         if store:
                             self._save_snaps_host(snaps)
                     else:
@@ -2631,7 +2915,12 @@ class EnsembleSampler:
         if burn is not None and burn > 0:
             for n in _segment_plan(int(burn), 4 * self._max_segment):
                 if self._has_host_moves:
-                    state, _ = self._run_host_segment(state, n, 1, store=False)
+                    seg_fn = (
+                        self._run_hybrid_segment
+                        if self._hybrid_host
+                        else self._run_host_segment
+                    )
+                    state, _ = seg_fn(state, n, 1, store=False)
                 else:
                     state, _ = self._run_bulk(state, 1, n, store=False)
                 if tuned_moves:
@@ -2694,9 +2983,12 @@ class EnsembleSampler:
             while i < nsteps:
                 n = segment_plan.pop(0)
                 if self._has_host_moves:
-                    state, snaps = self._run_host_segment(
-                        state, n, thin_by, store=store
+                    seg_fn = (
+                        self._run_hybrid_segment
+                        if self._hybrid_host
+                        else self._run_host_segment
                     )
+                    state, snaps = seg_fn(state, n, thin_by, store=store)
                     i0, i = i, i + n
                     if store:
                         self._save_snaps_host(snaps)

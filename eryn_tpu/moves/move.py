@@ -289,6 +289,15 @@ class Move:
             return host_propose(self, model, state)
         ctx = model.get_eval_context()
         key, subkey = jax.random.split(model.current_key())
+        if state.betas is not None and not isinstance(
+            state.betas, jnp.ndarray
+        ):
+            # a preceding legacy host-bridge proposal (mixed schedule in
+            # host/hybrid mode) hands back NumPy betas; the eager kernel
+            # epilogue indexes them with .at[]
+            state = state.replace(
+                betas=jnp.asarray(state.betas, dtype=state.log_like.dtype)
+            )
         time = jnp.asarray(
             getattr(model.temperature_control, "time", 0) or 0, dtype=jnp.int32
         )
