@@ -282,6 +282,25 @@ def bench_tpu_config_e():
     return sps, sps * ntemps * nwalkers
 
 
+def bench_lisa_style():
+    """Compute-bound LISA-style config (benchmarks/lisa_style.py): 8192-pt
+    templates, 8-leaf RJ, 10x200 PT — reports achieved FLOP/s, MFU vs the
+    v5e bf16 peak, and the likelihood/sampler-overhead split."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lisa_style",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks",
+            "lisa_style.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_config(300)
+
+
 def _import_reference():
     sys.path.insert(0, "/root/reference/src")
     sys.modules.setdefault("corner", types.ModuleType("corner"))
@@ -507,6 +526,7 @@ def main():
     if FORCE_CPU:
         # the 20x1000 stress config is not meaningful on one vCPU
         e_sps, e_wsps = None, None
+        lisa = None
     else:
         try:
             e_sps, e_wsps = bench_tpu_config_e()
@@ -514,6 +534,10 @@ def main():
             # None serializes as valid JSON null; NaN would break the
             # one-parseable-line contract for strict consumers
             e_sps, e_wsps = None, None
+        try:
+            lisa = bench_lisa_style()
+        except Exception:
+            lisa = None
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
     print(
@@ -545,6 +569,24 @@ def main():
                     ),
                     "config_e_walker_steps_per_sec": (
                         None if e_wsps is None else round(e_wsps, 0)
+                    ),
+                    "mfu": (
+                        None
+                        if lisa is None
+                        else lisa["mfu_vs_v5e_bf16_peak"]
+                    ),
+                    "lisa8192_steps_per_sec": (
+                        None if lisa is None else lisa["steps_per_sec"]
+                    ),
+                    "lisa8192_achieved_gflops": (
+                        None
+                        if lisa is None
+                        else round(lisa["achieved_flops_per_sec"] / 1e9, 1)
+                    ),
+                    "lisa8192_sampler_overhead_fraction": (
+                        None
+                        if lisa is None
+                        else lisa["sampler_overhead_fraction"]
                     ),
                     "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
                     "ref_ess_per_sec": round(ref["ess_per_sec"], 1),

@@ -160,7 +160,7 @@ class ParaEnsembleSampler:
             nm = len(s.moves)
             nrj = len(s.rj_moves)
             zeros = lambda *sh: jnp.zeros(sh, dtype=s.dtype)  # noqa: E731
-            carry, snaps, _counters = fn(
+            carry, snaps, _counters, _extras = fn(
                 key,
                 state,
                 time,
