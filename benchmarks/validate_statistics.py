@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import functools
+
+print = functools.partial(print, flush=True)
+
 import numpy as np
 
 import jax
