@@ -339,15 +339,20 @@ def main():
         ),
         check_move("GroupStretchMove", [GroupStretchMove(n_iter_update=50)], 13),
         check_move(
-            # 4x steps: at NSTEPS this config's KS sits within 2e-4 of its
-            # 1% critical value (tau ~35 leaves only ~200 decorrelated
-            # samples); the 4x-power adjudication in VALIDATION.md showed
-            # the borderline was a fluke — run the sweep at that power so
-            # the test has real resolution instead of a coin-flip margin
+            # 6x steps: tau ~35 makes this the highest-autocorrelation
+            # config in the sweep, and at shorter runs the KS harness
+            # falls back to 1x-tau thinning where single unlucky seeded
+            # realizations sit near the 1% critical value (two borderline
+            # adjudications across rounds: the 1x CPU margin of 2e-4, and
+            # the 4x TPU seed-21 rbg stream at KS 0.106 vs crit 0.089
+            # while 4/5 other TPU seeds and 6/6 CPU seeds pass — see
+            # VALIDATION.md).  18k steps engage the harness's preferred
+            # 2x-tau thinning with n=250 independent samples, where every
+            # measured realization on both backends passes with margin
             "RedBlueGroupStretchMove",
             [RedBlueGroupStretchMove()],
             21,
-            nsteps=4 * NSTEPS,
+            nsteps=6 * NSTEPS,
         ),
         check_move("SliceMove", [SliceMove()], 22, nsteps=1500),
         check_move(
