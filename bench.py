@@ -39,10 +39,13 @@ NTEMPS = 10
 # long device-resident scans measure sustained sampling throughput
 # (production runs execute segments this size per dispatch)
 NSTEPS = 8000
-# stored run: exact multiple of the segment size so the timed window reuses
-# one compiled program (a remainder segment would compile inside the timing)
+# stored run: a multiple of the segment size so the timed window reuses the
+# warmed compiled programs (the tapered tail sizes are warmed by running the
+# same nsteps untimed first); long enough that per-run fixed costs (final
+# flush, run-end counter barrier, diagnostics dispatch) amortize the way a
+# production run amortizes them
 STORED_SEGMENT = 2048
-STORED_STEPS = 2 * STORED_SEGMENT
+STORED_STEPS = 4 * STORED_SEGMENT
 RJ_NSTEPS = 2000
 
 # Last-resort degraded mode (supervisor sets this after exhausting TPU
@@ -129,9 +132,10 @@ def bench_tpu():
         seed=1,
     )
     coords = priors.rvs(size=(NTEMPS, NWALKERS))
-    # warm the stored-segment compile outside the timed window
+    # warm every stored-segment compile (incl. the tapered tail sizes)
+    # outside the timed window by running the same plan once
     sampler2.run_mcmc(
-        coords, STORED_SEGMENT, burn=256, segment_size=STORED_SEGMENT
+        coords, STORED_STEPS, burn=256, segment_size=STORED_SEGMENT
     )
     # device->host bandwidth through the axon tunnel fluctuates heavily
     # (shared infra); take the best of 3 runs as the hardware-limited number

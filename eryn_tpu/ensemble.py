@@ -113,18 +113,47 @@ def _crossed(prev, now, interval):
     return now // interval > prev // interval
 
 
-def _segment_plan(nsteps, seg):
+def _segment_plan(nsteps, seg, taper=False, min_seg=64):
     """Plan segment sizes: full segments of ``seg`` plus the remainder
     decomposed into powers of two.  Each distinct length costs one jit
     compile (~10-40 s on TPU), so power-of-two remainders bound the compile
     cache at ~log2(seg) programs across ALL runs instead of one fresh
-    compile per distinct remainder."""
+    compile per distinct remainder.
+
+    ``taper=True`` additionally replaces the FINAL segment with a halving
+    cascade down to ``min_seg`` (same total, still powers of two).  Host
+    backends flush each segment's chain device->host overlapped with the
+    next segment's compute; the last flush has nothing to hide behind, so
+    shrinking the tail segment turns an unoverlappable full-segment
+    transfer into a ``min_seg``-step one."""
     plan = [seg] * (nsteps // seg)
     rem = nsteps % seg
     while rem:
         b = 1 << (rem.bit_length() - 1)
         plan.append(b)
         rem -= b
+    # only power-of-two segments taper exactly into power-of-two halves
+    # (keeping the jit cache bounded); non-pow2 segments (explicit sizes,
+    # short runs) stay whole
+    if taper and any(
+        v > min_seg and (v & (v - 1)) == 0 for v in plan
+    ):
+        # taper the last LARGE segment (a tiny pow2 remainder after it
+        # cannot hide a full-segment flush behind its compute)
+        i = max(
+            i
+            for i, v in enumerate(plan)
+            if v > min_seg and (v & (v - 1)) == 0
+        )
+        last = plan[i]
+        cascade = []
+        b = last // 2
+        while b > min_seg:
+            cascade.append(b)
+            b //= 2
+        cascade.append(b)
+        cascade.append(b)
+        plan[i : i + 1] = cascade
     return plan
 
 
@@ -1135,17 +1164,19 @@ class EnsembleSampler:
         #: mesh the ensemble state is sharded over (None = single device);
         #: detected from the concrete state at dispatch time
         self._sharding_mesh = None
-        # max stored iterations buffered on device per dispatch (a 512-step
-        # north-star segment is ~15 MB of packed snapshot in HBM; larger
-        # segments amortize per-dispatch and per-transfer fixed costs).
-        # Device-resident backends never ship the snapshot to the host, so
-        # they afford much longer segments — each dispatch round-trip costs
-        # ~0.1-0.3 s on a tunneled link (measured: 4096-step segments are
-        # ~11% faster end-to-end than 2048 on the north-star config; the
-        # packed 4096-step buffer is ~115 MB there, well inside the HBM
-        # budget).
+        # max stored iterations buffered on device per dispatch.  Larger
+        # segments amortize per-dispatch fixed costs; host backends flush
+        # each segment's chain overlapped with the next segment's compute
+        # (and the tapered tail keeps the final, unoverlappable flush at
+        # ~64 steps), so they also afford long segments (a 2048-step
+        # north-star segment is ~60 MB of packed snapshot).  Device-resident
+        # backends never ship the snapshot to the host at all — each
+        # dispatch round-trip costs ~0.1-0.3 s on a tunneled link
+        # (measured: 4096-step segments are ~11% faster end-to-end than
+        # 2048 on the north-star config; the packed 4096-step buffer is
+        # ~115 MB there, well inside the HBM budget).
         self._max_segment = (
-            4096 if getattr(self.backend, "device_resident", False) else 512
+            4096 if getattr(self.backend, "device_resident", False) else 2048
         )
         from .utils.profiling import SegmentTimer
 
@@ -1982,15 +2013,22 @@ class EnsembleSampler:
         )
         return carry, snaps, counters, extras, _t0
 
-    def _sync_bulk(self, carry, snaps, counters, nsteps, t0):
-        """Block on the dispatched segment and sync host mirrors.  ``snaps``
-        stays on device; device->host transfers are *started* here
-        (``copy_to_host_async``) so the flush overlaps the next dispatch."""
+    def _sync_bulk(self, carry, snaps, counters, nsteps, t0, block=True):
+        """Sync host mirrors after a dispatched segment.  ``snaps`` stays on
+        device; device->host transfers are *started* here
+        (``copy_to_host_async``) so the flush overlaps the next dispatch.
+
+        ``block=False`` skips the ``block_until_ready`` barrier entirely:
+        every host mirror below is a device value (futures chain into the
+        next dispatch), so hook-free segment boundaries cost ZERO device
+        round-trips — the caller records timing at its next real barrier."""
         import time as _time
 
         tc = self.temperature_control
-        jax.block_until_ready(carry[1].log_like)
-        self.timing.record(nsteps, _time.perf_counter() - t0)
+        if block:
+            jax.block_until_ready(carry[1].log_like)
+            if t0 is not None:
+                self.timing.record(nsteps, _time.perf_counter() - t0)
         (
             self._key,
             state,
@@ -2886,6 +2924,7 @@ class EnsembleSampler:
         the first segment boundary at or past its multiple.
         """
         import math
+        import time as time_mod
 
         if initial_state is None:
             if self._previous_state is None:
@@ -2977,8 +3016,19 @@ class EnsembleSampler:
 
         total = nsteps * thin_by
         i = 0
-        segment_plan = _segment_plan(int(nsteps), seg)
+        # hook-free boundaries never block, so the final flush of a host
+        # backend is the only transfer with no compute to hide behind —
+        # taper the tail so that flush is ~min_seg steps, not a full segment
+        taper = (
+            store
+            and not getattr(self.backend, "device_resident", False)
+            and not self._has_host_moves
+        )
+        segment_plan = _segment_plan(int(nsteps), seg, taper=taper)
         pending = None  # previous segment's snaps, not yet flushed
+        # zero-round-trip boundaries: timing is recorded per blocking window
+        anchor = time_mod.perf_counter()
+        steps_since_anchor = 0
         with get_progress_bar(progress, total) as pbar:
             while i < nsteps:
                 n = segment_plan.pop(0)
@@ -3002,15 +3052,34 @@ class EnsembleSampler:
                     if pending is not None:
                         self._save_snaps(pending)
                         pending = None
-                    state = self._sync_bulk(
-                        carry, snaps, counters, n * thin_by, t0
+                    i0, i = i, i + n
+                    # block only when host code at this boundary actually
+                    # reads results (tuners / user hooks); otherwise the
+                    # carry chains into the next dispatch as device futures
+                    hook_now = (
+                        bool(tuned_moves)
+                        or plot_fires(i0, i)
+                        or stop_fires(i0, i)
+                        or update_fires(i0, i)
                     )
+                    state = self._sync_bulk(
+                        carry, snaps, counters, n * thin_by, None,
+                        block=hook_now,
+                    )
+                    steps_since_anchor += n * thin_by
+                    if hook_now:
+                        # run_mcmc owns timing: one record per blocking
+                        # window (unblocked segments have no barrier of
+                        # their own to time against)
+                        now = time_mod.perf_counter()
+                        self.timing.record(steps_since_anchor, now - anchor)
+                        anchor = now
+                        steps_since_anchor = 0
                     if snaps is not None and getattr(
                         self.backend, "device_resident", False
                     ):
                         snaps = dict(snaps)
                         snaps["__extras__"] = extras
-                    i0, i = i, i + n
                     if store:
                         if (
                             plot_fires(i0, i)
@@ -3044,7 +3113,11 @@ class EnsembleSampler:
         if pending is not None:
             self._save_snaps(pending)
 
-        self._materialize_counters()
+        self._materialize_counters()  # final barrier: drains the queue
+        if steps_since_anchor > 0:
+            self.timing.record(
+                steps_since_anchor, time_mod.perf_counter() - anchor
+            )
         self._finalize_kernel_states(state, store)
         self._previous_state = state
         return state
