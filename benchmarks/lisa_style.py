@@ -136,30 +136,51 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--nsteps", type=int, default=500)
+    ap.add_argument(
+        "--npts",
+        type=int,
+        nargs="*",
+        default=None,
+        help="template lengths to sweep (default: 8192 16384 32768 on TPU)",
+    )
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        npts, nlmax, ntemps, nwalkers = 2048, 4, 4, 50
+        npts_list = args.npts or [2048]
+        nlmax, ntemps, nwalkers = 4, 4, 50
     else:
-        npts, nlmax, ntemps, nwalkers = 8192, 8, 10, 200
+        npts_list = args.npts or [8192, 16384, 32768]
+        nlmax, ntemps, nwalkers = 8, 10, 200
 
-    res = run_config(args.nsteps, npts, nlmax, ntemps, nwalkers)
-    print(json.dumps(res))
+    null_sps = None
+    for npts in npts_list:
+        res = run_config(
+            args.nsteps, npts, nlmax, ntemps, nwalkers, null_sps=null_sps
+        )
+        null_sps = res["null_likelihood_steps_per_sec"]
+        print(json.dumps(res), flush=True)
 
 
-def run_config(nsteps, npts=8192, nlmax=8, ntemps=10, nwalkers=200):
-    """Run the benchmark; importable by bench.py (returns the result dict)."""
+def run_config(
+    nsteps, npts=8192, nlmax=8, ntemps=10, nwalkers=200, null_sps=None
+):
+    """Run the benchmark; importable by bench.py (returns the result dict).
+
+    ``null_sps`` (steps/s with the trivial likelihood on the identical
+    sampler config) does not depend on ``npts`` — pass a previous config's
+    value to skip re-measuring it in a template-length sweep."""
     import jax
 
     heavy, state_h, _ = build(npts, nlmax, ntemps, nwalkers, heavy=True)
     flops_eval = likelihood_flops(heavy, state_h)
     heavy_sps, _ = timed_run(heavy, state_h, nsteps)
 
-    null, state_n, _ = build(npts, nlmax, ntemps, nwalkers, heavy=False)
-    null_sps, _ = timed_run(null, state_n, nsteps)
+    if null_sps is None:
+        null, state_n, _ = build(npts, nlmax, ntemps, nwalkers, heavy=False)
+        null_sps, _ = timed_run(null, state_n, nsteps)
 
     # default schedule: one in-model stretch (two half-ensemble evals = one
     # full) + one RJ proposal (one full) per step
@@ -174,7 +195,7 @@ def run_config(nsteps, npts=8192, nlmax=8, ntemps=10, nwalkers=200):
         "nwalkers": nwalkers,
         "nsteps": nsteps,
         "steps_per_sec": round(heavy_sps, 2),
-        "null_likelihood_steps_per_sec": round(null_sps, 2),
+        "null_likelihood_steps_per_sec": round(float(null_sps), 2),
         "sampler_overhead_fraction": round(overhead_frac, 4),
         "likelihood_fraction": round(1.0 - overhead_frac, 4),
         "likelihood_flops_per_eval": flops_eval,

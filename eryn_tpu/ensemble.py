@@ -1170,14 +1170,23 @@ class EnsembleSampler:
         # (and the tapered tail keeps the final, unoverlappable flush at
         # ~64 steps), so they also afford long segments (a 2048-step
         # north-star segment is ~60 MB of packed snapshot).  Device-resident
-        # backends never ship the snapshot to the host at all — each
-        # dispatch round-trip costs ~0.1-0.3 s on a tunneled link
-        # (measured: 4096-step segments are ~11% faster end-to-end than
-        # 2048 on the north-star config; the packed 4096-step buffer is
-        # ~115 MB there, well inside the HBM budget).
-        self._max_segment = (
-            4096 if getattr(self.backend, "device_resident", False) else 2048
-        )
+        # backends never ship the snapshot to the host at all, so their
+        # segment length is sized to a ~256 MB packed buffer (pow2-floored,
+        # clamped to [1024, 8192]): small ensembles get single-dispatch
+        # 8192-step segments, LISA-scale ensembles stay within HBM.
+        if getattr(self.backend, "device_resident", False):
+            itemsize = np.dtype(self.dtype).itemsize
+            bytes_per_step = 0
+            for n in self.branch_names:
+                nt_, nw_, nl_, nd_ = self.shape[n]
+                bytes_per_step += nt_ * nw_ * nl_ * nd_ * itemsize  # coords
+                bytes_per_step += nt_ * nw_ * nl_  # u8 inds
+            # log_like, log_prior, accepted (+swaps u8, betas — minor)
+            bytes_per_step += 3 * self.ntemps * self.nwalkers * itemsize
+            cap = max(1, int((256 << 20) // max(bytes_per_step, 1)))
+            self._max_segment = min(8192, max(1024, 1 << (cap.bit_length() - 1)))
+        else:
+            self._max_segment = 2048
         from .utils.profiling import SegmentTimer
 
         #: per-segment wall-time / throughput instrumentation
@@ -2705,7 +2714,10 @@ class EnsembleSampler:
             if betas is None:
                 betas = jnp.asarray(self.temperature_control.betas, dtype=self.dtype)
             else:
-                self.temperature_control.betas = np.asarray(betas)
+                # store as-is (device values stay device values — a resume
+                # from our own run must not cost a blocking fetch; host
+                # consumers of tc.betas coerce lazily, as after _sync_bulk)
+                self.temperature_control.betas = betas
                 betas = jnp.asarray(betas, dtype=self.dtype)
         else:
             betas = jnp.ones((1,), dtype=self.dtype)
@@ -2768,23 +2780,43 @@ class EnsembleSampler:
                     self.ntemps, self.nwalkers
                 )
 
-        if not skip_initial_state_check:
-            ll = np.asarray(log_like)
-            lp = np.asarray(log_prior)
+        # every host materialization below rides ONE batched transfer: on a
+        # tunneled link each separate blocking fetch costs a ~0.03-0.1 s
+        # round-trip, and a resume (run_mcmc(None, ...)) hits this path on
+        # every call
+        check = (
+            None
+            if skip_initial_state_check
+            else (log_like, log_prior)
+        )
+        # masks are constant without RJ: one host copy per run rebuilds
+        # the stored-chain inds at flush time (no per-segment snapshot)
+        inds_fetch = None if self._inds_change else inds
+        if check is not None or inds_fetch is not None:
+            if any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree_util.tree_leaves((check, inds_fetch))
+            ):
+                # traced setup (ParaEnsembleSampler vmaps _setup_state);
+                # para skips the state check and rebuilds masks from its
+                # own state at flush time
+                check, inds_fetch = None, None
+            else:
+                check, inds_fetch = jax.device_get((check, inds_fetch))
+
+        if check is not None:
+            ll, lp = np.asarray(check[0]), np.asarray(check[1])
             if np.any(np.isnan(ll)):
                 raise ValueError("The initial log_like was NaN.")
             if np.any(np.isnan(lp)) or np.all(np.isinf(lp)):
                 raise ValueError("The initial log_prior was NaN or all -inf.")
 
         if not self._inds_change:
-            # masks are constant without RJ: one host copy per run rebuilds
-            # the stored-chain inds at flush time (no per-segment snapshot)
-            try:
-                self._static_inds = {n: np.asarray(inds[n]) for n in inds}
-            except Exception:
-                # traced setup (ParaEnsembleSampler vmaps _setup_state);
-                # para rebuilds masks from its own state at flush time
-                self._static_inds = None
+            self._static_inds = (
+                None
+                if inds_fetch is None
+                else {n: np.asarray(v) for n, v in inds_fetch.items()}
+            )
 
         # host-side object supplementals (ref state.py:84-96): registered
         # here, then reordered by the composed temperature-swap permutation

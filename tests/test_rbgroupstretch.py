@@ -211,3 +211,66 @@ def test_gibbs_param_masks(priors):
     chain = ens.get_chain()["model_0"][:, 0].reshape(-1, NDIM)
     assert np.abs(chain.mean(axis=0)).max() < 0.25
     assert np.abs(np.cov(chain.T) - _COV).max() < 0.5
+
+
+def test_onehot_selection_matches_gather_fallback():
+    """The MXU one-hot complement selection and the memory-lean
+    searchsorted+gather fallback must produce identical proposals for the
+    same key (the selected complement entry is the same (k+1)-th active
+    leaf either way), including under partially-empty complements and
+    NaN-filled dormant slots (which the one-hot matmul must zero out, not
+    propagate)."""
+    import jax
+
+    from eryn_tpu.moves import rbgroupstretch
+
+    rng = np.random.default_rng(3)
+    nt, ns, nc, nl, nd = 3, 5, 6, 4, 2
+    s_coords = {"m": jnp.asarray(rng.normal(size=(nt, ns, nl, nd)), jnp.float32)}
+    c = rng.normal(size=(nt, nc, nl, nd)).astype(np.float32)
+    ci = rng.random((nt, nc, nl)) < 0.4
+    ci[1] = False  # one temp with an EMPTY active complement
+    c[~ci] = np.nan  # dormant slots hold NaN (worst-case user state)
+    c_coords = {"m": jnp.asarray(c)}
+    c_inds = {"m": jnp.asarray(ci)}
+    s_inds = {"m": jnp.asarray(rng.random((nt, ns, nl)) < 0.7)}
+
+    mv = RedBlueGroupStretchMove()
+    key = jax.random.key(11)
+    q1, f1 = mv.get_proposal_kernel(
+        key, s_coords, c_coords, s_inds, None, c_inds=c_inds
+    )
+    old_limit = rbgroupstretch._ONEHOT_BYTES_LIMIT
+    try:
+        rbgroupstretch._ONEHOT_BYTES_LIMIT = 0  # force the gather fallback
+        q2, f2 = mv.get_proposal_kernel(
+            key, s_coords, c_coords, s_inds, None, c_inds=c_inds
+        )
+    finally:
+        rbgroupstretch._ONEHOT_BYTES_LIMIT = old_limit
+
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(q1["m"]), np.asarray(q2["m"]))
+    # active proposals moved and are finite where the complement is nonempty
+    moved = np.asarray(s_inds["m"])[0]
+    assert np.isfinite(np.asarray(q1["m"])[0][moved]).all()
+
+
+def test_segment_plan_taper():
+    """Tapered plans preserve the step total, keep every size a power of
+    two when the tapered segment is one, and shrink the tail segment (the
+    only flush with no compute to hide behind) to <= 2*min_seg."""
+    from eryn_tpu.ensemble import _segment_plan
+
+    plan = _segment_plan(8192, 2048, taper=True)
+    assert sum(plan) == 8192
+    assert plan[-1] <= 128 and all(v & (v - 1) == 0 for v in plan)
+    # non-pow2 segments don't taper (each new length is a fresh compile)
+    assert _segment_plan(500, 500, taper=True) == [500]
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        n = int(rng.integers(1, 10000))
+        seg = int(rng.integers(1, 4096))
+        for t in (False, True):
+            p = _segment_plan(n, seg, taper=t)
+            assert sum(p) == n and all(x > 0 for x in p)
