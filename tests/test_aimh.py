@@ -223,3 +223,29 @@ def test_aimh_rj_guard_branch_aware(priors):
             NWALKERS, {"fixed": NDIM, "var": NDIM}, ll, two_priors,
             moves=[CombineMove([StretchMove(), AIMHMove()])], **common,
         )
+
+
+def test_chisquare_decomposition():
+    """The integer-df chi-square sampler (-2 sum log U + Z^2 for odd df;
+    replaces jax.random.chisquare, whose gamma rejection loop serializes on
+    TPU — measured 6.5 ms/step vs 83 us for the whole rest of the move)
+    must be distributionally exact for odd, even, and small df."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import stats
+
+    from eryn_tpu.moves import AIMHMove
+
+    for i, df in enumerate([3, 4, 10, 11]):
+        mv = AIMHMove(df=df)
+        u = np.asarray(
+            mv._chisquare(jax.random.key(100 + i), (120000,), jnp.float32)
+        )
+        assert np.all(u > 0)
+        ks = stats.kstest(u, "chi2", args=(df,))
+        assert ks.pvalue > 1e-3, (df, ks)
+    # non-integer df falls back to the library sampler
+    mv = AIMHMove(df=4.5)
+    u = np.asarray(mv._chisquare(jax.random.key(7), (20000,), jnp.float32))
+    ks = stats.kstest(u, "chi2", args=(4.5,))
+    assert ks.pvalue > 1e-3, ks
