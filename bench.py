@@ -299,10 +299,13 @@ def bench_tpu_config_e():
 
 
 def bench_lisa_style():
-    """Compute-bound LISA-style configs (benchmarks/lisa_style.py): 8192-pt
-    and 32768-pt templates, 8-leaf RJ, 10x200 PT — reports achieved FLOP/s,
-    MFU vs the v5e bf16 peak, and the likelihood/sampler-overhead split
-    (the null-likelihood rate is npts-independent and measured once)."""
+    """Compute-bound configs: LISA-style transcendental templates
+    (benchmarks/lisa_style.py; 8192-pt and 32768-pt, 8-leaf RJ, 10x200 PT)
+    plus the MXU-bound matched-filter bank projection
+    (benchmarks/mxu_matched_filter.py; bf16 (2000, 8192) @ (8192, 2048)).
+    Reports achieved FLOP/s, MFU vs the v5e bf16 peak, and the
+    likelihood/sampler-overhead split (the LISA null-likelihood rate is
+    npts-independent and measured once)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -319,7 +322,19 @@ def bench_lisa_style():
     r32k = mod.run_config(
         300, npts=32768, null_sps=r8k["null_likelihood_steps_per_sec"]
     )
-    return r8k, r32k
+
+    spec2 = importlib.util.spec_from_file_location(
+        "mxu_matched_filter",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks",
+            "mxu_matched_filter.py",
+        ),
+    )
+    mxu = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mxu)
+    rmxu = mxu.run_config(300)
+    return r8k, r32k, rmxu
 
 
 def _import_reference():
@@ -548,7 +563,7 @@ def main():
     if FORCE_CPU:
         # the 20x1000 stress config is not meaningful on one vCPU
         e_sps, e_wsps = None, None
-        lisa, lisa32 = None, None
+        lisa, lisa32, mxu = None, None, None
     else:
         try:
             e_sps, e_wsps = bench_tpu_config_e()
@@ -557,9 +572,9 @@ def main():
             # one-parseable-line contract for strict consumers
             e_sps, e_wsps = None, None
         try:
-            lisa, lisa32 = bench_lisa_style()
+            lisa, lisa32, mxu = bench_lisa_style()
         except Exception:
-            lisa, lisa32 = None, None
+            lisa, lisa32, mxu = None, None, None
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
     print(
@@ -625,6 +640,20 @@ def main():
                         None
                         if lisa32 is None
                         else lisa32["sampler_overhead_fraction"]
+                    ),
+                    # matmul-shaped likelihood (matched-filter bank
+                    # projection, bf16 on the MXU): the framework's MFU
+                    # ceiling when the likelihood is MXU work
+                    "mxu_matched_filter_mfu": (
+                        None if mxu is None else mxu["mfu_vs_v5e_bf16_peak"]
+                    ),
+                    "mxu_matched_filter_steps_per_sec": (
+                        None if mxu is None else mxu["steps_per_sec"]
+                    ),
+                    "mxu_matched_filter_tflops": (
+                        None
+                        if mxu is None
+                        else round(mxu["achieved_flops_per_sec"] / 1e12, 1)
                     ),
                     "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
                     "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
