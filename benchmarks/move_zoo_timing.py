@@ -42,6 +42,7 @@ def build_moves():
         HMCMove,
         KDEMove,
         MALAMove,
+        MTDistGenMove,
         RedBlueGroupStretchMove,
         SliceMove,
         StretchMove,
@@ -54,6 +55,9 @@ def build_moves():
     )
     cov = {"model_0": np.diag(np.full(NDIM, 0.5**2))}
     return {
+        "MTDistGenMove(8 tries)": MTDistGenMove(
+            {"model_0": dist}, num_try=8, independent=True
+        ),
         "StretchMove(pallas)": StretchMove(),
         "StretchMove(xla)": StretchMove(use_pallas=False),
         "RedBlueGroupStretchMove": RedBlueGroupStretchMove(),
@@ -110,14 +114,15 @@ def time_move(name, move, nsteps):
     return nsteps / best
 
 
-def time_rj(nsteps):
-    """Default RJ (DistributionGenerateRJ via rj_moves=True) + the
-    RJ-recommended in-model move, on a 4-leaf branch."""
+def time_rj(nsteps, mt=False):
+    """RJ timing: default DistributionGenerateRJ (``rj_moves=True``) or the
+    multiple-try RJ kernel, + the RJ-recommended in-model move, on a
+    4-leaf branch."""
     import jax
     import jax.numpy as jnp
 
     from eryn_tpu import EnsembleSampler, ProbDistContainer, State, uniform_dist
-    from eryn_tpu.moves import RedBlueGroupStretchMove
+    from eryn_tpu.moves import MTDistGenMoveRJ, RedBlueGroupStretchMove
 
     def ll(coords, inds):
         return -0.5 * jnp.sum(jnp.where(inds[:, None], coords, 0.0) ** 2)
@@ -125,6 +130,16 @@ def time_rj(nsteps):
     pr = ProbDistContainer(
         {i: uniform_dist(-5.0, 5.0) for i in range(NDIM)}
     )
+    rj = True
+    if mt:
+        rj = [
+            MTDistGenMoveRJ(
+                {"model_0": pr},
+                nleaves_max={"model_0": NLMAX},
+                nleaves_min={"model_0": 0},
+                num_try=8,
+            )
+        ]
     s = EnsembleSampler(
         NWALKERS,
         NDIM,
@@ -133,7 +148,7 @@ def time_rj(nsteps):
         nleaves_max=NLMAX,
         nleaves_min=0,
         moves=RedBlueGroupStretchMove(),
-        rj_moves=True,
+        rj_moves=rj,
         tempering_kwargs=dict(ntemps=NTEMPS),
         seed=11,
     )
@@ -174,16 +189,19 @@ def main():
             )
         except Exception as e:  # pragma: no cover - reporting only
             print(f"{name:32s} FAILED: {type(e).__name__}: {e}", flush=True)
-    try:
-        sps = time_rj(nsteps)
-        results["RJ(distgenRJ+RBGS, 4 leaves)"] = sps
-        print(
-            f"{'RJ(distgenRJ+RBGS, 4 leaves)':32s} {sps:10.0f} steps/s  "
-            f"({1e6 / sps:8.1f} us/step)",
-            flush=True,
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"RJ config FAILED: {type(e).__name__}: {e}", flush=True)
+    for tag, mt in [
+        ("RJ(distgenRJ+RBGS, 4 leaves)", False),
+        ("RJ(MT x8 +RBGS, 4 leaves)", True),
+    ]:
+        try:
+            sps = time_rj(nsteps, mt=mt)
+            results[tag] = sps
+            print(
+                f"{tag:32s} {sps:10.0f} steps/s  ({1e6 / sps:8.1f} us/step)",
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"{tag} FAILED: {type(e).__name__}: {e}", flush=True)
 
     order = sorted(results.items(), key=lambda kv: kv[1])
     print("\nslowest-first:")
