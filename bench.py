@@ -33,6 +33,16 @@ FALLBACK_REF = {
     "rj_steps_per_sec": 6.0,
 }
 
+# Calibrated reference constant: the shared single-vCPU host makes the live
+# reference measurement swing +-40% with zero code change (r3: 73.9, r4:
+# 102.1, r1/r2: ~74-118 steps/s).  ``vs_ref_cal`` is computed against this
+# pinned median so the cross-round ratio moves only when OUR code moves;
+# the live (median-of-windows, load-annotated) measurement is still taken
+# and reported alongside as ``ref_steps_per_sec`` / ``vs_baseline``.
+REF_CAL_STEPS_PER_SEC = 100.0
+REF_CAL_ESS_PER_SEC = 5500.0
+REF_CAL_RJ_STEPS_PER_SEC = 20.0
+
 NDIM = 5
 NWALKERS = 100
 NTEMPS = 10
@@ -349,7 +359,12 @@ def _import_reference():
 
 def bench_reference_cpu():
     """Time the reference CPU Eryn live on the same configs (pure NumPy —
-    independent of the JAX platform)."""
+    independent of the JAX platform).
+
+    The host is a shared single vCPU: one long window swings +-40% between
+    rounds with zero code change (VERDICT r4 weak #2).  Protocol: take the
+    MEDIAN steps/s over >=3 short windows and record the 1-minute load
+    average alongside, so a loaded host is visible in the artifact."""
     try:
         import numpy as np
 
@@ -372,17 +387,31 @@ def bench_reference_cpu():
         )
         coords = priors.rvs(size=(NTEMPS, NWALKERS))
         ens.run_mcmc(coords, 10, burn=5)  # warmup
-        nsteps = 100
-        t0 = time.perf_counter()
-        ens.run_mcmc(None, nsteps)
+        window = 60
+        nwindows = 3
+        rates, elapsed_total = [], 0.0
+        for _ in range(nwindows):
+            t0 = time.perf_counter()
+            ens.run_mcmc(None, window)
+            dt = time.perf_counter() - t0
+            rates.append(window / dt)
+            elapsed_total += dt
         out = dict(FALLBACK_REF)
-        elapsed = time.perf_counter() - t0
-        out["steps_per_sec"] = nsteps / elapsed
+        out["steps_per_sec"] = float(np.median(rates))
+        out["steps_per_sec_windows"] = [round(r, 1) for r in rates]
         out["stored_steps_per_sec"] = out["steps_per_sec"]
+        try:
+            out["load1"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            out["load1"] = None
 
-        # reference ESS/s on its own stored chain, same IACT estimator
+        # reference ESS/s on its own stored chain, same IACT estimator;
+        # use the median rate (not this run's wall time) for the divisor
+        nsteps = window * nwindows
         chain_cold = np.asarray(ens.get_chain()["model_0"][-nsteps:, 0])
-        ess_rate, _ = _ess_per_sec(chain_cold, nsteps, elapsed)
+        ess_rate, _ = _ess_per_sec(
+            chain_cold, nsteps, nsteps / out["steps_per_sec"]
+        )
         out["ess_per_sec"] = ess_rate
         return out
     except Exception:
@@ -437,9 +466,13 @@ def bench_reference_cpu_rj():
         state = RefState({"model_0": coords}, inds={"model_0": inds})
         ens.run_mcmc(state, 5)  # warmup
         nsteps = 20
-        t0 = time.perf_counter()
-        ens.run_mcmc(None, nsteps)
-        return nsteps / (time.perf_counter() - t0)
+        rates = []
+        for _ in range(3):  # median of 3 windows (shared-host load guard)
+            t0 = time.perf_counter()
+            ens.run_mcmc(None, nsteps)
+            rates.append(nsteps / (time.perf_counter() - t0))
+        rates.sort()
+        return rates[1]
     except Exception:
         return FALLBACK_REF["rj_steps_per_sec"]
 
@@ -455,6 +488,33 @@ def _tpu_unavailable(text):
         "DEADLINE_EXCEEDED",
     )
     return any(n in text for n in needles)
+
+
+def _relay(proc):
+    """Relay a successful child run so the summary JSON line is the ABSOLUTE
+    LAST bytes of combined output.
+
+    The driver records only the final ~2,000 chars of combined stdout+stderr
+    and parses the last line as JSON.  Round 4's artifact was unparseable
+    because the child's stderr (jax platform warnings, move advisories) was
+    relayed AFTER the JSON line, pushing its head out of the tail window.
+    Order here is load-bearing: stderr first, flush, JSON line last, flush."""
+    sys.stderr.write(proc.stderr[-1200:])
+    sys.stderr.flush()
+    # relay every child stdout line; the final (JSON summary) line last
+    lines = proc.stdout.strip().splitlines()
+    for line in lines[:-1]:
+        sys.stderr.write(line + "\n")
+    sys.stderr.flush()
+    summary = lines[-1]
+    if len(summary) > 1800:
+        sys.stderr.write(
+            "[bench supervisor] WARNING: summary line is "
+            f"{len(summary)} chars (> 1800) — driver tail window is 2000\n"
+        )
+        sys.stderr.flush()
+    print(summary, flush=True)
+    return 0
 
 
 def _supervise():
@@ -499,10 +559,7 @@ def _supervise():
             continue
         last = proc
         if proc.returncode == 0 and proc.stdout.strip():
-            # relay ONLY the child's final JSON line
-            print(proc.stdout.strip().splitlines()[-1])
-            sys.stderr.write(proc.stderr[-2000:])
-            return 0
+            return _relay(proc)
         err_text = (proc.stderr or "") + (proc.stdout or "")
         sys.stderr.write(
             f"[bench supervisor] attempt {i + 1} failed "
@@ -531,9 +588,7 @@ def _supervise():
         except subprocess.TimeoutExpired:
             proc = None
         if proc is not None and proc.returncode == 0 and proc.stdout.strip():
-            print(proc.stdout.strip().splitlines()[-1])
-            sys.stderr.write(proc.stderr[-2000:])
-            return 0
+            return _relay(proc)
         if proc is not None:
             last = proc
     if last is not None:
@@ -577,96 +632,111 @@ def main():
             lisa, lisa32, mxu = None, None, None
     ref = bench_reference_cpu()
     ref_rj = bench_reference_cpu_rj()
-    print(
-        json.dumps(
-            {
-                "metric": "pt_ensemble_steps_per_sec_nt10_nw100_d5",
-                "value": round(store_false, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(store_false / ref["steps_per_sec"], 2),
-                "extra": {
-                    "stored_steps_per_sec": round(stored_sps, 1),
-                    "stored_vs_ref": round(
-                        stored_sps / ref["stored_steps_per_sec"], 2
-                    ),
-                    "ess_per_sec": round(ess_rate, 1),
-                    "ess_vs_ref": round(ess_rate / ref["ess_per_sec"], 2),
-                    "device_backend_steps_per_sec": round(dev_sps, 1),
-                    "device_backend_ess_per_sec": round(dev_ess_rate, 1),
-                    "device_backend_ess_vs_ref": round(
-                        dev_ess_rate / ref["ess_per_sec"], 2
-                    ),
-                    "default_backend_type": default_backend_type,
-                    "device_iact_seconds": round(dev_iact_s, 3),
-                    "device_cold_chain_tau": round(dev_tau, 2),
-                    "cold_chain_tau": round(tau, 2),
-                    "rj_pulse128_steps_per_sec": round(rj_sps, 1),
-                    "rj_pulse128_vs_ref": round(rj_sps / ref_rj, 2),
-                    "config_e_steps_per_sec": (
-                        None if e_sps is None else round(e_sps, 1)
-                    ),
-                    "config_e_walker_steps_per_sec": (
-                        None if e_wsps is None else round(e_wsps, 0)
-                    ),
-                    # mfu: the heavier (32768-pt) compute-bound config —
-                    # the regime where the likelihood dominates the step
-                    "mfu": (
-                        None
-                        if lisa32 is None
-                        else lisa32["mfu_vs_v5e_bf16_peak"]
-                    ),
-                    "lisa8192_steps_per_sec": (
-                        None if lisa is None else lisa["steps_per_sec"]
-                    ),
-                    "lisa8192_achieved_gflops": (
-                        None
-                        if lisa is None
-                        else round(lisa["achieved_flops_per_sec"] / 1e9, 1)
-                    ),
-                    "lisa8192_sampler_overhead_fraction": (
-                        None
-                        if lisa is None
-                        else lisa["sampler_overhead_fraction"]
-                    ),
-                    "lisa32768_steps_per_sec": (
-                        None if lisa32 is None else lisa32["steps_per_sec"]
-                    ),
-                    "lisa32768_achieved_gflops": (
-                        None
-                        if lisa32 is None
-                        else round(lisa32["achieved_flops_per_sec"] / 1e9, 1)
-                    ),
-                    "lisa32768_sampler_overhead_fraction": (
-                        None
-                        if lisa32 is None
-                        else lisa32["sampler_overhead_fraction"]
-                    ),
-                    # matmul-shaped likelihood (matched-filter bank
-                    # projection, bf16 on the MXU): the framework's MFU
-                    # ceiling when the likelihood is MXU work
-                    "mxu_matched_filter_mfu": (
-                        None if mxu is None else mxu["mfu_vs_v5e_bf16_peak"]
-                    ),
-                    "mxu_matched_filter_steps_per_sec": (
-                        None if mxu is None else mxu["steps_per_sec"]
-                    ),
-                    "mxu_matched_filter_tflops": (
-                        None
-                        if mxu is None
-                        else round(mxu["achieved_flops_per_sec"] / 1e12, 1)
-                    ),
-                    "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
-                    "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
-                    "ref_rj_steps_per_sec": round(ref_rj, 2),
-                    **(
-                        {"degraded": "tpu_unavailable_cpu_fallback"}
-                        if FORCE_CPU
-                        else {}
-                    ),
-                },
-            }
-        )
-    )
+
+    # Secondary/diagnostic metrics: full detail as ONE stderr line (kept in
+    # the driver log, never in the parsed tail).  The stdout summary below
+    # stays compact so the JSON line + any unavoidable trailing bytes fit
+    # the driver's 2,000-char tail window (VERDICT r4 weak #1).
+    detail = {
+        "device_iact_seconds": round(dev_iact_s, 3),
+        "device_cold_chain_tau": round(dev_tau, 2),
+        "cold_chain_tau": round(tau, 2),
+        "default_backend_type": default_backend_type,
+        "device_backend_ess_per_sec": round(dev_ess_rate, 1),
+        "config_e_walker_steps_per_sec": (
+            None if e_wsps is None else round(e_wsps, 0)
+        ),
+        "lisa8192_steps_per_sec": (
+            None if lisa is None else lisa["steps_per_sec"]
+        ),
+        "lisa8192_achieved_gflops": (
+            None
+            if lisa is None
+            else round(lisa["achieved_flops_per_sec"] / 1e9, 1)
+        ),
+        "lisa32768_steps_per_sec": (
+            None if lisa32 is None else lisa32["steps_per_sec"]
+        ),
+        "lisa32768_achieved_gflops": (
+            None
+            if lisa32 is None
+            else round(lisa32["achieved_flops_per_sec"] / 1e9, 1)
+        ),
+        "mxu_matched_filter_steps_per_sec": (
+            None if mxu is None else mxu["steps_per_sec"]
+        ),
+        "ref_steps_per_sec_windows": ref.get("steps_per_sec_windows"),
+        "ref_ess_per_sec": round(ref["ess_per_sec"], 1),
+        "ref_rj_steps_per_sec": round(ref_rj, 2),
+        "ref_cal_steps_per_sec": REF_CAL_STEPS_PER_SEC,
+    }
+    sys.stderr.write("[bench detail] " + json.dumps(detail) + "\n")
+    sys.stderr.flush()
+
+    summary = {
+        "metric": "pt_ensemble_steps_per_sec_nt10_nw100_d5",
+        "value": round(store_false, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(store_false / ref["steps_per_sec"], 2),
+        "extra": {
+            # vs_ref_cal: ratio against the pinned calibrated reference
+            # constant — moves only when OUR code moves (shared-host load
+            # makes the live ratio swing +-40%; see REF_CAL_*)
+            "vs_ref_cal": round(store_false / REF_CAL_STEPS_PER_SEC, 1),
+            "stored_steps_per_sec": round(stored_sps, 1),
+            "stored_vs_ref": round(
+                stored_sps / ref["stored_steps_per_sec"], 2
+            ),
+            "ess_per_sec": round(ess_rate, 1),
+            "ess_vs_ref": round(ess_rate / ref["ess_per_sec"], 2),
+            "ess_vs_ref_cal": round(ess_rate / REF_CAL_ESS_PER_SEC, 1),
+            "device_backend_steps_per_sec": round(dev_sps, 1),
+            "device_backend_ess_vs_ref": round(
+                dev_ess_rate / ref["ess_per_sec"], 2
+            ),
+            "rj_pulse128_steps_per_sec": round(rj_sps, 1),
+            "rj_pulse128_vs_ref": round(rj_sps / ref_rj, 2),
+            "rj_vs_ref_cal": round(rj_sps / REF_CAL_RJ_STEPS_PER_SEC, 1),
+            "config_e_steps_per_sec": (
+                None if e_sps is None else round(e_sps, 1)
+            ),
+            # mfu: the heavier (32768-pt) compute-bound config — the
+            # regime where the likelihood dominates the step
+            "mfu": (
+                None if lisa32 is None else lisa32["mfu_vs_v5e_bf16_peak"]
+            ),
+            "lisa8192_overhead_frac": (
+                None if lisa is None else lisa["sampler_overhead_fraction"]
+            ),
+            "lisa32768_overhead_frac": (
+                None
+                if lisa32 is None
+                else lisa32["sampler_overhead_fraction"]
+            ),
+            # matmul-shaped likelihood (matched-filter bank projection,
+            # bf16 on the MXU): the framework's MFU ceiling when the
+            # likelihood is MXU work
+            "mxu_mfu": (
+                None if mxu is None else mxu["mfu_vs_v5e_bf16_peak"]
+            ),
+            "mxu_tflops": (
+                None
+                if mxu is None
+                else round(mxu["achieved_flops_per_sec"] / 1e12, 1)
+            ),
+            "ref_steps_per_sec": round(ref["steps_per_sec"], 1),
+            "ref_load1": ref.get("load1"),
+            **(
+                {"degraded": "tpu_unavailable_cpu_fallback"}
+                if FORCE_CPU
+                else {}
+            ),
+        },
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line too long: {len(line)} chars"
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,54 @@ def test_failed_cpu_fallback_still_fails_loudly(bench, monkeypatch, capsys):
     assert capsys.readouterr().out.strip() == ""
 
 
+def test_relay_puts_json_line_last_within_driver_tail_window(
+    bench, monkeypatch, capsys
+):
+    """Round-4 regression (BENCH_r04.json parsed: null): the child's stderr
+    (jax platform warnings, move advisories) was relayed AFTER the JSON
+    summary, pushing its head out of the driver's 2,000-char tail window.
+
+    Contract: on a successful child run the summary JSON must be the LAST
+    bytes of combined output — stderr noise flushed first — and short
+    enough that ``tail -c 2000`` of the merged stream still contains the
+    whole line."""
+    summary = json.dumps(
+        {
+            "metric": "m",
+            "value": 22442.8,
+            "unit": "steps/s",
+            "vs_baseline": 219.79,
+            "extra": {"stored_steps_per_sec": 20017.2, "mfu": 0.61},
+        }
+    )
+    noisy_stdout = "some progress line\n" + summary + "\n"
+    noisy_stderr = (
+        "WARNING: Platform 'axon' is experimental\n"
+        + "UserWarning: StretchMove under RJ is not advised\n" * 40
+    )
+
+    def fake_run(argv, env=None, **kwargs):
+        return subprocess.CompletedProcess(
+            argv, 0, noisy_stdout, noisy_stderr
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda *_: None)
+    assert bench._supervise() == 0
+
+    captured = capsys.readouterr()
+    # stdout carries ONLY the summary line
+    assert captured.out.strip() == summary
+    # progress lines + child stderr were rerouted to stderr (before stdout)
+    assert "some progress line" in captured.err
+    # driver simulation: stderr is written and flushed before the stdout
+    # print, so a merged capture sees err-then-out; the summary must
+    # survive a 2,000-char tail of that merged stream
+    merged = captured.err + captured.out
+    tail = merged[-2000:]
+    assert json.loads(tail.strip().splitlines()[-1])["value"] == 22442.8
+
+
 def test_wedged_tunnel_budget_still_reaches_cpu_fallback(
     bench, monkeypatch, capsys
 ):
