@@ -302,10 +302,17 @@ class HDFBackend(Backend):
 
     @property
     def random_state(self):
+        # the attr deliberately does NOT start with ``random_state_``: the
+        # reference's random_state property collects every attr with that
+        # prefix into a Mersenne state tuple (ref hdfbackend.py:636-644),
+        # so a JAX key stored under such a name would crash a reference
+        # sampler resuming one of our files ("prng_state_key" is invisible
+        # to that scan; reference falls back to fresh numpy entropy)
         with self.open() as f:
             g = f[self.name]
-            if "random_state_key" in g.attrs:
-                return np.asarray(g.attrs["random_state_key"])
+            for attr in ("prng_state_key", "random_state_key"):  # new, legacy
+                if attr in g.attrs:
+                    return np.asarray(g.attrs[attr])
             return None
 
     def has_blobs(self):
@@ -421,7 +428,7 @@ class HDFBackend(Backend):
                             val
                         )
             if random_state is not None:
-                g.attrs["random_state_key"] = np.asarray(random_state)
+                g.attrs["prng_state_key"] = np.asarray(random_state)
             g.attrs["iteration"] = it + 1
 
     def save_segment(
@@ -517,7 +524,7 @@ class HDFBackend(Backend):
                             val
                         )
             if random_state is not None:
-                g.attrs["random_state_key"] = np.asarray(random_state)
+                g.attrs["prng_state_key"] = np.asarray(random_state)
             g.attrs["iteration"] = it + n
 
     # ------------------------------------------------------------------
@@ -663,11 +670,11 @@ class HDFBackend(Backend):
             blobs = (
                 g["blobs"][it] if g.attrs["has_blobs"] else None
             )
-            rs = (
-                np.asarray(g.attrs["random_state_key"])
-                if "random_state_key" in g.attrs
-                else None
-            )
+            rs = None
+            for attr in ("prng_state_key", "random_state_key"):  # new, legacy
+                if attr in g.attrs:
+                    rs = np.asarray(g.attrs[attr])
+                    break
             return State(
                 coords,
                 inds=inds,

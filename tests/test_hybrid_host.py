@@ -97,7 +97,7 @@ def test_hybrid_counter_bookkeeping_exact():
     assert custom.num_proposals > 5
     # acceptance fractions per move are populated and sane
     fr = s.backend.moves_accepted_fraction
-    assert set(fr) == {"StretchMove", "CustomHostMH"}
+    assert set(fr) == {"StretchMove_0", "CustomHostMH_0"}
     for v in fr.values():
         v = np.asarray(v)
         assert np.all(v >= 0) and np.all(v <= 1)

@@ -97,7 +97,7 @@ def test_weighted_schedule(priors):
     _check_posterior(ens)
     # both moves were actually exercised
     fracs = {k: v for k, v in ens.backend.moves_accepted_fraction.items()}
-    assert set(fracs) == {"StretchMove", "GaussianMove"}
+    assert set(fracs) == {"StretchMove_0", "GaussianMove_0"}
     assert all(np.all(np.isfinite(v)) for v in fracs.values())
 
 
