@@ -119,17 +119,29 @@ def likelihood_flops(sampler, state):
 
 
 def timed_run(sampler, state, nsteps):
+    """Asymptotic per-step rate via two run lengths (slope timing): one
+    tunnel dispatch costs ~25 ms fixed regardless of scan length, which a
+    single short window folds into the rate.  (t2 - t1) / (n2 - n1) is the
+    device-resident per-step cost production segments actually pay —
+    see benchmarks/mxu_matched_filter.py timed_run for the full note."""
     import jax
 
-    state, _ = sampler._run_bulk(state, 1, nsteps, store=False)  # compile
-    jax.block_until_ready(state.log_like)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state, _ = sampler._run_bulk(state, 1, nsteps, store=False)
-        jax.block_until_ready(state.log_like)
-        best = min(best, time.perf_counter() - t0)
-    return nsteps / best, state
+    def best_total(n):
+        st, _ = sampler._run_bulk(state, 1, n, store=False)
+        jax.block_until_ready(st.log_like)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, _ = sampler._run_bulk(state, 1, n, store=False)
+            jax.block_until_ready(st.log_like)
+            best = min(best, time.perf_counter() - t0)
+        return best, st
+
+    n1, n2 = nsteps, 3 * nsteps
+    t1, _ = best_total(n1)
+    t2, st = best_total(n2)
+    per_step = (t2 - t1) / (n2 - n1)
+    return 1.0 / per_step, st
 
 
 def main():
