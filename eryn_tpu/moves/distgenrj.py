@@ -167,10 +167,14 @@ class DistributionGenerateRJ(ReversibleJumpMove):
         born = (change == 1)[:, :, None] & slot_mask
         q = jnp.where(born[..., None], draw[:, :, None, :], coords)
 
-        # coords at the affected slot (old values — the removed leaf)
-        at_slot = jnp.take_along_axis(
-            coords, slot[:, :, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0, :]
+        # coords at the affected slot (old values — the removed leaf):
+        # a one-hot reduce over the (tiny) leaf axis, NOT take_along_axis —
+        # the per-walker gather serializes on TPU (measured 12 us/step at
+        # 10x200 walkers vs ~0 for the masked sum, which XLA fuses)
+        at_slot = jnp.sum(
+            jnp.where(slot_mask[..., None], coords, jnp.zeros((), coords.dtype)),
+            axis=2,
+        )
 
         # factors (ref distgenrj.py:196-221): birth -> -logpdf(new);
         # death -> +logpdf(removed)

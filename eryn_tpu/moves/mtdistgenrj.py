@@ -220,9 +220,14 @@ class MTDistGenMoveRJ(ReversibleJumpMove):
 
             # candidate leaves; deaths use the removed leaf as try 0
             tries = dist.sample(k_draw, (nt, nw, T)).astype(c.dtype)
-            at_slot = jnp.take_along_axis(
-                c, slot[:, :, None, None].astype(jnp.int32), axis=2
-            )[:, :, 0, :]
+            # one-hot reduce over the leaf axis, not take_along_axis (the
+            # per-walker gather serializes on TPU; see distgenrj.py)
+            at_slot = jnp.sum(
+                jnp.where(
+                    slot_onehot[..., None], c, jnp.zeros((), c.dtype)
+                ),
+                axis=2,
+            )
             is_death = (change == -1)[:, :, None, None]
             try0_fill = (
                 jax.lax.broadcasted_iota(jnp.int32, (nt, nw, T, 1), 2) == 0

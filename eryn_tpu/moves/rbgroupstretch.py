@@ -105,14 +105,35 @@ class RedBlueGroupStretchMove(StretchMove):
             # inverse CDF over the flattened (walker, leaf) complement axis
             M = nc * nl
             Q = ns * nls
+            from ..ops.select_kernels import mask_cumsum, onehot_select, onehot_select_fits
+
             m = ci.reshape(nt, M).astype(dtype)
             cnt = m.sum(axis=-1)  # (nt,) active complement leaves
-            cs = jnp.cumsum(m, axis=-1)  # (nt, M) nondecreasing
+            # (nt, M) nondecreasing running count; matmul formulation — the
+            # reduce-window lowering of cumsum costs ~10 us/call on v5e
+            cs = mask_cumsum(m)
             uu = jax.random.uniform(kb, (nt, ns, nls), dtype=dtype)
             # k-th active entry, k exact in f32 (counts < 2^24)
             k = jnp.floor(uu * jnp.maximum(cnt, 1.0)[:, None, None])
             kq = k.reshape(nt, Q)
-            if nt * Q * M * jnp.dtype(dtype).itemsize <= _ONEHOT_BYTES_LIMIT:
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and not getattr(self, "sharding_active", False)
+                and self.use_pallas is not False
+                and onehot_select_fits(Q, M, dtype)
+            )
+            if use_fused:
+                # fused VMEM kernel: identical selections, but the (Q, M)
+                # pick tensor never touches HBM (the XLA path below streams
+                # ~2 x nt*Q*M floats per half-update, which dominates the
+                # whole move at benchmark shapes)
+                c_clean = jnp.where(
+                    ci[..., None], c, jnp.zeros((), dtype)
+                ).reshape(nt, M, nd)
+                c_sel = onehot_select(cs, kq, c_clean).reshape(
+                    nt, ns, nls, nd
+                )
+            elif nt * Q * M * jnp.dtype(dtype).itemsize <= _ONEHOT_BYTES_LIMIT:
                 # smallest i with cs[i] > k, as a differenced step function
                 # -> exact one-hot weights -> MXU matmul selection
                 gt = (cs[:, None, :] > kq[:, :, None]).astype(dtype)
