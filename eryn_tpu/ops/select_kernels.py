@@ -99,23 +99,30 @@ def mask_cumsum(m):
     return cs.reshape(nt, Mp)[:, :M]
 
 
-def _select_kernel(nd, cs_ref, csp_ref, kq_ref, ct_ref, out_ref):
-    # blocks: cs (1, 1, Mp), csp (1, 1, Mp), kq (1, Qb, 1), ct (1, nd, Mp),
+def _select_kernel(nd, cs_ref, csp_ref, kq_ref, c_ref, out_ref):
+    # blocks: cs (1, 1, Mp), csp (1, 1, Mp), kq (1, 1, Qb), c (1, nd, Mp),
     # out (1, Qb, nd); everything stays in VMEM.
     #
-    # The contraction runs on the VPU as a lane reduction, NOT the MXU: a
-    # (Qb, Mp) @ (Mp, nd) dot pads nd up to 128 lanes and (at HIGHEST)
-    # runs 6 passes — measured SLOWER than the XLA path it replaces.  With
-    # exactly one nonzero weight per row, multiply + lane-sum is exact in
-    # any accumulation order (one finite value plus exact zeros).
+    # Two deliberate non-obvious choices, both measured on v5e:
+    # * the contraction runs on the VPU as a lane reduction, NOT the MXU —
+    #   a (Qb, Mp) @ (Mp, nd) dot pads nd up to 128 lanes and (at HIGHEST)
+    #   runs 6 passes, slower than the XLA path it replaces.  With exactly
+    #   one nonzero weight per row, multiply + lane-sum is exact in any
+    #   accumulation order (one finite value plus exact zeros);
+    # * kq arrives in its NATURAL (nt, Q) layout (lanes-minor) and is
+    #   transposed here — the in-VMEM transpose is a register shuffle,
+    #   while feeding a pre-transposed (nt, Qp, 1) shape costs an XLA
+    #   relayout copy in HBM per call.  The same trick applied to c was
+    #   measured SLOWER (the (Mp, nd)->(nd, Mp) transpose is not free once
+    #   Mp spans multiple lane tiles), so c stays pre-swapped outside.
     cs = cs_ref[0]  # (1, Mp)
     csp = csp_ref[0]
-    k = kq_ref[0]  # (Qb, 1)
-    dtype = ct_ref.dtype
+    k = jnp.transpose(kq_ref[0])  # (1, Qb) -> (Qb, 1)
+    dtype = c_ref.dtype
     gt = (cs > k).astype(dtype)  # (Qb, Mp)
     gtp = (csp > k).astype(dtype)
     onehot = gt - gtp
-    ct = ct_ref[0]  # (nd, Mp)
+    ct = c_ref[0]  # (nd, Mp)
     cols = [
         jnp.sum(onehot * ct[d : d + 1, :], axis=1, keepdims=True)
         for d in range(nd)
@@ -183,7 +190,7 @@ def onehot_select(cs, kq, c_clean, interpret=False):
                 (1, 1, Mp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, Qb, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (1, 1, Qb), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, nd, Mp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
@@ -196,7 +203,8 @@ def onehot_select(cs, kq, c_clean, interpret=False):
     )(
         cs.reshape(nt, 1, Mp),
         csp.reshape(nt, 1, Mp),
-        kq.reshape(nt, Qp, 1),
+        kq.reshape(nt, 1, Qp),
         jnp.swapaxes(c_clean, 1, 2),
     )
     return out[:, :Q]
+
