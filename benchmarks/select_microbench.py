@@ -58,10 +58,8 @@ def op_bench(nsteps):
         kq = jnp.floor(
             jax.random.uniform(key, (nt, Q)) * jnp.maximum(cnt, 1.0)[:, None]
         )
-        gt = (cs[:, None, :] > kq[:, :, None]).astype(jnp.float32)
-        onehot = gt - jnp.concatenate(
-            [jnp.zeros((nt, Q, 1), jnp.float32), gt[:, :, :-1]], axis=-1
-        )
+        # count-equality one-hot (what the move's XLA path uses)
+        onehot = (cs[:, None, :] == kq[:, :, None] + 1.0).astype(jnp.float32)
         return jnp.einsum(
             "tqm,tmd->tqd",
             onehot,
@@ -101,11 +99,12 @@ def op_bench(nsteps):
 
 
 def move_bench(nsteps, use_fused):
-    import eryn_tpu.ops.select_kernels as sk
+    from eryn_tpu.moves import rbgroupstretch
 
-    fits = sk.onehot_select_fits
-    if not use_fused:
-        sk.onehot_select_fits = lambda *a: False
+    limit = rbgroupstretch._ONEHOT_BYTES_LIMIT
+    if use_fused:
+        # one-hot "does not fit HBM" -> the move picks the VMEM kernel
+        rbgroupstretch._ONEHOT_BYTES_LIMIT = 0
     try:
         from benchmarks.lisa_style import build
 
@@ -118,7 +117,7 @@ def move_bench(nsteps, use_fused):
         s._step_cache.clear()
         per = timed_scan(run, (state,), nsteps)
     finally:
-        sk.onehot_select_fits = fits
+        rbgroupstretch._ONEHOT_BYTES_LIMIT = limit
     return round(per * 1e6, 2)
 
 

@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.perm import invert_permutation
+
 from .move import Move, mh_accept, state_branch_supps
 from .tempering import tempered_log_likelihood
 
@@ -359,7 +361,7 @@ class MALAMove(Move):
 
         key, kperm = jax.random.split(key)
         perm = jax.random.permutation(kperm, nwalkers)
-        inv_perm = jnp.argsort(perm)
+        inv_perm = invert_permutation(perm)
         coords_p = {n: state.branches_coords[n][:, perm] for n in all_names}
         inds_p = {n: state.branches_inds[n][:, perm] for n in all_names}
         logl_p = state.log_like[:, perm]

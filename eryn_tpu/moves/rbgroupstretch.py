@@ -116,33 +116,48 @@ class RedBlueGroupStretchMove(StretchMove):
             # k-th active entry, k exact in f32 (counts < 2^24)
             k = jnp.floor(uu * jnp.maximum(cnt, 1.0)[:, None, None])
             kq = k.reshape(nt, Q)
-            use_fused = (
+            kernel_ok = (
                 jax.default_backend() == "tpu"
                 and not getattr(self, "sharding_active", False)
                 and self.use_pallas is not False
                 and onehot_select_fits(Q, M, dtype)
             )
+            onehot_fits_hbm = (
+                nt * Q * M * jnp.dtype(dtype).itemsize <= _ONEHOT_BYTES_LIMIT
+            )
+            # path order (v5e-measured at the 10x200x8x3 benchmark shape):
+            # the XLA equality one-hot streams one nt*Q*M tensor but keeps
+            # every surrounding op in XLA-chosen layouts — 143 us/null-step
+            # vs 171 us with the VMEM kernel, whose custom-call forces
+            # default layouts and drags ~25 us/step of relayout copies into
+            # the step.  The kernel still wins when the one-hot tensor
+            # would blow the HBM budget (Q, M in the thousands), and
+            # ``use_pallas=True`` forces it for kernel tests.
+            use_fused = kernel_ok and (
+                self.use_pallas is True or not onehot_fits_hbm
+            )
             if use_fused:
-                # fused VMEM kernel: identical selections, but the (Q, M)
-                # pick tensor never touches HBM (the XLA path below streams
-                # ~2 x nt*Q*M floats per half-update, which dominates the
-                # whole move at benchmark shapes)
+                # fused VMEM kernel: identical selections, and the (Q, M)
+                # pick tensor never touches HBM
                 c_clean = jnp.where(
                     ci[..., None], c, jnp.zeros((), dtype)
                 ).reshape(nt, M, nd)
                 c_sel = onehot_select(cs, kq, c_clean).reshape(
                     nt, ns, nls, nd
                 )
-            elif nt * Q * M * jnp.dtype(dtype).itemsize <= _ONEHOT_BYTES_LIMIT:
-                # smallest i with cs[i] > k, as a differenced step function
-                # -> exact one-hot weights -> MXU matmul selection
-                gt = (cs[:, None, :] > kq[:, :, None]).astype(dtype)
-                onehot = gt - jnp.concatenate(
-                    [jnp.zeros((nt, Q, 1), dtype), gt[:, :, :-1]], axis=-1
+            elif onehot_fits_hbm:
+                # smallest i with cs[i] > k is the unique ACTIVE row with
+                # running count cs == k+1 (k integer, counts exact in f32)
+                # -> exact one-hot weights -> MXU matmul selection.
+                # Inactive rows sharing that count match too, but their
+                # payload is zeroed below, so they add exact zeros.
+                onehot = (cs[:, None, :] == kq[:, :, None] + 1.0).astype(
+                    dtype
                 )
                 # zero inactive slots first: their (possibly NaN/stale)
                 # coords would poison the 0-weighted sum, which a gather
-                # never reads
+                # never reads — and it is what makes the equality
+                # formulation exact
                 c_clean = jnp.where(
                     ci[..., None], c, jnp.zeros((), dtype)
                 ).reshape(nt, M, nd)

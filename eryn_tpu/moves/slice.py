@@ -46,6 +46,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.perm import invert_permutation
+
 from .move import Move, state_branch_supps
 from .tempering import tempered_log_likelihood
 
@@ -143,7 +145,7 @@ class SliceMove(Move):
             key, kperm = jax.random.split(key)
             if self.randomize_split:
                 perm = jax.random.permutation(kperm, nwalkers)
-                inv_perm = jnp.argsort(perm)
+                inv_perm = invert_permutation(perm)
             else:
                 perm = inv_perm = jnp.arange(nwalkers)
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.perm import invert_permutation
 import numpy as np
 
 from .red_blue import RedBlueMove
@@ -193,7 +195,7 @@ class StretchMove(RedBlueMove):
 
         key, kperm, ku = jax.random.split(key, 3)
         perm = jax.random.permutation(kperm, nwalkers)
-        inv_perm = jnp.argsort(perm)
+        inv_perm = invert_permutation(perm)
         n0 = nwalkers - nwalkers // 2
         sizes = [n0, nwalkers - n0]
         offsets = [0, n0]

@@ -16,6 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.perm import invert_permutation
+
 __all__ = ["TemperatureControl", "make_ladder"]
 
 
@@ -283,7 +285,7 @@ class TemperatureControl:
             perms = jnp.broadcast_to(
                 jnp.arange(nwalkers), (ntemps - 1, 2, nwalkers)
             )
-        inv_perms = jnp.argsort(perms, axis=-1)
+        inv_perms = invert_permutation(perms)
         raccept = jnp.log(
             jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=logl.dtype)
         )
@@ -425,7 +427,7 @@ class TemperatureControl:
             perms = jnp.broadcast_to(
                 jnp.arange(nwalkers), (ntemps - 1, 2, nwalkers)
             )
-        inv_perms = jnp.argsort(perms, axis=-1)
+        inv_perms = invert_permutation(perms)
         raccept = jnp.log(
             jax.random.uniform(k_acc, (ntemps - 1, nwalkers), dtype=dtype)
         )
@@ -548,7 +550,7 @@ class TemperatureControl:
         ntemps, nwalkers = logl.shape
         k_pi, k_shift, k_acc = jax.random.split(key, 3)
         pi = jax.random.permutation(k_pi, nwalkers)
-        inv_pi = jnp.argsort(pi)
+        inv_pi = invert_permutation(pi)
 
         dbetas = betas[:-1] - betas[1:]
         shifts = jax.random.randint(k_shift, (ntemps - 1,), 0, nwalkers)

@@ -4,19 +4,21 @@ The RJ-correct group-stretch move (:mod:`eryn_tpu.moves.rbgroupstretch`)
 selects, for every active leaf of a moving walker, a uniformly random
 ACTIVE leaf of the complement half: an inverse-CDF over the flattened
 ``(complement walker, leaf)`` axis.  The exact formulation is a one-hot
-selection — ``onehot[q, m] = (cs[m] > k_q) - (cs[m-1] > k_q)`` picks the
-smallest index whose running active count exceeds the draw — contracted
-against the complement coordinates on the MXU at ``HIGHEST`` precision
-(0/1 weights make the contraction exact; see
-``rbgroupstretch.get_proposal_kernel``).
+selection — ``onehot[q, m] = (cs[m] == k_q + 1)`` marks the unique
+ACTIVE index whose running active count first exceeds the (integer)
+draw; inactive rows sharing the count match too, but their payload is
+pre-zeroed, so the contraction against the complement coordinates stays
+exact (see ``rbgroupstretch.get_proposal_kernel``).
 
-Computed in XLA, the ``(ntemps, Q, M)`` step/one-hot tensors are
-materialized in HBM: at the LISA benchmark shape (10 temps, Q = M = 800)
-that is ~25 MB per tensor per half-update, and streaming them dominates
-the whole move (~0.3 ms/step measured on v5e — HBM-bandwidth-bound, with
-trivial FLOPs).  This kernel fuses compare -> difference -> matmul in
+Computed in XLA, the ``(ntemps, Q, M)`` one-hot tensor is materialized
+in HBM (~25 MB per half-update at the LISA benchmark shape, 10 temps,
+Q = M = 800) — affordable there, and the all-XLA step keeps every
+surrounding op in XLA-chosen layouts.  At larger shapes that tensor
+grows quadratically; this kernel fuses compare -> multiply -> reduce in
 VMEM so only the ``O(M + Q)`` operands and the ``(Q, nd)`` result ever
-touch HBM; the pick tensor lives and dies on-chip.
+touch HBM; the pick tensor lives and dies on-chip.  The move picks the
+XLA path while the tensor fits an HBM budget and the kernel beyond it
+(``rbgroupstretch.py`` documents the v5e measurements).
 
 Exactness contract: bitwise-identical selections to the XLA one-hot path
 and the gather/searchsorted fallback (``tests/test_rbgroupstretch.py``).
@@ -99,16 +101,26 @@ def mask_cumsum(m):
     return cs.reshape(nt, Mp)[:, :M]
 
 
-def _select_kernel(nd, cs_ref, csp_ref, kq_ref, c_ref, out_ref):
-    # blocks: cs (1, 1, Mp), csp (1, 1, Mp), kq (1, 1, Qb), c (1, nd, Mp),
-    # out (1, Qb, nd); everything stays in VMEM.
+def _select_kernel(nd, cs_ref, kq_ref, c_ref, out_ref):
+    # blocks: cs (1, 1, Mp), kq (1, 1, Qb), c (1, nd, Mp), out (1, Qb, nd);
+    # everything stays in VMEM.
     #
-    # Two deliberate non-obvious choices, both measured on v5e:
+    # The weights use a count-EQUALITY formulation rather than the
+    # differenced step function (gt - gt_shifted) the XLA paths document:
+    # the (k+1)-th active entry is the unique ACTIVE row with running
+    # count cs == k+1 (k integer-valued, counts < 2^24 exact in f32).
+    # Inactive rows inside/after that run share the same count, but the
+    # payload is pre-zeroed on inactive rows, so their matches add exact
+    # zeros and the lane-sum still reproduces the selected value bitwise.
+    # This drops one full (Qb, Mp) compare, the subtract, and the whole
+    # shifted-count operand (its HBM stream and XLA-side concat+pad).
+    #
+    # Two more deliberate, v5e-measured choices:
     # * the contraction runs on the VPU as a lane reduction, NOT the MXU —
     #   a (Qb, Mp) @ (Mp, nd) dot pads nd up to 128 lanes and (at HIGHEST)
-    #   runs 6 passes, slower than the XLA path it replaces.  With exactly
-    #   one nonzero weight per row, multiply + lane-sum is exact in any
-    #   accumulation order (one finite value plus exact zeros);
+    #   runs 6 passes, slower than the XLA path it replaces.  With the
+    #   nonzero weights all landing on one finite value plus exact zeros,
+    #   multiply + lane-sum is exact in any accumulation order;
     # * kq arrives in its NATURAL (nt, Q) layout (lanes-minor) and is
     #   transposed here — the in-VMEM transpose is a register shuffle,
     #   while feeding a pre-transposed (nt, Qp, 1) shape costs an XLA
@@ -116,12 +128,9 @@ def _select_kernel(nd, cs_ref, csp_ref, kq_ref, c_ref, out_ref):
     #   measured SLOWER (the (Mp, nd)->(nd, Mp) transpose is not free once
     #   Mp spans multiple lane tiles), so c stays pre-swapped outside.
     cs = cs_ref[0]  # (1, Mp)
-    csp = csp_ref[0]
-    k = jnp.transpose(kq_ref[0])  # (1, Qb) -> (Qb, 1)
+    k1 = jnp.transpose(kq_ref[0]) + 1.0  # (1, Qb) -> (Qb, 1), then k+1
     dtype = c_ref.dtype
-    gt = (cs > k).astype(dtype)  # (Qb, Mp)
-    gtp = (csp > k).astype(dtype)
-    onehot = gt - gtp
+    onehot = (cs == k1).astype(dtype)  # (Qb, Mp)
     ct = c_ref[0]  # (nd, Mp)
     cols = [
         jnp.sum(onehot * ct[d : d + 1, :], axis=1, keepdims=True)
@@ -159,21 +168,17 @@ def onehot_select(cs, kq, c_clean, interpret=False):
         Qb //= 2
     Qp = _round_up(Q, Qb)
 
-    # one-position shift of the running count: cs_prev[0] = 0 (< any draw,
-    # so the first entry's one-hot weight is gt[0] alone, matching the
-    # XLA path's leading-zero difference)
-    csp = jnp.concatenate([jnp.zeros((nt, 1), dtype), cs[:, :-1]], axis=1)
     if Mp != M:
-        # pad with the final count in BOTH cs and csp: gt == gtp there, so
-        # padded rows contribute exactly zero weight
+        # pad with the final count: padded rows may match cs == k+1, but
+        # their payload is padded to zero, so they add exact zeros
         tail = jnp.broadcast_to(cs[:, -1:], (nt, Mp - M))
         cs = jnp.concatenate([cs, tail], axis=1)
-        csp = jnp.concatenate([csp, tail], axis=1)
         c_clean = jnp.concatenate(
             [c_clean, jnp.zeros((nt, Mp - M, nd), dtype)], axis=1
         )
     if Qp != Q:
-        # k = -1 makes gt and gtp all-ones -> zero one-hot rows
+        # k = -1 -> k+1 = 0, which matches only rows BEFORE the first
+        # active one — zero payload — and the rows are sliced off anyway
         kq = jnp.concatenate(
             [kq, jnp.full((nt, Qp - Q), -1.0, dtype)], axis=1
         )
@@ -183,9 +188,6 @@ def onehot_select(cs, kq, c_clean, interpret=False):
         grid=(nt, Qp // Qb),
         out_shape=jax.ShapeDtypeStruct((nt, Qp, nd), dtype),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, Mp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec(
                 (1, 1, Mp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -202,7 +204,6 @@ def onehot_select(cs, kq, c_clean, interpret=False):
         interpret=interpret,
     )(
         cs.reshape(nt, 1, Mp),
-        csp.reshape(nt, 1, Mp),
         kq.reshape(nt, 1, Qp),
         jnp.swapaxes(c_clean, 1, 2),
     )
