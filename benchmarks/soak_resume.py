@@ -132,17 +132,16 @@ def worker(args):
     ens, pr = build_sampler(args.file, args.seed)
     it = int(ens.backend.iteration) if ens.backend.initialized else 0
     if it == 0:
+        # deterministic initial state: killed and control runs must start
+        # bitwise identical for the prefix check to mean anything
+        rng0 = np.random.default_rng(args.seed)
+        lo = np.array([0.5, 0.0, 0.1])
+        hi = np.array([5.0, 10.0, 2.0])
         coords = {
-            "model_0": pr.rvs(size=(NTEMPS, NWALKERS, NLMAX)).astype(
-                np.float64
-            )
+            "model_0": lo
+            + (hi - lo) * rng0.random((NTEMPS, NWALKERS, NLMAX, NDIM))
         }
-        inds = {
-            "model_0": np.random.default_rng(args.seed).random(
-                (NTEMPS, NWALKERS, NLMAX)
-            )
-            < 0.5
-        }
+        inds = {"model_0": rng0.random((NTEMPS, NWALKERS, NLMAX)) < 0.5}
         from eryn_tpu import State
 
         start = ens._setup_state(State(coords, inds=inds))
@@ -199,7 +198,8 @@ def _spawn_worker(fn, seed, total_steps, chunk_steps, thin, cache, log, cpu=Fals
 
 
 def _run_to_completion(
-    fn, seed, total, chunk, thin, cache, logpath, kills, rng, cpu=False
+    fn, seed, total, chunk, thin, cache, logpath, kills, rng, cpu=False,
+    min_kill_delay=5.0,
 ):
     """Run a worker to completion, SIGKILLing it ``kills`` times at random
     moments.  Returns (kill_iterations, wall_seconds, n_launches)."""
@@ -212,12 +212,25 @@ def _run_to_completion(
             p = _spawn_worker(fn, seed, total, chunk, thin, cache, log, cpu)
             launches += 1
             if remaining_kills > 0:
-                # kill somewhere strictly inside the remaining work: wait a
-                # random 20-60% of the (estimated) remaining duration
-                delay = rng.uniform(0.2, 0.6) * _estimate_remaining(
-                    fn, total, chunk
-                )
-                time.sleep(max(5.0, delay))
+                # arm the kill only after at least one NEW chunk landed in
+                # the file (a kill before any stored progress would make
+                # the bitwise-prefix check vacuous), then wait a random
+                # 20-60% of the estimated remaining duration
+                base_it = _iteration(fn)
+                while p.poll() is None and _iteration(fn) <= base_it:
+                    time.sleep(min(2.0, max(0.2, _CHUNK_SECONDS or 2.0)))
+                # estimate the remaining duration from the LIVE progress
+                # rate (post-compile; the per-chunk calibration overshoots
+                # badly when chunks are sub-second)
+                it1, t1 = _iteration(fn), time.perf_counter()
+                time.sleep(max(1.0, min(5.0, _CHUNK_SECONDS or 1.0)))
+                it2, t2 = _iteration(fn), time.perf_counter()
+                if it2 > it1:
+                    remaining = (total - it2) * (t2 - t1) / (it2 - it1)
+                else:
+                    remaining = _estimate_remaining(fn, total, chunk)
+                delay = rng.uniform(0.2, 0.6) * remaining
+                time.sleep(max(min_kill_delay, delay))
                 if p.poll() is None:
                     p.send_signal(signal.SIGKILL)
                     p.wait()
@@ -251,11 +264,13 @@ def _iteration(fn):
         return 0
     import h5py
 
-    for _ in range(50):
+    for _ in range(10):
         try:
-            with h5py.File(fn, "r") as f:
+            # locking=False: the worker holds the HDF5 write lock for the
+            # whole run; the supervisor only peeks at a single attr
+            with h5py.File(fn, "r", locking=False) as f:
                 return int(f["mcmc"].attrs["iteration"])
-        except (BlockingIOError, OSError):
+        except (BlockingIOError, OSError, KeyError):
             time.sleep(0.2)
     return 0
 
@@ -280,13 +295,17 @@ def compare(fn_a, fn_b, kill_its):
 
     # (1) bitwise prefix: everything stored before the FIRST kill comes
     # from identical (seeded, deterministic) compiled steps on the same
-    # chip — any drift there is a checkpoint bug, not statistics
+    # chip — any drift there is a checkpoint bug, not statistics.
+    # equal_nan: dormant RJ slots legitimately hold NaN in both runs.
     first_kill = min(kill_its) if kill_its else n
     prefix_bitwise = bool(
-        np.array_equal(ch_a[:first_kill], ch_b[:first_kill])
+        np.array_equal(ch_a[:first_kill], ch_b[:first_kill], equal_nan=True)
         and np.array_equal(in_a[:first_kill], in_b[:first_kill])
     )
-    full_bitwise = bool(np.array_equal(ch_a, ch_b))
+    full_bitwise = bool(
+        np.array_equal(ch_a, ch_b, equal_nan=True)
+        and np.array_equal(in_a, in_b)
+    )
 
     # (2) statistical comparison of the post-burn cold chains
     burn = n // 4
@@ -391,6 +410,7 @@ def drill(args):
     kill_its, wall_k, launches = _run_to_completion(
         fn_k, args.seed, total, args.chunk_steps, args.thin, cache,
         os.path.join(args.outdir, "killed.log"), args.kills, rng, args.cpu,
+        min_kill_delay=args.min_kill_delay,
     )
     _, wall_c, _ = _run_to_completion(
         fn_c, args.seed, total, args.chunk_steps, args.thin, cache,
@@ -437,6 +457,7 @@ def main():
     d.add_argument("--chunk-steps", type=int, default=64)
     d.add_argument("--thin", type=int, default=256)
     d.add_argument("--kills", type=int, default=2)
+    d.add_argument("--min-kill-delay", type=float, default=5.0)
     d.add_argument("--min-chunks", type=int, default=4)
     args = ap.parse_args()
     if args.cmd == "worker":

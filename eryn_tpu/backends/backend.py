@@ -113,6 +113,7 @@ class Backend:
 
         self.random_state = None
         self._kernel_state_leaves = None
+        self._tempering_time = None
         self.initialized = True
 
     # ------------------------------------------------------------------
@@ -163,6 +164,19 @@ class Backend:
         leaf list mark unpersistable (object-dtype) leaves; the sampler
         keeps the fresh value at those positions."""
         return getattr(self, "_kernel_state_leaves", None)
+
+    def save_sampler_clock(self, time):
+        """Checkpoint ``TemperatureControl.time`` — the ladder adaptation
+        clock and DEO parity counter.  Without it a resumed run restarts
+        adaptation at t=0: the vousden gain (~1/(t+t0)) jumps, betas drift
+        from the continuous-run trajectory, and marginal swap decisions
+        flip a few steps after the resume (caught by the kill/resume drill,
+        ``benchmarks/soak_resume.py``, as a bitwise prefix mismatch)."""
+        self._tempering_time = int(time)
+
+    def get_sampler_clock(self):
+        """Stored tempering clock, or ``None`` (fresh run / old file)."""
+        return getattr(self, "_tempering_time", None)
 
     # ------------------------------------------------------------------
     @property

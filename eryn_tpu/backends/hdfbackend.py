@@ -714,6 +714,23 @@ class HDFBackend(Backend):
                         continue
                     sub.create_dataset(str(j), data=arr)
 
+    def save_sampler_clock(self, time):
+        """File-persistent tempering clock (see ``Backend.save_sampler_clock``).
+
+        Stored as a group attr; the name avoids the reference's
+        ``random_state_*`` attr-collection prefix (``hdfbackend.py:636-644``)
+        so reference samplers can still resume our files."""
+        with self.open("a") as f:
+            f[self.name].attrs["tempering_time"] = int(time)
+
+    def get_sampler_clock(self):
+        try:
+            with self.open() as f:
+                val = f[self.name].attrs.get("tempering_time")
+                return None if val is None else int(val)
+        except Exception:  # noqa: BLE001 — a checkpoint read must never
+            return None  # abort a run; adaptation restarts instead
+
     def get_kernel_states(self):
         try:
             with self.open() as f:

@@ -1145,6 +1145,14 @@ class EnsembleSampler:
                 rs = getattr(self.backend, "random_state", None)
                 if rs is not None:
                     self._key = self._wrap_key(rs)
+                clock_getter = getattr(
+                    self.backend, "get_sampler_clock", None
+                )
+                clock = clock_getter() if clock_getter is not None else None
+                if clock is not None and self.temperature_control is not None:
+                    # continue ladder adaptation (and DEO parity) where the
+                    # checkpointed run left off
+                    self.temperature_control.time = clock
 
         # default runtime plot generator (ref ensemble.py:660-674)
         if self.plot_iterations > 0 and self.plot_generator is None:
@@ -1984,7 +1992,20 @@ class EnsembleSampler:
                 self._kernel_states = tuple(
                     h if h is not None else b for h, b in zip(host, base)
                 )
-        if not store or self._kernel_states is None:
+        if not store:
+            return
+        tc = self.temperature_control
+        clock_saver = getattr(self.backend, "save_sampler_clock", None)
+        if (
+            tc is not None
+            and clock_saver is not None
+            and self.backend.initialized
+        ):
+            # the adaptation/DEO clock must survive a process restart or a
+            # resumed run re-enters early adaptation (large vousden gain)
+            # and drifts off the continuous-run beta trajectory
+            clock_saver(int(np.asarray(tc.time)))
+        if self._kernel_states is None:
             return
         saver = getattr(self.backend, "save_kernel_states", None)
         if saver is not None and self.backend.initialized:

@@ -787,3 +787,55 @@ def test_three_backend_getter_equivalence(priors, tmp_path):
     ta = host.get_autocorr_time()["model_0"]
     tc = dev.get_autocorr_time()["model_0"]
     np.testing.assert_allclose(tc, ta, rtol=1e-3, atol=1e-5, equal_nan=True)
+
+
+def test_resume_is_bitwise_continuation(priors, tmp_path):
+    """A process-restart resume must continue the chain EXACTLY where a
+    continuous run would have gone: same stored PRNG key, same restored
+    state, and — the piece the kill/resume drill caught missing — the same
+    tempering adaptation clock (``TemperatureControl.time``).  Without the
+    clock checkpoint the resumed run re-enters early adaptation (vousden
+    gain ~ 1/(t + t0)), betas drift off the continuous trajectory, and a
+    marginal swap flips a few steps later."""
+    deterministic_coords = np.asarray(
+        8 * (2 * np.random.default_rng(5).random((NTEMPS, NWALKERS, NDIM)) - 1)
+    )
+
+    def fresh(fn, seed=3):
+        return EnsembleSampler(
+            NWALKERS,
+            NDIM,
+            log_like,
+            priors,
+            backend=HDFBackend(fn),
+            tempering_kwargs=dict(ntemps=NTEMPS),
+            seed=seed,
+        )
+
+    # continuous: two runs in ONE sampler object
+    fn_a = str(tmp_path / "cont.h5")
+    ens = fresh(fn_a)
+    ens.run_mcmc(deterministic_coords, 12)
+    ens.run_mcmc(None, 12)
+    chain_a = ens.get_chain()["model_0"]
+    time_a = int(np.asarray(ens.temperature_control.time))
+    del ens
+
+    # restart: same two runs, but a BRAND-NEW sampler (new process analog)
+    # picks up the file for the second
+    fn_b = str(tmp_path / "restart.h5")
+    ens1 = fresh(fn_b)
+    ens1.run_mcmc(deterministic_coords, 12)
+    mid_time = int(np.asarray(ens1.temperature_control.time))
+    del ens1
+    ens2 = fresh(fn_b, seed=99)  # seed must NOT matter: key comes from file
+    assert int(np.asarray(ens2.temperature_control.time)) == mid_time
+    ens2.run_mcmc(None, 12)
+    chain_b = ens2.get_chain()["model_0"]
+    time_b = int(np.asarray(ens2.temperature_control.time))
+
+    assert time_a == time_b
+    np.testing.assert_array_equal(chain_a, chain_b)
+    betas_a = HDFBackend(fn_a).get_value("betas")
+    betas_b = HDFBackend(fn_b).get_value("betas")
+    np.testing.assert_array_equal(betas_a, betas_b)
