@@ -2315,6 +2315,15 @@ class EnsembleSampler:
         if tc is not None and self.ntemps > 1:
             # device slice; host consumers (plots, adapt_temps) coerce
             tc.swaps_accepted = snaps["swaps"][-1]
+        # file-backed checkpoints also persist the adaptation clock per
+        # segment (it rides the same materialization barrier as the PRNG
+        # key above, so a kill inside a run resumes with a clock matching
+        # the last stored segment).  Device-resident backends skip it:
+        # their per-segment path is zero-device-ops by design, and an
+        # in-memory backend dies with the process anyway.
+        clock_saver = getattr(self.backend, "save_sampler_clock", None)
+        if clock_saver is not None and not device_resident and tc is not None:
+            clock_saver(int(np.asarray(tc.time)))
 
     # ------------------------------------------------------------------
     # host-step mode (legacy custom moves; see moves/legacy.py)
@@ -2438,6 +2447,10 @@ class EnsembleSampler:
             moves_accepted_fraction=fractions,
             random_state=np.asarray(jax.random.key_data(self._key)),
         )
+        clock_saver = getattr(self.backend, "save_sampler_clock", None)
+        tc = self.temperature_control
+        if clock_saver is not None and tc is not None:
+            clock_saver(int(np.asarray(tc.time)))
 
     # ------------------------------------------------------------------
     # hybrid host-move scheduling
