@@ -202,61 +202,95 @@ def _run_to_completion(
     min_kill_delay=5.0,
 ):
     """Run a worker to completion, SIGKILLing it ``kills`` times at random
-    moments.  Returns (kill_iterations, wall_seconds, n_launches)."""
+    moments.  Returns (kill_iterations, wall_seconds, n_launches, wedges).
+
+    A worker relaunched after a SIGKILL can hang indefinitely before its
+    first chunk: killing a dispatch mid-flight occasionally wedges the
+    remote TPU compile service, and only a FRESH process recovers (waiting
+    in-process does not — observed live in round 5: futex-parked worker,
+    zero stored progress for 5+ min on a warm jit cache).  The monitor
+    below therefore watches STORED progress, not process liveness: a live
+    worker that lands no new chunk within the stall timeout is killed and
+    relaunched (``wedges`` counts these; they are production supervisor
+    behavior, not drill kills).  A worker that exits is only treated as
+    finished when it actually reached ``total`` with rc=0 — any other
+    death is a real failure and raises."""
     kill_its = []
     launches = 0
+    wedges = 0
     t0 = time.perf_counter()
     remaining_kills = kills
+    stall_timeout = max(150.0, 30.0 * (_CHUNK_SECONDS or 5.0))
+    probe_window = max(1.0, min(5.0, _CHUNK_SECONDS or 1.0))
     while True:
-        with open(logpath, "a") as log:
-            p = _spawn_worker(fn, seed, total, chunk, thin, cache, log, cpu)
-            launches += 1
-            if remaining_kills > 0:
+        log = open(logpath, "a")
+        p = _spawn_worker(fn, seed, total, chunk, thin, cache, log, cpu)
+        launches += 1
+        outcome = None  # "done" | "died" | "wedged" | "killed"
+        kill_deadline = None
+        probe_it = probe_t = None
+        base_it = _iteration(fn)
+        last_it, last_progress_t = base_it, time.perf_counter()
+        while outcome is None:
+            time.sleep(min(2.0, max(0.2, (_CHUNK_SECONDS or 2.0) / 2.0)))
+            now = time.perf_counter()
+            it = _iteration(fn)
+            if it > last_it:
+                last_it, last_progress_t = it, now
+            if p.poll() is not None:
+                outcome = (
+                    "done" if p.returncode == 0 and it >= total else "died"
+                )
+            elif now - last_progress_t > stall_timeout:
+                outcome = "wedged"
+            elif kill_deadline is not None:
+                if now >= kill_deadline:
+                    outcome = "killed"
+            elif remaining_kills > 0 and it > base_it:
                 # arm the kill only after at least one NEW chunk landed in
                 # the file (a kill before any stored progress would make
-                # the bitwise-prefix check vacuous), then wait a random
-                # 20-60% of the estimated remaining duration
-                base_it = _iteration(fn)
-                while p.poll() is None and _iteration(fn) <= base_it:
-                    time.sleep(min(2.0, max(0.2, _CHUNK_SECONDS or 2.0)))
-                # estimate the remaining duration from the LIVE progress
-                # rate (post-compile; the per-chunk calibration overshoots
-                # badly when chunks are sub-second)
-                it1, t1 = _iteration(fn), time.perf_counter()
-                time.sleep(max(1.0, min(5.0, _CHUNK_SECONDS or 1.0)))
-                it2, t2 = _iteration(fn), time.perf_counter()
-                if it2 > it1:
-                    remaining = (total - it2) * (t2 - t1) / (it2 - it1)
-                else:
-                    remaining = _estimate_remaining(fn, total, chunk)
-                delay = rng.uniform(0.2, 0.6) * remaining
-                time.sleep(max(min_kill_delay, delay))
-                if p.poll() is None:
-                    p.send_signal(signal.SIGKILL)
-                    p.wait()
-                    it = _iteration(fn)
-                    kill_its.append(it)
-                    print(f"DRILL killed worker at iteration={it}", flush=True)
-                    remaining_kills -= 1
-                    continue
-                # worker finished before the kill timer — record and move on
-                remaining_kills = 0
-                break
-            rc = p.wait()
-            if rc != 0:
-                raise RuntimeError(
-                    f"worker exited rc={rc}; see {logpath}"
-                )
+                # the bitwise-prefix check vacuous); estimate the remaining
+                # duration from the LIVE progress rate (post-compile; the
+                # per-chunk calibration overshoots badly when chunks are
+                # sub-second), then fire at a random 20-60% of it
+                if probe_it is None:
+                    probe_it, probe_t = it, now
+                elif it > probe_it and now - probe_t >= probe_window:
+                    remaining = (total - it) * (now - probe_t) / (it - probe_it)
+                    delay = rng.uniform(0.2, 0.6) * remaining
+                    kill_deadline = now + max(min_kill_delay, delay)
+        log.close()
+        if outcome == "done":
             break
-    return kill_its, time.perf_counter() - t0, launches
+        if outcome == "died":
+            raise RuntimeError(
+                f"worker exited rc={p.returncode} at iteration="
+                f"{_iteration(fn)}/{total}; see {logpath}"
+            )
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+        it = _iteration(fn)
+        if outcome == "killed":
+            kill_its.append(it)
+            print(f"DRILL killed worker at iteration={it}", flush=True)
+            remaining_kills -= 1
+        else:  # wedged
+            wedges += 1
+            print(
+                f"DRILL wedge-relaunch at iteration={it} (live worker, no "
+                f"stored progress for {stall_timeout:.0f}s)",
+                flush=True,
+            )
+            if wedges > 8:
+                raise RuntimeError(
+                    "remote service wedged through 8 fresh-process "
+                    f"relaunches; see {logpath}"
+                )
+            time.sleep(10.0)  # give the remote service a beat
+    return kill_its, time.perf_counter() - t0, launches, wedges
 
 
 _CHUNK_SECONDS = None
-
-
-def _estimate_remaining(fn, total, chunk):
-    it = _iteration(fn)
-    return max(1, (total - it) / chunk) * (_CHUNK_SECONDS or 60.0)
 
 
 def _iteration(fn):
@@ -407,12 +441,12 @@ def drill(args):
         flush=True,
     )
 
-    kill_its, wall_k, launches = _run_to_completion(
+    kill_its, wall_k, launches, wedges_k = _run_to_completion(
         fn_k, args.seed, total, args.chunk_steps, args.thin, cache,
         os.path.join(args.outdir, "killed.log"), args.kills, rng, args.cpu,
         min_kill_delay=args.min_kill_delay,
     )
-    _, wall_c, _ = _run_to_completion(
+    _, wall_c, _, wedges_c = _run_to_completion(
         fn_c, args.seed, total, args.chunk_steps, args.thin, cache,
         os.path.join(args.outdir, "control.log"), 0, rng, args.cpu,
     )
@@ -428,6 +462,7 @@ def drill(args):
             "control_wall_seconds": round(wall_c, 1),
             "worker_launches": launches,
             "kills": len(kill_its),
+            "wedge_relaunches": wedges_k + wedges_c,
         }
     )
     out = os.path.join(args.outdir, "soak_result.json")
