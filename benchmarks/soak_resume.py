@@ -221,6 +221,11 @@ def _run_to_completion(
     t0 = time.perf_counter()
     remaining_kills = kills
     stall_timeout = max(150.0, 30.0 * (_CHUNK_SECONDS or 5.0))
+    # before a launch's FIRST chunk the wait legitimately includes the jax
+    # import and a possibly-cold compile — give it more rope so a slow
+    # compile is not mistaken for a wedge (a relaunch mid-compile never
+    # populates the persistent cache, which would loop forever)
+    first_chunk_timeout = max(300.0, stall_timeout)
     probe_window = max(1.0, min(5.0, _CHUNK_SECONDS or 1.0))
     while True:
         log = open(logpath, "a")
@@ -241,7 +246,9 @@ def _run_to_completion(
                 outcome = (
                     "done" if p.returncode == 0 and it >= total else "died"
                 )
-            elif now - last_progress_t > stall_timeout:
+            elif now - last_progress_t > (
+                stall_timeout if it > base_it else first_chunk_timeout
+            ):
                 outcome = "wedged"
             elif kill_deadline is not None:
                 if now >= kill_deadline:
@@ -417,14 +424,13 @@ def drill(args):
     # (the first folds in the cold compile), then size the run so the
     # KILLED run alone holds the device for ~args.minutes
     cal_log = os.path.join(args.outdir, "calibrate.log")
-    with open(cal_log, "w") as log:
-        p = _spawn_worker(
-            fn_c, args.seed, 2 * args.chunk_steps, args.chunk_steps,
-            args.thin, cache, log, args.cpu,
-        )
-        rc = p.wait()
-    if rc != 0:
-        raise RuntimeError(f"calibration worker failed; see {cal_log}")
+    # the calibration run goes through the same watchdog as the drill legs:
+    # a wedged remote compile service (observed after mid-dispatch kills)
+    # otherwise hangs the whole drill at p.wait() before it even starts
+    _run_to_completion(
+        fn_c, args.seed, 2 * args.chunk_steps, args.chunk_steps,
+        args.thin, cache, cal_log, 0, rng, args.cpu,
+    )
     global _CHUNK_SECONDS
     dts = [
         float(line.rsplit("dt=", 1)[1].rstrip("s\n"))
