@@ -247,7 +247,7 @@ def _run_to_completion(
                     "done" if p.returncode == 0 and it >= total else "died"
                 )
             elif now - last_progress_t > (
-                stall_timeout if it > base_it else first_chunk_timeout
+                stall_timeout if last_it > base_it else first_chunk_timeout
             ):
                 outcome = "wedged"
             elif kill_deadline is not None:
@@ -283,9 +283,12 @@ def _run_to_completion(
             remaining_kills -= 1
         else:  # wedged
             wedges += 1
+            waited = (
+                stall_timeout if it > base_it else first_chunk_timeout
+            )
             print(
                 f"DRILL wedge-relaunch at iteration={it} (live worker, no "
-                f"stored progress for {stall_timeout:.0f}s)",
+                f"stored progress for {waited:.0f}s)",
                 flush=True,
             )
             if wedges > 8:
